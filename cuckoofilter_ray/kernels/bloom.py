@@ -1,0 +1,201 @@
+"""Bloom-filter kernel (the reference's baseline AMQ) + a blocked variant.
+
+Value-level re-implementation of ``/root/reference/src/bloom.h``:
+
+- ``k = max(1, round(bits_per_item * ln 2))`` (bloom.h:28-30)
+- bit count = ``nextPrime(n * bits_per_item)``, word array of
+  ``(bitCount + 63) // 64`` uint64 (bloom.h:58-62,76-79)
+- double hashing: ``a = high32(h), b = low32(h); probe i uses word
+  reduce(a, arrayLength) and in-word bit (a & 63); a += b`` (bloom.h:103-138)
+- merge = bitwise OR of equal-parameter filters (trivially associative; the
+  reference has no merge — this is the engine's mergeable-UDAF extension,
+  SURVEY.md §2.1 "Merge").
+
+``BlockedBloomFilter`` re-expresses the register-blocked Bloom
+(``src/simd-block.h:158-207``, Impala's design): one 32-byte block per key,
+one bit in each of 8 uint32 lanes chosen by 8 odd-constant multiply-shifts.
+NumPy vectorizes the whole batch instead of AVX2 vectorizing one key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import DEFAULT_SEED, mix_split
+
+U64 = np.uint64
+U32 = np.uint32
+
+
+def is_prime(n: int) -> bool:
+    if n < 2:
+        return False
+    if n in (2, 3):
+        return True
+    if n % 2 == 0 or n % 3 == 0:
+        return False
+    d = 5
+    while d * d <= n:
+        if n % d == 0 or n % (d + 2) == 0:
+            return False
+        d += 6
+    return True
+
+
+def next_prime(a: int) -> int:
+    """Smallest prime > a (bloom.h:52-55)."""
+    a += 1
+    while not is_prime(a):
+        a += 1
+    return a
+
+
+class BloomFilter:
+    KIND = "bloom"
+
+    __slots__ = ("bits_per_item", "k", "bit_count", "array_length", "words",
+                 "seed", "num_items")
+
+    def __init__(self, capacity: int, bits_per_item: int = 8,
+                 seed: int = DEFAULT_SEED, *, array_length: int | None = None):
+        self.bits_per_item = int(bits_per_item)
+        self.k = max(1, round(bits_per_item * np.log(2)))
+        if array_length is None:
+            self.bit_count = next_prime(max(64, int(capacity) * bits_per_item))
+            self.array_length = (self.bit_count + 63) // 64
+        else:
+            self.array_length = int(array_length)
+            self.bit_count = self.array_length * 64
+        self.words = np.zeros(self.array_length, dtype=np.uint64)
+        self.seed = int(seed) & 0xFFFFFFFFFFFFFFFF
+        self.num_items = 0
+
+    @classmethod
+    def create(cls, capacity: int, bits_per_item: int = 8,
+               seed: int = DEFAULT_SEED) -> "BloomFilter":
+        return cls(capacity, bits_per_item=bits_per_item, seed=seed)
+
+    def _probes(self, keys) -> tuple[np.ndarray, np.ndarray]:
+        """(word_index, bit_mask) arrays of shape (n, k) — bloom.h:103-115."""
+        h = mix_split(keys, self.seed)
+        a = (h >> U64(32)).astype(np.uint64)
+        b = (h & U64(0xFFFFFFFF)).astype(np.uint64)
+        steps = np.arange(self.k, dtype=np.uint64)
+        av = (a[:, None] + b[:, None] * steps[None, :]) & U64(0xFFFFFFFF)  # a += b, 32-bit wrap
+        words = (av * U64(self.array_length)) >> U64(32)                   # Lemire reduce
+        masks = U64(1) << (av & U64(63))
+        return words.astype(np.int64), masks
+
+    def add_batch(self, keys) -> int:
+        keys = np.asarray(keys, dtype=np.uint64)
+        if len(keys) == 0:
+            return 0
+        words, masks = self._probes(keys)
+        np.bitwise_or.at(self.words, words.ravel(), masks.ravel())
+        self.num_items += len(keys)
+        return len(keys)
+
+    def contain_batch(self, keys) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.uint64)
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        words, masks = self._probes(keys)
+        return ((self.words[words] & masks) == masks).all(axis=1)
+
+    def add(self, key: int) -> str:
+        self.add_batch(np.array([key], dtype=np.uint64))
+        return "Ok"
+
+    def contain(self, key: int) -> bool:
+        return bool(self.contain_batch(np.array([key], dtype=np.uint64))[0])
+
+    def merge(self, other: "BloomFilter") -> None:
+        """OR-merge; requires identical (seed, array_length, bits_per_item)."""
+        if (self.seed, self.array_length, self.bits_per_item) != \
+                (other.seed, other.array_length, other.bits_per_item):
+            raise ValueError("bloom merge requires identical parameters")
+        np.bitwise_or(self.words, other.words, out=self.words)
+        self.num_items += other.num_items
+
+    def size(self) -> int:
+        return self.num_items
+
+    def size_in_bytes(self) -> int:
+        return self.array_length * 8
+
+
+# Odd multiply constants from the reference's MakeMask (src/simd-block.h:158-166).
+_BLOCK_SALTS = np.array(
+    [0x47B6137B, 0x44974D91, 0x8824AD5B, 0xA2B7289D,
+     0x705495C7, 0x2DF1424B, 0x9EFC4947, 0x5C6BFB31], dtype=np.uint64)
+
+
+class BlockedBloomFilter:
+    """Register-blocked Bloom: 8 lanes × 32 bits per 256-bit block
+    (src/simd-block.h:35-207).  One cache line touched per key."""
+
+    KIND = "blockedbloom"
+
+    __slots__ = ("num_blocks", "lanes", "seed", "num_items", "bits_per_item")
+
+    def __init__(self, num_blocks: int, seed: int = DEFAULT_SEED,
+                 bits_per_item: int = 8):
+        self.num_blocks = int(num_blocks)
+        self.lanes = np.zeros((self.num_blocks, 8), dtype=np.uint32)
+        self.seed = int(seed) & 0xFFFFFFFFFFFFFFFF
+        self.num_items = 0
+        self.bits_per_item = bits_per_item
+
+    @classmethod
+    def create(cls, capacity: int, bits_per_item: int = 8,
+               seed: int = DEFAULT_SEED) -> "BlockedBloomFilter":
+        # bits_per_item * n total bits / 256 bits per block, like the Fixed
+        # variant's log2(n*8/CHAR_BIT...) sizing (src/simd-block-fixed-fpp.h:70-89)
+        nb = max(1, (int(capacity) * bits_per_item + 255) // 256)
+        return cls(next_prime(nb), seed=seed, bits_per_item=bits_per_item)
+
+    def _block_and_masks(self, keys) -> tuple[np.ndarray, np.ndarray]:
+        h = mix_split(keys, self.seed)
+        block = ((h >> U64(32)) * U64(self.num_blocks)) >> U64(32)  # Lemire on high 32
+        lanes_in = (h & U64(0xFFFFFFFF)).astype(np.uint64)
+        # per-lane odd-constant multiply then take top 5 bits → bit position
+        prod = (lanes_in[:, None] * _BLOCK_SALTS[None, :]) & U64(0xFFFFFFFF)
+        bitpos = (prod >> U64(27)).astype(np.uint32)
+        masks = (np.uint32(1) << bitpos).astype(np.uint32)
+        return block.astype(np.int64), masks
+
+    def add_batch(self, keys) -> int:
+        keys = np.asarray(keys, dtype=np.uint64)
+        if len(keys) == 0:
+            return 0
+        block, masks = self._block_and_masks(keys)
+        lane_idx = np.broadcast_to(np.arange(8), masks.shape)
+        np.bitwise_or.at(self.lanes, (block.repeat(8), lane_idx.ravel()), masks.ravel())
+        self.num_items += len(keys)
+        return len(keys)
+
+    def contain_batch(self, keys) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.uint64)
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        block, masks = self._block_and_masks(keys)
+        return ((self.lanes[block] & masks) == masks).all(axis=1)
+
+    def add(self, key: int) -> str:
+        self.add_batch(np.array([key], dtype=np.uint64))
+        return "Ok"
+
+    def contain(self, key: int) -> bool:
+        return bool(self.contain_batch(np.array([key], dtype=np.uint64))[0])
+
+    def merge(self, other: "BlockedBloomFilter") -> None:
+        if (self.seed, self.num_blocks) != (other.seed, other.num_blocks):
+            raise ValueError("blocked-bloom merge requires identical parameters")
+        np.bitwise_or(self.lanes, other.lanes, out=self.lanes)
+        self.num_items += other.num_items
+
+    def size(self) -> int:
+        return self.num_items
+
+    def size_in_bytes(self) -> int:
+        return self.num_blocks * 32

@@ -1,0 +1,374 @@
+"""Cuckoo-filter kernel: partial-key cuckoo hashing over NumPy arrays.
+
+Value-level re-implementation (SURVEY.md §7.5) of the reference C++ filter:
+
+- 4-way set-associative buckets (``/root/reference/src/singletable.h:25``),
+  in-memory as a ``uint16[num_buckets, 4]`` tag matrix (0 = empty slot).
+- tag = low ``bits_per_tag`` bits of the 64-bit hash, with 0 remapped to 1
+  (``src/cuckoofilter.h:59-64``).
+- 2-choice buckets with kickout relocation, up to 500 kicks, then a one-slot
+  victim cache (``src/cuckoofilter.h:23,141-181``).
+- two index variants:
+  * ``pow2``   — power-of-2 buckets, ``i1 = (h>>32) & (nb-1)``,
+                 ``i2 = (i1 ^ tag*0x5bd1e995) & (nb-1)`` (an involution)
+                 (``src/cuckoofilter.h:66-81,91-100``).
+  * ``stable`` — exact-capacity buckets via Lemire reduce; ``i1`` from the
+                 LOW 32 hash bits, tag from the HIGH bits; involution
+                 ``i2 = (nb - i - r) mod nb`` with odd ``r``
+                 (``src/cuckoofilter_stable.h:15-18,60-102,115``).
+
+Deviations from the reference, by design (documented in SURVEY.md §4.3 / §7.4):
+
+- **Seeded everywhere.** The reference seeds hashes from ``std::random_device``
+  and kicks via global ``rand()`` (``src/singletable.h:223``); distributed
+  merge + reproducibility require one explicit seed per logical filter, so the
+  hash seed is a constructor argument and the kick RNG is
+  ``np.random.default_rng`` derived from it.
+- **Bulk operations are vectorized.** ``add_batch`` places a whole key batch
+  with grouped empty-slot scatter rounds + vectorized kick rounds instead of
+  one sequential kick chain per key.  Status algebra is preserved: a chain
+  exceeding 500 kicks parks in the victim cache (first) or counts as
+  ``NotEnoughSpace`` overflow (rest); slot *placement* may differ from the
+  sequential reference, which is fine — fidelity is query-answer-level
+  (no false negatives; FPR bound ~ 2·4/2^bits), not byte-level.
+- **Merge** (no cuckoo merge exists in the reference; contract taken from the
+  CQF's ``qf_merge``, ``src/gqf.h:307-310``): for equal ``(seed, num_buckets,
+  bits_per_tag, variant)``, re-insert every stored ``(bucket, tag)`` pair —
+  valid because ``AltIndex`` depends only on ``(i, tag)`` (the partial-key
+  property, ``src/cuckoofilter.h:75-81``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .hashing import DEFAULT_SEED, mix_split
+
+U64 = np.uint64
+_MURMUR_C = 0x5BD1E995
+_STABLE_C = 0xC4CEB9FE1A85EC53
+
+MAX_KICKS = 500  # kMaxCuckooCount, src/cuckoofilter.h:23
+TAGS_PER_BUCKET = 4  # src/singletable.h:25
+
+OK = "Ok"
+NOT_FOUND = "NotFound"
+NOT_ENOUGH_SPACE = "NotEnoughSpace"
+
+
+def upperpower2(x: int) -> int:
+    """Round up to a power of two (src/bitsutil.h:21-31)."""
+    if x <= 1:
+        return 1
+    return 1 << (int(x - 1).bit_length())
+
+
+def _reduce32(h: np.ndarray, n: int) -> np.ndarray:
+    """Lemire reduce: ((h & 0xffffffff) * n) >> 32 (src/cuckoofilter_stable.h:15-18)."""
+    return ((h & U64(0xFFFFFFFF)) * U64(n)) >> U64(32)
+
+
+@dataclass
+class BulkResult:
+    ok: int
+    overflow: int  # chains lost past victim (NotEnoughSpace)
+
+
+class CuckooFilter:
+    """A single cuckoo-filter shard (one logical filter or one partition of one)."""
+
+    KIND = "cuckoo"
+
+    __slots__ = ("num_buckets", "bits_per_tag", "seed", "variant", "tags",
+                 "num_items", "victim_index", "victim_tag", "victim_used",
+                 "_rng", "_kick_counter")
+
+    def __init__(self, num_buckets: int, bits_per_tag: int = 12,
+                 seed: int = DEFAULT_SEED, variant: str = "pow2"):
+        if bits_per_tag > 16:
+            raise ValueError("kernel stores tags as uint16; bits_per_tag <= 16")
+        if variant == "pow2" and num_buckets & (num_buckets - 1):
+            raise ValueError("pow2 variant requires power-of-two num_buckets")
+        if variant == "stable" and num_buckets % 2:
+            raise ValueError("stable variant requires even num_buckets")
+        self.num_buckets = int(num_buckets)
+        self.bits_per_tag = int(bits_per_tag)
+        self.seed = int(seed) & 0xFFFFFFFFFFFFFFFF
+        self.variant = variant
+        self.tags = np.zeros((self.num_buckets, TAGS_PER_BUCKET), dtype=np.uint16)
+        self.num_items = 0
+        self.victim_index = 0
+        self.victim_tag = 0
+        self.victim_used = False
+        # Deterministic kick RNG (replaces the reference's global rand()).
+        self._rng = np.random.default_rng((self.seed, self.num_buckets, self.bits_per_tag))
+        self._kick_counter = 0
+
+    # ------------------------------------------------------------------ sizing
+
+    @classmethod
+    def create(cls, capacity: int, bits_per_tag: int = 12,
+               seed: int = DEFAULT_SEED, variant: str = "pow2") -> "CuckooFilter":
+        """Size per the reference constructors.
+
+        pow2:   num_buckets = upperpower2(max(1, n/4)), doubled if the load
+                would exceed 0.94 (src/cuckoofilter.h:91-100).
+        stable: bucketCount = int(10 + n/0.94/4) / 2 * 2
+                (src/cuckoofilter_stable.h:115).
+        """
+        capacity = max(0, int(capacity))
+        if variant == "pow2":
+            nb = upperpower2(max(1, capacity // TAGS_PER_BUCKET))
+            if capacity / (nb * TAGS_PER_BUCKET) > 0.94:
+                nb <<= 1
+        elif variant == "stable":
+            nb = int((10 + capacity / 0.94 / TAGS_PER_BUCKET) / 2) * 2
+        else:
+            raise ValueError(f"unknown variant {variant!r}")
+        return cls(nb, bits_per_tag=bits_per_tag, seed=seed, variant=variant)
+
+    # ------------------------------------------------------------- hash stages
+
+    def _index_tag(self, keys) -> tuple[np.ndarray, np.ndarray]:
+        """(i1, tag) per key — src/cuckoofilter.h:66-73 / cuckoofilter_stable.h:60-65."""
+        h = mix_split(keys, self.seed)
+        mask = U64((1 << self.bits_per_tag) - 1)
+        if self.variant == "pow2":
+            i1 = (h >> U64(32)) & U64(self.num_buckets - 1)
+            tag = h & mask
+        else:
+            i1 = _reduce32(h, self.num_buckets)
+            tag = (h >> U64(32)) & mask
+        tag = tag + (tag == 0)  # 0 means empty slot; remap (src/cuckoofilter.h:62)
+        return i1.astype(np.int64), tag.astype(np.uint16)
+
+    def alt_index(self, idx: np.ndarray, tag: np.ndarray) -> np.ndarray:
+        """Partial-key alternate bucket; an involution in both variants."""
+        idx = np.asarray(idx, dtype=np.int64)
+        t = np.asarray(tag, dtype=np.uint64)
+        if self.variant == "pow2":
+            # uint32 arithmetic: (i ^ tag*0x5bd1e995) & (nb-1)  (cuckoofilter.h:75-81)
+            x = (idx.astype(np.uint64) ^ (t * U64(_MURMUR_C))) & U64(0xFFFFFFFF)
+            return (x & U64(self.num_buckets - 1)).astype(np.int64)
+        h = t * U64(_STABLE_C)
+        r = (_reduce32(h, self.num_buckets >> 1).astype(np.int64) << 1) + 1
+        b2 = self.num_buckets - idx - r
+        return np.where(b2 < 0, b2 + self.num_buckets, b2)
+
+    # --------------------------------------------------------------- bulk core
+
+    def _place_empty(self, buckets: np.ndarray, tags: np.ndarray) -> np.ndarray:
+        """Vectorized InsertTagToBucket(empty-slot path) for many chains at once.
+
+        Handles same-bucket collisions within the batch by ranking chains per
+        bucket and assigning each accepted chain a distinct empty slot.
+        Returns a bool mask of placed chains (in input order).
+        """
+        n = len(buckets)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        order = np.argsort(buckets, kind="stable")
+        bs = buckets[order]
+        E = self.tags[bs] == 0                       # (n, 4) empties per chain
+        free = E.sum(axis=1)
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = bs[1:] != bs[:-1]
+        grp_start = np.maximum.accumulate(np.where(new_grp, np.arange(n), 0))
+        rank = np.arange(n) - grp_start              # 0-based rank within bucket group
+        accept = rank < free
+        # slot for rank r = position of the (r+1)-th empty slot in the bucket row
+        cum = E.cumsum(axis=1)
+        slot = (((cum == (rank + 1)[:, None]) & E).argmax(axis=1))
+        b_acc, s_acc = bs[accept], slot[accept]
+        self.tags[b_acc, s_acc] = tags[order][accept]
+        placed = np.zeros(n, dtype=bool)
+        placed[order] = accept
+        return placed
+
+    def _insert_pairs(self, idx: np.ndarray, tags: np.ndarray) -> BulkResult:
+        """AddImpl over vectors of (first-choice bucket, tag) (cuckoofilter.h:156-181).
+
+        Chains run in vectorized rounds: grouped empty-slot placement, then a
+        move to the alternate bucket, then kick rounds (one kick per distinct
+        bucket per round).  Chains whose kick count exceeds MAX_KICKS park in
+        the victim cache (one) or overflow (NotEnoughSpace).
+        """
+        cur_i = np.asarray(idx, dtype=np.int64).copy()
+        cur_t = np.asarray(tags, dtype=np.uint16).copy()
+        kicks = np.zeros(len(cur_i), dtype=np.int32)
+        phase = np.zeros(len(cur_i), dtype=np.int8)  # 0: at i1, 1: kick-on-full
+        ok = 0
+        overflow = 0
+        while len(cur_i):
+            placed = self._place_empty(cur_i, cur_t)
+            ok += int(placed.sum())
+            if placed.all():
+                break
+            keep = ~placed
+            cur_i, cur_t, kicks, phase = cur_i[keep], cur_t[keep], kicks[keep], phase[keep]
+            # chains still at their first bucket: move to the alternate, retry
+            fresh = phase == 0
+            if fresh.any():
+                cur_i[fresh] = self.alt_index(cur_i[fresh], cur_t[fresh])
+                phase[fresh] = 1
+                if not fresh.all():
+                    pass  # non-fresh chains fall through to the kick step below
+                else:
+                    continue
+            # kick step: one chain per distinct full bucket kicks this round
+            kickable = phase == 1
+            if fresh.any():
+                kickable = kickable & ~fresh  # freshly-moved chains retry placement first
+            if kickable.any():
+                kidx = np.flatnonzero(kickable)
+                _, first_pos = np.unique(cur_i[kidx], return_index=True)
+                sel = kidx[first_pos]
+                b = cur_i[sel]
+                r = self._rng.integers(0, TAGS_PER_BUCKET, size=len(sel))
+                old = self.tags[b, r].copy()
+                self.tags[b, r] = cur_t[sel]
+                cur_t[sel] = old
+                cur_i[sel] = self.alt_index(b, old)
+                kicks[sel] += 1
+            # retire chains past the kick budget → victim / overflow
+            dead = kicks >= MAX_KICKS
+            if dead.any():
+                for pos in np.flatnonzero(dead):
+                    if not self.victim_used:
+                        self.victim_index = int(cur_i[pos])
+                        self.victim_tag = int(cur_t[pos])
+                        self.victim_used = True
+                    else:
+                        overflow += 1
+                keep = ~dead
+                cur_i, cur_t, kicks, phase = cur_i[keep], cur_t[keep], kicks[keep], phase[keep]
+        self.num_items += ok
+        return BulkResult(ok=ok, overflow=overflow)
+
+    # ------------------------------------------------------------- public bulk
+
+    def add_batch(self, keys) -> BulkResult:
+        """Vectorized Add of a key batch.  Keys already NotEnoughSpace-blocked
+        if the victim cache is occupied at entry (matching sequential Add,
+        src/cuckoofilter.h:148-150)."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        if self.victim_used:
+            return BulkResult(ok=0, overflow=len(keys))
+        i1, tag = self._index_tag(keys)
+        return self._insert_pairs(i1, tag)
+
+    def contain_batch(self, keys) -> np.ndarray:
+        """Vectorized Contain (src/cuckoofilter.h:183-204). Returns bool array."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        i1, tag = self._index_tag(keys)
+        i2 = self.alt_index(i1, tag)
+        t = tag[:, None]
+        found = (self.tags[i1] == t).any(axis=1) | (self.tags[i2] == t).any(axis=1)
+        if self.victim_used:
+            vic = (tag == self.victim_tag) & (
+                (i1 == self.victim_index) | (i2 == self.victim_index))
+            found |= vic
+        return found
+
+    def delete_batch(self, keys) -> np.ndarray:
+        """Vectorized-precompute Delete (src/cuckoofilter.h:206-238).
+
+        Slot updates are per-row (deletes must consume one slot each when the
+        batch holds duplicates), but the hash work is batched.  Returns a bool
+        array: True = deleted, False = NotFound.
+        """
+        keys = np.asarray(keys, dtype=np.uint64)
+        i1s, tags = self._index_tag(keys)
+        i2s = self.alt_index(i1s, tags)
+        out = np.zeros(len(keys), dtype=bool)
+        for k in range(len(keys)):
+            out[k] = self._delete_one(int(i1s[k]), int(i2s[k]), int(tags[k]))
+        return out
+
+    def _delete_one(self, i1: int, i2: int, tag: int) -> bool:
+        for b in (i1, i2):
+            row = self.tags[b]
+            hit = np.flatnonzero(row == tag)
+            if len(hit):
+                row[hit[0]] = 0
+                self.num_items -= 1
+                self._try_eliminate_victim()
+                return True
+        if self.victim_used and tag == self.victim_tag and \
+                (i1 == self.victim_index or i2 == self.victim_index):
+            self.victim_used = False
+            return True
+        return False
+
+    def _try_eliminate_victim(self) -> None:
+        """After a successful delete, re-insert a parked victim
+        (src/cuckoofilter.h:230-237)."""
+        if self.victim_used:
+            self.victim_used = False
+            res = self._insert_pairs(np.array([self.victim_index], dtype=np.int64),
+                                     np.array([self.victim_tag], dtype=np.uint16))
+            # _insert_pairs bumps num_items on success; reference's AddImpl does
+            # the same after Delete's num_items_-- so counts stay consistent.
+            del res
+
+    # ----------------------------------------------------------------- scalar
+
+    def add(self, key: int) -> str:
+        """Scalar Add with exact reference status algebra."""
+        if self.victim_used:
+            return NOT_ENOUGH_SPACE
+        res = self.add_batch(np.array([key], dtype=np.uint64))
+        return OK if (res.ok == 1 or self.victim_used) else NOT_ENOUGH_SPACE
+
+    def contain(self, key: int) -> bool:
+        return bool(self.contain_batch(np.array([key], dtype=np.uint64))[0])
+
+    def delete(self, key: int) -> str:
+        return OK if self.delete_batch(np.array([key], dtype=np.uint64))[0] else NOT_FOUND
+
+    # ------------------------------------------------------------------ merge
+
+    def merge(self, other: "CuckooFilter") -> BulkResult:
+        """Associative merge by fingerprint re-insertion (SURVEY.md §4.3.2;
+        contract modeled on qf_merge, src/gqf.h:307-310)."""
+        if (self.seed, self.num_buckets, self.bits_per_tag, self.variant) != \
+                (other.seed, other.num_buckets, other.bits_per_tag, other.variant):
+            raise ValueError("merge requires identical (seed, num_buckets, bits_per_tag, variant)")
+        bs, ss = np.nonzero(other.tags)
+        res = self._insert_pairs(bs.astype(np.int64), other.tags[bs, ss])
+        if other.victim_used:
+            vres = self._insert_pairs(np.array([other.victim_index], dtype=np.int64),
+                                      np.array([other.victim_tag], dtype=np.uint16))
+            res = BulkResult(ok=res.ok + vres.ok, overflow=res.overflow + vres.overflow)
+        return res
+
+    # ------------------------------------------------------------------ stats
+
+    def size(self) -> int:
+        return self.num_items
+
+    def size_in_bytes(self) -> int:
+        """SingleTable: ceil(4*bits/8) bytes per bucket (src/singletable.h:26-36)."""
+        return ((self.bits_per_tag * TAGS_PER_BUCKET + 7) // 8) * self.num_buckets
+
+    def load_factor(self) -> float:
+        return self.num_items / (self.num_buckets * TAGS_PER_BUCKET)
+
+    def bits_per_item(self) -> float:
+        return 8.0 * self.size_in_bytes() / max(1, self.num_items)
+
+    def info(self) -> dict:
+        return {
+            "kind": self.KIND,
+            "variant": self.variant,
+            "bits_per_tag": self.bits_per_tag,
+            "num_buckets": self.num_buckets,
+            "num_items": self.num_items,
+            "load_factor": self.load_factor(),
+            "size_in_bytes": self.size_in_bytes(),
+        }

@@ -1,0 +1,140 @@
+"""Vectorized 64-bit hash families and key derivation.
+
+Re-expresses the reference's hash utilities (``/root/reference/src/hashutil.h``)
+as NumPy ``uint64`` kernels.  Unlike the reference — which seeds every filter
+instance from ``std::random_device`` (hashutil.h:62-71, 106-110) — every family
+here takes an **explicit seed**, because distributed merge of partial filters
+requires all partials of one logical filter to share hash parameters
+(SURVEY.md §4.3.1).
+
+Families:
+- ``mix_split``   — SimpleMixSplit, murmur64 finalizer of (key + seed)
+                    (hashutil.h:102-146); the default, used by every
+                    ``bulk-insert-and-query`` run in the reference.
+- ``two_independent_multiply_shift`` — 128-bit multiply-shift
+                    (hashutil.h:57-99), value-exact via 32-bit limb arithmetic.
+- ``splitmix64``  — the reference benchmark's deterministic key generator
+                    (benchmarks/random.h:28-41); used for synthetic corpora and
+                    out-of-set probe streams.
+- ``sha256_u64``  — sha256(content) → first 8 digest bytes as uint64 (the
+                    engine's canonical item key per BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+U64 = np.uint64
+
+_M1 = U64(0xFF51AFD7ED558CCD)
+_M2 = U64(0xC4CEB9FE1A85EC53)
+_S33 = U64(33)
+
+# Fixed default seed for engine-level determinism; callers override per filter.
+DEFAULT_SEED = 0x9E3779B97F4A7C15
+
+
+def _as_u64(keys) -> np.ndarray:
+    a = np.asarray(keys)
+    if a.dtype != np.uint64:
+        a = a.astype(np.uint64, copy=False)
+    return a
+
+
+def murmur64(h: np.ndarray) -> np.ndarray:
+    """Murmur3 fmix64 finalizer, vectorized (hashutil.h:112-120)."""
+    h = _as_u64(h).copy()
+    h ^= h >> _S33
+    h *= _M1
+    h ^= h >> _S33
+    h *= _M2
+    h ^= h >> _S33
+    return h
+
+
+def mix_split(keys, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """SimpleMixSplit: murmur64(key + seed) (hashutil.h:102-146)."""
+    return murmur64(_as_u64(keys) + U64(seed & 0xFFFFFFFFFFFFFFFF))
+
+
+def two_independent_multiply_shift(keys, mul: int, add: int) -> np.ndarray:
+    """(add + mul * key) >> 64 with 128-bit mul/add (hashutil.h:57-99).
+
+    ``mul``/``add`` are 128-bit parameters (ints).  Computed with 32-bit limbs
+    so the value matches the reference's unsigned __int128 arithmetic exactly.
+    """
+    k = _as_u64(keys)
+    k_lo = k & U64(0xFFFFFFFF)
+    k_hi = k >> U64(32)
+    m = [U64((mul >> (32 * i)) & 0xFFFFFFFF) for i in range(4)]
+    a = [U64((add >> (32 * i)) & 0xFFFFFFFF) for i in range(4)]
+
+    # 128-bit accumulate of mul*key + add in 32-bit columns (products split
+    # into lo/hi halves so no uint64 column sum can overflow); keep limbs 2..3
+    # (the >>64 result).
+    mask = U64(0xFFFFFFFF)
+
+    def lo(x):
+        return x & mask
+
+    def hi(x):
+        return x >> U64(32)
+
+    p = [m[i] * k_lo for i in range(4)] + [m[i] * k_hi for i in range(3)]
+    col0 = lo(p[0]) + a[0]
+    col1 = lo(p[1]) + lo(p[4]) + hi(p[0]) + a[1] + hi(col0)
+    col2 = lo(p[2]) + lo(p[5]) + hi(p[1]) + hi(p[4]) + a[2] + hi(col1)
+    col3 = lo(p[3]) + lo(p[6]) + hi(p[2]) + hi(p[5]) + a[3] + hi(col2)
+    return (lo(col3) << U64(32)) | lo(col2)
+
+
+def splitmix64(n: int, seed: int = 1) -> np.ndarray:
+    """First ``n`` outputs of splitmix64(seed) (benchmarks/random.h:28-41)."""
+    state = (U64(seed & 0xFFFFFFFFFFFFFFFF)
+             + U64(0x9E3779B97F4A7C15) * np.arange(1, n + 1, dtype=np.uint64))
+    z = state
+    z = (z ^ (z >> U64(30))) * U64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> U64(27))) * U64(0x94D049BB133111EB)
+    return z ^ (z >> U64(31))
+
+
+def sha256_bytes(values) -> list[bytes]:
+    """Per-row sha256 digests of a sequence of str/bytes (32 bytes each)."""
+    out = []
+    sha = hashlib.sha256
+    for v in values:
+        if isinstance(v, str):
+            v = v.encode("utf-8", "surrogatepass")
+        elif v is None:
+            v = b""
+        out.append(sha(v).digest())
+    return out
+
+
+def sha256_hex(values) -> list[str]:
+    """Per-row sha256 hex digests (matches DuckDB ``sha256(text)``)."""
+    out = []
+    sha = hashlib.sha256
+    for v in values:
+        if isinstance(v, str):
+            v = v.encode("utf-8", "surrogatepass")
+        elif v is None:
+            v = b""
+        out.append(sha(v).hexdigest())
+    return out
+
+
+def sha256_u64(values) -> np.ndarray:
+    """uint64 from the first 8 sha256 digest bytes (big-endian).
+
+    The engine's item key (BASELINE.json input_hint: keyed on sha256(content)),
+    standing in for the reference's raw uint64 items
+    (benchmarks/bulk-insert-and-query.cc:741-746).
+    """
+    digests = sha256_bytes(values)
+    if not digests:
+        return np.empty(0, dtype=np.uint64)
+    buf = b"".join(d[:8] for d in digests)
+    return np.frombuffer(buf, dtype=">u8").astype(np.uint64)

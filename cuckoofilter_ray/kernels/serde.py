@@ -1,0 +1,146 @@
+"""Filter ⇄ columnar-row serialization (the engine's Serialize/Deserialize).
+
+The reference persists a filter as raw victim bytes + bucket bytes + hasher
+seeds (``src/cuckoofilter.h:104-119``, ``src/singletable.h:67-78``).  The
+engine's equivalent is a **columnar filter-shard row** (FIXTURES.md F4):
+
+    (group_key, shard_id, kind, variant, bits_per_tag, num_buckets,
+     num_items, victim_index, victim_tag, victim_used, seed, table_bytes)
+
+which becomes one row of a filter-shard ``ray.data.Dataset`` and is written /
+read as Parquet — doubling as the checkpoint format (SURVEY.md §4.3.4).
+
+``table_bytes`` is bit-packed at the true tag width (value-parity with the
+reference's ``SizeInBytes``): generic packing for cuckoo/bloom kinds, the
+semi-sorted 6-byte-bucket codec for ``kind="semisort"``.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any
+
+import numpy as np
+
+from .bloom import BlockedBloomFilter, BloomFilter
+from .cuckoo import CuckooFilter
+from . import semisort
+
+_CHUNK = 1 << 20
+
+
+def pack_bits(values: np.ndarray, bits: int) -> bytes:
+    """Bit-pack uint16 values at ``bits`` width, little-endian bit order."""
+    values = np.ascontiguousarray(values.ravel(), dtype=np.uint16)
+    out = []
+    shifts = np.arange(bits, dtype=np.uint16)
+    for start in range(0, len(values), _CHUNK):
+        chunk = values[start:start + _CHUNK]
+        bitmat = ((chunk[:, None] >> shifts) & 1).astype(np.uint8)
+        out.append(np.packbits(bitmat.ravel(), bitorder="little").tobytes())
+    return b"".join(out)
+
+
+def unpack_bits(data: bytes, bits: int, count: int) -> np.ndarray:
+    """Inverse of :func:`pack_bits` (returns ``count`` uint16 values)."""
+    bitarr = np.unpackbits(np.frombuffer(data, dtype=np.uint8),
+                           bitorder="little")[:count * bits]
+    bitmat = bitarr.reshape(count, bits).astype(np.uint16)
+    shifts = np.arange(bits, dtype=np.uint16)
+    return (bitmat << shifts).sum(axis=1, dtype=np.uint16)
+
+
+def filter_to_row(filt: Any, group_key: str = "", shard_id: int = 0,
+                  kind: str | None = None) -> dict:
+    """One filter → one columnar shard-row dict (Arrow-compatible scalars)."""
+    if isinstance(filt, CuckooFilter):
+        k = kind or ("semisort" if filt.bits_per_tag == 13 else "cuckoo")
+        if k == "semisort":
+            if filt.bits_per_tag != 13:
+                raise ValueError("semisort codec is defined for 13-bit tags")
+            table_bytes = semisort.pack_buckets(filt.tags)
+        else:
+            table_bytes = pack_bits(filt.tags, filt.bits_per_tag)
+        return {
+            "group_key": group_key, "shard_id": shard_id, "kind": k,
+            "variant": filt.variant, "bits_per_tag": filt.bits_per_tag,
+            "num_buckets": filt.num_buckets, "num_items": filt.num_items,
+            "victim_index": int(filt.victim_index), "victim_tag": int(filt.victim_tag),
+            "victim_used": bool(filt.victim_used), "seed": int(filt.seed),
+            "table_bytes": table_bytes,
+        }
+    if isinstance(filt, BloomFilter):
+        return {
+            "group_key": group_key, "shard_id": shard_id, "kind": "bloom",
+            "variant": "", "bits_per_tag": filt.bits_per_item,
+            "num_buckets": filt.array_length, "num_items": filt.num_items,
+            "victim_index": 0, "victim_tag": 0, "victim_used": False,
+            "seed": int(filt.seed), "table_bytes": filt.words.tobytes(),
+        }
+    if isinstance(filt, BlockedBloomFilter):
+        return {
+            "group_key": group_key, "shard_id": shard_id, "kind": "blockedbloom",
+            "variant": "", "bits_per_tag": filt.bits_per_item,
+            "num_buckets": filt.num_blocks, "num_items": filt.num_items,
+            "victim_index": 0, "victim_tag": 0, "victim_used": False,
+            "seed": int(filt.seed), "table_bytes": filt.lanes.tobytes(),
+        }
+    raise TypeError(f"unknown filter type {type(filt)!r}")
+
+
+def row_to_filter(row: dict) -> Any:
+    """Shard-row dict → live kernel object (src/cuckoofilter.h:111-119 analog)."""
+    kind = row["kind"]
+    if kind in ("cuckoo", "semisort"):
+        f = CuckooFilter(int(row["num_buckets"]), int(row["bits_per_tag"]),
+                         seed=int(row["seed"]), variant=row["variant"] or "pow2")
+        nb = f.num_buckets
+        if kind == "semisort":
+            f.tags = semisort.unpack_buckets(row["table_bytes"], nb)
+        else:
+            f.tags = unpack_bits(row["table_bytes"], f.bits_per_tag,
+                                 nb * 4).reshape(nb, 4)
+        f.num_items = int(row["num_items"])
+        f.victim_index = int(row["victim_index"])
+        f.victim_tag = int(row["victim_tag"])
+        f.victim_used = bool(row["victim_used"])
+        return f
+    if kind == "bloom":
+        f = BloomFilter(0, bits_per_item=int(row["bits_per_tag"]),
+                        seed=int(row["seed"]), array_length=int(row["num_buckets"]))
+        f.words = np.frombuffer(row["table_bytes"], dtype=np.uint64).copy()
+        f.num_items = int(row["num_items"])
+        return f
+    if kind == "blockedbloom":
+        f = BlockedBloomFilter(int(row["num_buckets"]), seed=int(row["seed"]),
+                               bits_per_item=int(row["bits_per_tag"]))
+        f.lanes = np.frombuffer(row["table_bytes"], dtype=np.uint32).reshape(-1, 8).copy()
+        f.num_items = int(row["num_items"])
+        return f
+    raise ValueError(f"unknown filter kind {kind!r}")
+
+
+def serialize(filt: Any, **kw) -> bytes:
+    """Compact byte form (shard row, pickled) — the UDAF accumulator format."""
+    return pickle.dumps(filter_to_row(filt, **kw), protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def deserialize(data: bytes) -> Any:
+    return row_to_filter(pickle.loads(data))
+
+
+def make_filter(kind: str, capacity: int, seed: int, bits_per_tag: int = 12) -> Any:
+    """Factory used by aggregates/pipelines. ``kind`` ∈ cuckoo | cuckoo-stable |
+    semisort | bloom | blockedbloom."""
+    if kind == "cuckoo":
+        return CuckooFilter.create(capacity, bits_per_tag=bits_per_tag, seed=seed)
+    if kind == "cuckoo-stable":
+        return CuckooFilter.create(capacity, bits_per_tag=bits_per_tag, seed=seed,
+                                   variant="stable")
+    if kind == "semisort":
+        return CuckooFilter.create(capacity, bits_per_tag=13, seed=seed)
+    if kind == "bloom":
+        return BloomFilter.create(capacity, bits_per_item=bits_per_tag, seed=seed)
+    if kind == "blockedbloom":
+        return BlockedBloomFilter.create(capacity, bits_per_item=bits_per_tag, seed=seed)
+    raise ValueError(f"unknown filter kind {kind!r}")

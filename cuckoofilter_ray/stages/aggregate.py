@@ -1,0 +1,148 @@
+"""Mergeable filter UDAFs for ``Dataset.groupby(...).aggregate(...)``.
+
+The reference is a single-process library; the engine's central re-expression
+(BASELINE.json north_star) is the filter as a **mergeable aggregate**: each
+block builds a partial filter over its keys (``aggregate_block``), partials
+merge associatively by fingerprint re-insertion / bitwise OR (``combine`` —
+SURVEY.md §2.1 "Merge", contract from qf_merge src/gqf.h:307-310), and
+``finalize`` emits the columnar shard bytes (FIXTURES.md F4).
+
+All partials of one aggregation share ``(seed, capacity ⇒ num_buckets,
+bits_per_tag)`` — the distributed-merge precondition the reference's
+per-instance ``std::random_device`` seeding would break (SURVEY.md §4.3.1).
+
+Accumulator = serialized shard bytes (small: the filter is sized to
+``capacity``, ~1.5-2 bytes/key at 12-bit tags), so shuffle volume per group is
+one filter, not the group's rows — this is the partial/combiner pattern that
+keeps the groupby from shipping raw keys.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data.aggregate import AggregateFnV2
+from ray.data.block import Block, BlockAccessor
+
+from ..kernels import DEFAULT_SEED, deserialize, make_filter, serialize
+
+
+def _key_column(block: Block, name: str) -> np.ndarray:
+    """Extract a uint64 key column from an Arrow/pandas block, zero-copy when
+    possible."""
+    if isinstance(block, pa.Table):
+        col = block.column(name)
+        return col.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+    acc = BlockAccessor.for_block(block)
+    tbl = acc.to_arrow()
+    return tbl.column(name).to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+
+
+class FilterSketch(AggregateFnV2):
+    """Build one AMQ filter per group over a uint64 key column.
+
+    Args:
+        on: uint64 key column (e.g. ``key_hi64`` = first 8 bytes of
+            sha256(content), FIXTURES.md F1).
+        kind: cuckoo | cuckoo-stable | semisort | bloom | blockedbloom.
+        capacity: expected max keys **per group** — all partials must size
+            identically for merge, so this is a parameter, not inferred.
+            For data-driven sizing use ``pipelines.build.build_filters``
+            (map_groups path) instead.
+        bits_per_tag: fingerprint width (cuckoo) / bits-per-item (bloom).
+        seed: shared hash seed for every partial of this aggregation.
+
+    Output column: serialized filter-shard bytes (deserialize with
+    ``kernels.deserialize``).
+    """
+
+    def __init__(self, on: str, kind: str = "cuckoo", capacity: int = 1 << 16,
+                 bits_per_tag: int = 12, seed: int = DEFAULT_SEED,
+                 alias_name: Optional[str] = None):
+        self._kind = kind
+        self._capacity = int(capacity)
+        self._bits = int(bits_per_tag)
+        self._seed = int(seed)
+        super().__init__(alias_name or f"{kind}_sketch({on})", on=on,
+                         ignore_nulls=True, zero_factory=lambda: None)
+
+    def aggregate_block(self, block: Block) -> bytes:
+        keys = _key_column(block, self._target_col_name)
+        filt = make_filter(self._kind, self._capacity, self._seed, self._bits)
+        filt.add_batch(keys)
+        return serialize(filt)
+
+    def combine(self, current: Optional[bytes], new: Optional[bytes]) -> bytes:
+        if current is None:
+            return new
+        if new is None:
+            return current
+        a, b = deserialize(current), deserialize(new)
+        a.merge(b)
+        return serialize(a)
+
+    def finalize(self, accumulator: Optional[bytes]) -> bytes:
+        if accumulator is None:
+            filt = make_filter(self._kind, self._capacity, self._seed, self._bits)
+            return serialize(filt)
+        return accumulator
+
+
+class FilterItemCount(FilterSketch):
+    """Same build, but finalize to the filter's ``num_items`` (int64) —
+    the reference's ``Size()`` (src/cuckoofilter.h:135) as an aggregate.
+    Duplicates count (cuckoo Add does not dedup), so per-group num_items ==
+    COUNT(*) — giving this probabilistic structure an exact SQL oracle."""
+
+    def finalize(self, accumulator: Optional[bytes]) -> int:
+        if accumulator is None:
+            return 0
+        return int(pickle.loads(accumulator)["num_items"])
+
+
+class FilterLoadFactor(FilterSketch):
+    """Finalize to the built filter's load factor (src/cuckoofilter.h:86)."""
+
+    def finalize(self, accumulator: Optional[bytes]) -> float:
+        if accumulator is None:
+            return 0.0
+        row = pickle.loads(accumulator)
+        if row["kind"] in ("cuckoo", "semisort"):
+            return row["num_items"] / (row["num_buckets"] * 4)
+        return float("nan")
+
+
+class ExactDistinct(AggregateFnV2):
+    """Exact per-group distinct count of a uint64 key column.
+
+    The engine's stand-in for the reference benchmark's exact ground-truth
+    audits (``count_distinct``, benchmarks/bulk-insert-and-query.cc:449-462).
+    Accumulator = np.uint64 unique array (sorted); merge = set-union; fine for
+    per-group cardinalities that fit a worker (use the sketch path otherwise).
+    """
+
+    def __init__(self, on: str, alias_name: Optional[str] = None):
+        super().__init__(alias_name or f"distinct({on})", on=on,
+                         ignore_nulls=True, zero_factory=lambda: None)
+
+    def aggregate_block(self, block: Block) -> bytes:
+        keys = _key_column(block, self._target_col_name)
+        return np.unique(keys).tobytes()
+
+    def combine(self, current: Optional[bytes], new: Optional[bytes]) -> bytes:
+        if current is None:
+            return new
+        if new is None:
+            return current
+        a = np.frombuffer(current, dtype=np.uint64)
+        b = np.frombuffer(new, dtype=np.uint64)
+        return np.union1d(a, b).tobytes()
+
+    def finalize(self, accumulator: Optional[bytes]) -> int:
+        if accumulator is None:
+            return 0
+        return len(accumulator) // 8

@@ -1,0 +1,158 @@
+"""Bloom / blocked-bloom / semisort-codec / hashing / serde kernel tests."""
+
+import numpy as np
+import pytest
+
+from cuckoofilter_ray.kernels import (BlockedBloomFilter, BloomFilter,
+                                      CuckooFilter, deserialize, make_filter,
+                                      mix_split, next_prime, pack_bits,
+                                      serialize, sha256_hex, sha256_u64,
+                                      splitmix64, two_independent_multiply_shift,
+                                      unpack_bits)
+from cuckoofilter_ray.kernels import semisort
+
+
+# ----------------------------------------------------------------- hashing
+
+def test_mix_split_reference_values():
+    # murmur64 finalizer is a bijection; spot-check avalanche + determinism
+    h1 = mix_split(np.arange(1000, dtype=np.uint64), seed=42)
+    h2 = mix_split(np.arange(1000, dtype=np.uint64), seed=42)
+    assert (h1 == h2).all()
+    assert len(np.unique(h1)) == 1000
+    assert (mix_split([5], seed=1) != mix_split([5], seed=2)).all()
+
+
+def test_two_independent_multiply_shift_matches_int_math():
+    mul = 0x123456789ABCDEF0FEDCBA9876543210
+    add = 0x0F1E2D3C4B5A69788796A5B4C3D2E1F0
+    keys = splitmix64(100, seed=4)
+    got = two_independent_multiply_shift(keys, mul, add)
+    for k, g in zip(keys.tolist(), got.tolist()):
+        assert ((add + mul * k) >> 64) & 0xFFFFFFFFFFFFFFFF == g
+
+
+def test_splitmix64_known_values():
+    # splitmix64(seed=0) first outputs (published test vectors)
+    out = splitmix64(3, seed=0)
+    assert out[0] == 0xE220A8397B1DCDAF
+    assert out[1] == 0x6E789E6AA1B965F4
+    assert out[2] == 0x06C45D188009454F
+
+
+def test_sha256_key_matches_hashlib():
+    import hashlib
+    texts = ["hello", "", "æøå ünïcode", "x" * 10_000]
+    hexes = sha256_hex(texts)
+    keys = sha256_u64(texts)
+    for t, h, k in zip(texts, hexes, keys.tolist()):
+        d = hashlib.sha256(t.encode()).hexdigest()
+        assert h == d
+        assert k == int(d[:16], 16)
+
+
+# ------------------------------------------------------------------- bloom
+
+def test_next_prime():
+    assert next_prime(1) == 2
+    assert next_prime(8) == 11
+    assert next_prime(800_000) > 800_000
+
+
+def test_bloom_no_false_negatives_and_fpr():
+    n = 50_000
+    keys = splitmix64(n, seed=3)
+    f = BloomFilter.create(n, bits_per_item=8, seed=9)
+    f.add_batch(keys)
+    assert f.contain_batch(keys).all()
+    # k = round(8·ln2) = 6 → theoretical FPR ≈ (1 - e^{-kn/m})^k ≈ 2.2%
+    fpr = f.contain_batch(splitmix64(200_000, seed=5)).mean()
+    assert fpr < 0.035, fpr
+
+
+def test_bloom_merge_is_or():
+    A, B = splitmix64(5_000, seed=1), splitmix64(5_000, seed=2)
+    fa = BloomFilter.create(10_000, 8, seed=4)
+    fb = BloomFilter.create(10_000, 8, seed=4)
+    fa.add_batch(A); fb.add_batch(B)
+    both = BloomFilter.create(10_000, 8, seed=4)
+    both.add_batch(np.concatenate([A, B]))
+    fa.merge(fb)
+    assert (fa.words == both.words).all()  # OR-merge is order-independent, bit-exact
+    with pytest.raises(ValueError):
+        fa.merge(BloomFilter.create(10_000, 8, seed=5))
+
+
+def test_blocked_bloom():
+    n = 50_000
+    keys = splitmix64(n, seed=6)
+    f = BlockedBloomFilter.create(n, bits_per_item=8, seed=2)
+    f.add_batch(keys)
+    assert f.contain_batch(keys).all()
+    fpr = f.contain_batch(splitmix64(200_000, seed=7)).mean()
+    # at 8 bits/item each 256-bit block holds ~32 keys → per-lane density
+    # 1-(1-1/32)^32 ≈ .638 → FPR ≈ .638^8 ≈ 2.7% (the blocked-bloom tradeoff;
+    # the reference's SimdBlock8 ε=0.485% was at 12.2 effective bits/item)
+    assert fpr < 0.045, fpr
+
+
+# ---------------------------------------------------------------- semisort
+
+def test_perm_encoding_roundtrip_all_codewords():
+    # encode∘decode = id over all 3876 codewords (SURVEY.md §5 engine plan)
+    assert semisort.DECODE_TABLE.shape == (3876, 4)
+    for cw in range(0, 3876, 97):
+        nibbles = semisort.DECODE_TABLE[cw]
+        key = int(nibbles[0]) | int(nibbles[1]) << 4 | int(nibbles[2]) << 8 | int(nibbles[3]) << 12
+        assert semisort.ENCODE_TABLE[key] == cw
+    # decode table rows are sorted multisets
+    assert (np.diff(semisort.DECODE_TABLE.astype(int), axis=1) >= 0).all()
+
+
+def test_semisort_bucket_codec_multiset_exact():
+    rng = np.random.default_rng(5)
+    tags = rng.integers(0, 1 << 13, size=(4096, 4)).astype(np.uint16)
+    tags[rng.random(tags.shape) < 0.3] = 0  # empties
+    packed = semisort.pack_buckets(tags)
+    assert len(packed) == 4096 * 6
+    back = semisort.unpack_buckets(packed, 4096)
+    assert (np.sort(back, axis=1) == np.sort(tags, axis=1)).all()
+
+
+def test_semisort_filter_roundtrip_answers():
+    n = 30_000
+    keys = splitmix64(n, seed=12)
+    f = CuckooFilter.create(n, 13, seed=8)
+    f.add_batch(keys)
+    f2 = deserialize(serialize(f))
+    probes = splitmix64(100_000, seed=13)
+    assert (f.contain_batch(probes) == f2.contain_batch(probes)).all()
+    assert f2.contain_batch(keys).all()
+    # at-rest footprint: 6 bytes/bucket, 1 bit/item less than 13-bit raw
+    row_len = len(serialize(f))
+    assert row_len < f.num_buckets * 8  # packed < uint16 raw
+
+
+# ------------------------------------------------------------------- serde
+
+def test_pack_bits_roundtrip():
+    rng = np.random.default_rng(1)
+    for bits in (2, 4, 8, 12, 13, 16):
+        vals = rng.integers(0, 1 << bits, size=10_001).astype(np.uint16)
+        data = pack_bits(vals, bits)
+        assert len(data) == (10_001 * bits + 7) // 8
+        assert (unpack_bits(data, bits, 10_001) == vals).all()
+
+
+@pytest.mark.parametrize("kind", ["cuckoo", "cuckoo-stable", "semisort",
+                                  "bloom", "blockedbloom"])
+def test_serde_roundtrip_every_kind(kind):
+    # example/test1.cc:63-72: Serialize → Deserialize → identical answers
+    keys = splitmix64(8_000, seed=20)
+    f = make_filter(kind, 10_000, seed=30)
+    f.add_batch(keys)
+    f2 = deserialize(serialize(f))
+    probes = splitmix64(50_000, seed=21)
+    assert (f.contain_batch(probes) == f2.contain_batch(probes)).all()
+    assert f2.contain_batch(keys).all()
+    assert f2.size() == f.size()
