@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+(or in the library code it calls) may call ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Mapping of the driver tables onto the engine's corpus model
+(BASELINE.json input_hint): ``documents(text, lang, source, doc_id)`` plays
+the source-code corpus — ``text``→content, ``lang``/``source``→group keys,
+sha256(text)→item key — while TPC-H-ish tables exercise the integer-keyed
+filter pipelines (semi/anti joins) and ``embeddings`` the similarity ops.
 """
 
 from __future__ import annotations
@@ -18,27 +15,395 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from cuckoofilter_ray.functions.keys import add_content_keys, add_int_keys
+from cuckoofilter_ray.functions.text import LangId, add_quality_score, add_token_stats
+from cuckoofilter_ray.kernels import DEFAULT_SEED, deserialize
+from cuckoofilter_ray.pipelines.build import (SKETCH_COL, build_grouped_filters,
+                                              build_single_filter, derive_keys)
+from cuckoofilter_ray.pipelines.membership import (measure_membership,
+                                                   mixed_workload, probe_dataset)
+from cuckoofilter_ray.stages.aggregate import ExactDistinct, FilterItemCount
+from cuckoofilter_ray.stages.dedup import (exact_dedup_ids, minhash_lsh_pairs,
+                                           simhash_pairs)
+from cuckoofilter_ray.stages.membership import SemiJoinProbe, filters_to_ref
+from cuckoofilter_ray.stages.similarity import (knn_bruteforce,
+                                                embedding_neardup_exact,
+                                                embedding_neardup_pairs)
+
+SEED = DEFAULT_SEED
+
+
+def _docs(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_keyed(sf_dir: str) -> "ray.data.Dataset":
+    return derive_keys(_docs(sf_dir), content_col="text")
+
+
+# --------------------------------------------------------------------- entry
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: sha-key the documents corpus, build
+    per-lang cuckoo filters via the mergeable UDAF, probe a mixed workload,
+    report per-config recall/FPR + filter stats."""
+    sf_dir = "/root/testdata/sf0.001"
+    keyed = _docs_keyed(sf_dir)
+    filters = build_grouped_filters(keyed, "lang", capacity=4096,
+                                    kind="cuckoo", bits_per_tag=12, seed=SEED)
+    rows = filters.take_all()
+    fref = filters_to_ref(rows, group_col="lang")
+    inserted = keyed.select_columns(["lang", "key_hi64"]).take_all()
+    out = []
+    for r in rows:
+        lang = r["lang"]
+        keys = np.array([x["key_hi64"] for x in inserted if x["lang"] == lang],
+                        dtype=np.uint64)
+        wl = mixed_workload(keys, n_probes=max(2000, 4 * len(keys)), p=0.5,
+                            seed=101, group_key=lang)
+        probed = probe_dataset(
+            wl.map_batches(lambda t, lang=lang: t.set_column(
+                t.column_names.index("group_key"), "lang",
+                pa.array([lang] * len(t))), batch_format="pyarrow"),
+            fref, group_col="lang", concurrency=2)
+        m = measure_membership(probed)
+        filt = deserialize(r[SKETCH_COL])
+        out.append({"lang": lang, "num_items": filt.num_items,
+                    "num_buckets": filt.num_buckets,
+                    "load_factor": round(filt.load_factor(), 6),
+                    "recall": m["recall"], "fpr": m["fpr"],
+                    "n_probes": m["n_probes"]})
+    return pd.DataFrame(sorted(out, key=lambda r: r["lang"]))
+
+
+# ------------------------------------------------------------------- queries
+
+def q_cuckoo_build_stats(sf_dir: str):
+    """Per-lang cuckoo filters via groupby().aggregate(FilterItemCount):
+    num_items == rows inserted (cuckoo Add keeps duplicates) → exact oracle."""
+    keyed = _docs_keyed(sf_dir)
+    agg = FilterItemCount(on="key_hi64", kind="cuckoo", capacity=8192,
+                          bits_per_tag=12, seed=SEED, alias_name="num_items")
+    return keyed.groupby("lang").aggregate(agg)
+
+
+def q_membership_recall(sf_dir: str):
+    """Probe every inserted key against its per-lang filter: found count MUST
+    equal probe count (zero false negatives — example/test.cc:42-44)."""
+    keyed = _docs_keyed(sf_dir)
+    filters = build_grouped_filters(keyed, "lang", capacity=8192,
+                                    kind="cuckoo", bits_per_tag=12, seed=SEED)
+    fref = filters_to_ref(filters.take_all(), group_col="lang")
+    probed = probe_dataset(keyed, fref, group_col="lang", sketch_col=SKETCH_COL,
+                           concurrency=2)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang")
+        member = batch.column("is_member").to_numpy(zero_copy_only=False)
+        return pa.table({"lang": langs,
+                         "found": pa.array(member.astype(np.int64))})
+
+    from ray.data.aggregate import Count, Sum
+    return probed.map_batches(stats, batch_format="pyarrow").groupby("lang") \
+        .aggregate(Count(alias_name="n_probed"), Sum("found", alias_name="n_found"))
+
+
+def q_distinct_texts(sf_dir: str):
+    """Exact per-lang distinct-content cardinality via the mergeable
+    ExactDistinct UDAF over sha keys (ground-truth audit op, SURVEY §2.5)."""
+    keyed = _docs_keyed(sf_dir)
+    return keyed.groupby("lang").aggregate(
+        ExactDistinct(on="key_hi64", alias_name="n_distinct"))
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup winners: min doc_id per distinct content hash."""
+    keyed = _docs_keyed(sf_dir)
+    return exact_dedup_ids(keyed, key_col="sha_hex", id_col="doc_id")
+
+
+def q_doc_sha256(sf_dir: str):
+    """Per-row sha256 hex — the content-equality invariant vs the reference."""
+    keyed = derive_keys(_docs(sf_dir), content_col="text")
+    return keyed.select_columns(["doc_id", "sha_hex"])
+
+
+def q_filter_semijoin(sf_dir: str):
+    """Cuckoo-prefiltered semi join: orders whose customer has acctbal > 5000.
+    AMQ pass (no false negatives) + exact verify ⇒ equals SQL IN."""
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_acctbal"])
+    qual = cust.map_batches(
+        lambda t: t.filter(pa.compute.greater(t.column("c_acctbal"), 5000.0)),
+        batch_format="pyarrow")
+    qual_keyed = qual.map_batches(add_int_keys, batch_format="pyarrow",
+                                  fn_kwargs={"column": "c_custkey"})
+    filt = build_single_filter(qual_keyed, capacity=4096, kind="cuckoo",
+                               bits_per_tag=12, seed=SEED)
+    from cuckoofilter_ray.kernels import filter_to_row
+    exact_keys = np.sort(np.array(
+        [r["key_hi64"] for r in qual_keyed.select_columns(["key_hi64"]).take_all()],
+        dtype=np.uint64))
+    fref = ray.put(filter_to_row(filt))
+    eref = ray.put(exact_keys)
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    keyed_orders = orders.map_batches(add_int_keys, batch_format="pyarrow",
+                                      fn_kwargs={"column": "o_custkey"})
+    out = keyed_orders.map_batches(
+        SemiJoinProbe, batch_format="pyarrow", concurrency=2,
+        fn_constructor_kwargs={"filter_ref": fref, "exact_ref": eref})
+    return out.select_columns(["o_orderkey", "o_custkey"])
+
+
+def q_filter_antijoin(sf_dir: str):
+    """Anti join via the same filter: events whose user is NOT a high-balance
+    customer. 'Definitely absent' rows need no verification at all."""
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_acctbal"])
+    qual = cust.map_batches(
+        lambda t: t.filter(pa.compute.greater(t.column("c_acctbal"), 5000.0)),
+        batch_format="pyarrow")
+    qual_keyed = qual.map_batches(add_int_keys, batch_format="pyarrow",
+                                  fn_kwargs={"column": "c_custkey"})
+    filt = build_single_filter(qual_keyed, capacity=4096, kind="cuckoo",
+                               bits_per_tag=12, seed=SEED)
+    from cuckoofilter_ray.kernels import filter_to_row
+    exact_keys = np.sort(np.array(
+        [r["key_hi64"] for r in qual_keyed.select_columns(["key_hi64"]).take_all()],
+        dtype=np.uint64))
+    fref = ray.put(filter_to_row(filt))
+    eref = ray.put(exact_keys)
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_id", "user_id"])
+    keyed_events = events.map_batches(add_int_keys, batch_format="pyarrow",
+                                      fn_kwargs={"column": "user_id"})
+    out = keyed_events.map_batches(
+        SemiJoinProbe, batch_format="pyarrow", concurrency=2,
+        fn_constructor_kwargs={"filter_ref": fref, "exact_ref": eref,
+                               "anti": True})
+    return out.select_columns(["event_id", "user_id"])
+
+
+def q_token_stats(sf_dir: str):
+    """Vectorized token/char statistics per document (RE2 == DuckDB RE2)."""
+    ds = _docs(sf_dir).map_batches(add_token_stats, batch_format="pyarrow",
+                                   fn_kwargs={"column": "text"})
+    return ds.select_columns(["doc_id", "n_tokens", "n_alpha", "n_digit",
+                              "n_upper", "n_space"])
+
+
+def q_quality_scores(sf_dir: str):
+    """Deterministic quality score, rounded to 6 dp on both sides."""
+    ds = _docs(sf_dir).map_batches(add_quality_score, batch_format="pyarrow",
+                                   fn_kwargs={"column": "text"})
+
+    def round6(t: pa.Table) -> pa.Table:
+        # DuckDB round() is half-away-from-zero; pyarrow defaults to half-even
+        s = pa.compute.round(t.column("quality_score"), ndigits=6,
+                             round_mode="half_towards_infinity")
+        return t.set_column(t.column_names.index("quality_score"),
+                            "quality_score", s)
+
+    return ds.map_batches(round6, batch_format="pyarrow") \
+        .select_columns(["doc_id", "quality_score"])
+
+
+def q_events_by_type(sf_dir: str):
+    """Relational sanity: per-type counts + value sums (rounded, float-order
+    safe)."""
+    from ray.data.aggregate import Count, Sum
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    out = ev.groupby("event_type").aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+
+    def round4(t: pa.Table) -> pa.Table:
+        s = pa.compute.round(t.column("total_value"), ndigits=4)
+        return t.set_column(t.column_names.index("total_value"),
+                            "total_value", s)
+
+    return out.map_batches(round4, batch_format="pyarrow")
+
+
+def q_knn_cosine(sf_dir: str):
+    """Exact brute-force cosine top-5 for query vectors 0..2 (rank only —
+    float-compare-free output)."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    queries = {int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+               for r in qtbl.itertuples() if r.vec_id in (0, 1, 2)}
+    out = knn_bruteforce(emb, queries, k=5)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+# ------------------------- rows-only (non-SQL-expressible) ------------------
+
+def q_fpr_measure(sf_dir: str):
+    """Empirical FPR vs configured bound per filter config (probabilistic —
+    no SQL oracle)."""
+    keyed = _docs_keyed(sf_dir)
+    rows = []
+    for kind, bits in [("cuckoo", 8), ("cuckoo", 12), ("cuckoo", 16),
+                       ("semisort", 13), ("bloom", 8), ("blockedbloom", 8)]:
+        filt = build_single_filter(keyed, capacity=8192, kind=kind,
+                                   bits_per_tag=bits, seed=SEED)
+        from cuckoofilter_ray.kernels import filter_to_row
+        fref = ray.put(filter_to_row(filt))
+        wl = mixed_workload(np.empty(0, dtype=np.uint64), n_probes=200_000,
+                            p=0.0, seed=303)
+        probed = probe_dataset(wl, ray.put({"": filter_to_row(filt)}),
+                               concurrency=2)
+        m = measure_membership(probed)
+        rows.append({"kind": kind, "bits": bits, "fpr": m["fpr"],
+                     "bound": (2 * 4 / ((1 << bits) - 1))
+                     if kind in ("cuckoo", "semisort") else 0.05})
+    return pd.DataFrame(rows)
+
+
+def q_minhash_neardup(sf_dir: str):
+    """MinHash-LSH near-duplicate candidate pairs over documents."""
+    ds = _docs(sf_dir)
+    return minhash_lsh_pairs(ds, column="text", id_col="doc_id",
+                             num_perm=64, bands=16, threshold=0.5)
+
+
+def q_simhash_neardup(sf_dir: str):
+    """SimHash near-duplicate pairs (Hamming ≤ 3) over documents."""
+    return simhash_pairs(_docs(sf_dir), column="text", id_col="doc_id")
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Exact embedding-cosine near-duplicate pairs (broadcast matrix,
+    all-pairs ≥ τ; the LSH-blocked variant is the 100 TB path, tested in
+    tests/)."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_exact(emb, threshold=0.4)
+
+
+def q_langid_eval(sf_dir: str):
+    """Language-ID heuristic vs the table's lang labels (accuracy row)."""
+    ds = _docs(sf_dir).map_batches(LangId, batch_format="pyarrow",
+                                   concurrency=2,
+                                   fn_constructor_kwargs={"column": "text"})
+
+    def stats(t: pa.Table) -> pa.Table:
+        same = pa.compute.equal(t.column("lang"), t.column("lang_pred"))
+        return pa.table({
+            "n": pa.array([len(t)], pa.int64()),
+            "n_correct": pa.array(
+                [pa.compute.sum(pa.compute.cast(same, pa.int64())).as_py() or 0],
+                pa.int64())})
+
+    parts = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    n, c = int(parts["n"].sum()), int(parts["n_correct"].sum())
+    return pd.DataFrame([{"n_docs": n, "n_correct": c,
+                          "accuracy": c / max(1, n)}])
+
+
+def q_delete_workload(sf_dir: str):
+    """F3 delete semantics end-to-end: build per-lang filters, delete half of
+    each lang's keys, re-probe both halves; survivors must all be found."""
+    keyed = _docs_keyed(sf_dir)
+    filters = build_grouped_filters(keyed, "lang", capacity=8192, seed=SEED)
+    rows = filters.take_all()
+    inserted = keyed.select_columns(["lang", "key_hi64"]).take_all()
+    out = []
+    for r in rows:
+        lang = r["lang"]
+        filt = deserialize(r[SKETCH_COL])
+        keys = np.array([x["key_hi64"] for x in inserted if x["lang"] == lang],
+                        dtype=np.uint64)
+        half = len(keys) // 2
+        deleted = filt.delete_batch(keys[:half])
+        kept_found = filt.contain_batch(keys[half:])
+        out.append({"lang": lang, "n_deleted": int(deleted.sum()),
+                    "survivors_found": int(kept_found.sum()),
+                    "survivors_total": len(keys) - half,
+                    "deleted_refound": int(filt.contain_batch(keys[:half]).sum())})
+    return pd.DataFrame(sorted(out, key=lambda x: x["lang"]))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cuckoo_build_stats": q_cuckoo_build_stats,
+        "membership_recall": q_membership_recall,
+        "distinct_texts": q_distinct_texts,
+        "dedup_exact": q_dedup_exact,
+        "doc_sha256": q_doc_sha256,
+        "filter_semijoin": q_filter_semijoin,
+        "filter_antijoin": q_filter_antijoin,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "events_by_type": q_events_by_type,
+        "knn_cosine": q_knn_cosine,
+        "embedding_neardup": q_embedding_neardup,
+        # rows-only (no SQL equivalent):
+        "fpr_measure": q_fpr_measure,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_neardup": q_simhash_neardup,
+        "langid_eval": q_langid_eval,
+        "delete_workload": q_delete_workload,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    semijoin_filter = "SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0"
+    return {
+        "cuckoo_build_stats":
+            "SELECT lang, count(*) AS num_items FROM documents GROUP BY lang",
+        "membership_recall":
+            "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
+            "FROM documents GROUP BY lang",
+        "distinct_texts":
+            "SELECT lang, count(DISTINCT text) AS n_distinct "
+            "FROM documents GROUP BY lang",
+        "dedup_exact":
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "doc_sha256":
+            "SELECT doc_id, sha256(text) AS sha_hex FROM documents",
+        "filter_semijoin":
+            f"SELECT o_orderkey, o_custkey FROM orders "
+            f"WHERE o_custkey IN ({semijoin_filter})",
+        "filter_antijoin":
+            f"SELECT event_id, user_id FROM events "
+            f"WHERE user_id NOT IN ({semijoin_filter})",
+        "token_stats":
+            r"SELECT doc_id, "
+            r"length(regexp_extract_all(text, '\S+')) AS n_tokens, "
+            r"length(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha, "
+            r"length(regexp_extract_all(text, '[0-9]')) AS n_digit, "
+            r"length(regexp_extract_all(text, '[A-Z]')) AS n_upper, "
+            r"length(regexp_extract_all(text, '\s')) AS n_space "
+            r"FROM documents",
+        "quality_scores":
+            r"SELECT doc_id, round("
+            r"(length(regexp_extract_all(text, '[A-Za-z]')) / greatest(length(text), 1.0)) * "
+            r"((1.0 - length(regexp_extract_all(text, '[0-9]')) / greatest(length(text), 1.0)) * "
+            r"(1.0 - (length(regexp_extract_all(text, '[A-Z]')) / greatest(length(text), 1.0)) / 2.0))"
+            r", 6) AS quality_score FROM documents",
+        "events_by_type":
+            "SELECT event_type, count(*) AS n_events, "
+            "round(sum(value), 4) AS total_value FROM events GROUP BY event_type",
+        "embedding_neardup":
+            "SELECT a.vec_id AS lo_id, b.vec_id AS hi_id "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding::DOUBLE[], "
+            "b.embedding::DOUBLE[]) >= 0.4",
+        "knn_cosine":
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "FROM embeddings WHERE vec_id IN (0, 1, 2)) "
+            "SELECT query_id, vec_id, rank FROM ("
+            "SELECT q.query_id, e.vec_id, row_number() OVER ("
+            "PARTITION BY q.query_id ORDER BY "
+            "list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) DESC, "
+            "e.vec_id) AS rank FROM embeddings e CROSS JOIN q) t WHERE rank <= 5",
+    }

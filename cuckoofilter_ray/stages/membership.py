@@ -28,18 +28,39 @@ import ray
 from ..kernels import deserialize, row_to_filter
 
 
-def filters_to_ref(filters_ds_or_rows) -> "ray.ObjectRef":
+def filters_to_ref(filters_ds_or_rows, group_col: str = "group_key") -> "ray.ObjectRef":
     """Materialize a (small) filter-shard Dataset / row list into a broadcast
-    dict {group_key: shard-row dict} placed once in the object store."""
+    dict {group value: shard-row dict} placed once in the object store.
+
+    ``group_col`` is the column the build grouped on (e.g. ``"lang"`` for
+    ``build_grouped_filters(ds, "lang")``); rows missing it key under ``""``.
+    """
     if hasattr(filters_ds_or_rows, "take_all"):
         rows = filters_ds_or_rows.take_all()
     else:
         rows = list(filters_ds_or_rows)
     table = {}
     for r in rows:
-        key = r.get("group_key", "")
+        key = r.get(group_col, r.get("group_key", ""))
         table[key] = r
     return ray.put(table)
+
+
+def _rows_to_filters(table: dict, sketch_col=None) -> dict:
+    """Deserialize shard rows: explicit sketch column, else the expanded
+    filter-row schema (serde.filter_to_row), else a default "sketch" blob."""
+    out = {}
+    for gk, row in table.items():
+        if sketch_col is not None and sketch_col in row:
+            out[gk] = deserialize(row[sketch_col])
+        elif "kind" in row:
+            out[gk] = row_to_filter(row)
+        elif "sketch" in row:
+            out[gk] = deserialize(row["sketch"])
+        else:
+            raise KeyError(f"shard row for {gk!r} has neither a sketch blob "
+                           f"nor filter-row fields: {sorted(row)}")
+    return out
 
 
 class FilterProbe:
@@ -55,12 +76,7 @@ class FilterProbe:
                  group_col: Optional[str] = None, out_col: str = "is_member",
                  sketch_col: Optional[str] = None):
         table = ray.get(filters_ref)
-        self._filters = {}
-        for gk, row in table.items():
-            if sketch_col is not None and sketch_col in row:
-                self._filters[gk] = deserialize(row[sketch_col])
-            else:
-                self._filters[gk] = row_to_filter(row)
+        self._filters = _rows_to_filters(table, sketch_col)
         self._key_col = key_col
         self._group_col = group_col
         self._out_col = out_col
@@ -96,12 +112,7 @@ class FilterDelete:
                  group_col: Optional[str] = None, out_col: str = "deleted",
                  sketch_col: Optional[str] = None):
         table = ray.get(filters_ref)
-        self._filters = {}
-        for gk, row in table.items():
-            if sketch_col is not None and sketch_col in row:
-                self._filters[gk] = deserialize(row[sketch_col])
-            else:
-                self._filters[gk] = row_to_filter(row)
+        self._filters = _rows_to_filters(table, sketch_col)
         self._key_col = key_col
         self._group_col = group_col
         self._out_col = out_col
