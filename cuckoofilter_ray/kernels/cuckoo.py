@@ -83,7 +83,7 @@ class CuckooFilter:
 
     __slots__ = ("num_buckets", "bits_per_tag", "seed", "variant", "tags",
                  "num_items", "victim_index", "victim_tag", "victim_used",
-                 "_rng", "_kick_counter")
+                 "_rng", "_kick_counter", "occ")
 
     def __init__(self, num_buckets: int, bits_per_tag: int = 12,
                  seed: int = DEFAULT_SEED, variant: str = "pow2"):
@@ -98,6 +98,12 @@ class CuckooFilter:
         self.seed = int(seed) & 0xFFFFFFFFFFFFFFFF
         self.variant = variant
         self.tags = np.zeros((self.num_buckets, TAGS_PER_BUCKET), dtype=np.uint16)
+        # Compact-slot invariant: the nonzero tags of bucket b are exactly
+        # tags[b, :occ[b]].  Contain doesn't care about slot order (the
+        # reference probes all four, src/singletable.h:148-173), so inserts
+        # fill left-to-right and deletes swap the last tag into the hole —
+        # this removes the per-row empty-slot search from the insert path.
+        self.occ = np.zeros(self.num_buckets, dtype=np.uint8)
         self.num_items = 0
         self.victim_index = 0
         self.victim_tag = 0
@@ -162,28 +168,33 @@ class CuckooFilter:
     def _place_empty(self, buckets: np.ndarray, tags: np.ndarray) -> np.ndarray:
         """Vectorized InsertTagToBucket(empty-slot path) for many chains at once.
 
-        Handles same-bucket collisions within the batch by ranking chains per
-        bucket and assigning each accepted chain a distinct empty slot.
-        Returns a bool mask of placed chains (in input order).
+        Sort chains by bucket, rank within each equal-bucket run, accept the
+        first ``free`` chains of each run into the bucket's compact-slot
+        prefix (no per-row empty-slot scan — the compact invariant makes the
+        target slot ``occ + rank``).  Returns a bool mask of placed chains
+        (in input order).
         """
         n = len(buckets)
         if n == 0:
             return np.zeros(0, dtype=bool)
         order = np.argsort(buckets, kind="stable")
         bs = buckets[order]
-        E = self.tags[bs] == 0                       # (n, 4) empties per chain
-        free = E.sum(axis=1)
+        idx = np.arange(n)
         new_grp = np.empty(n, dtype=bool)
         new_grp[0] = True
         new_grp[1:] = bs[1:] != bs[:-1]
-        grp_start = np.maximum.accumulate(np.where(new_grp, np.arange(n), 0))
-        rank = np.arange(n) - grp_start              # 0-based rank within bucket group
-        accept = rank < free
-        # slot for rank r = position of the (r+1)-th empty slot in the bucket row
-        cum = E.cumsum(axis=1)
-        slot = (((cum == (rank + 1)[:, None]) & E).argmax(axis=1))
-        b_acc, s_acc = bs[accept], slot[accept]
-        self.tags[b_acc, s_acc] = tags[order][accept]
+        grp_start = idx[new_grp]
+        run_len = np.diff(np.append(grp_start, n))
+        run_buckets = bs[new_grp]                    # unique, sorted
+        occ_run = self.occ[run_buckets]
+        free_run = TAGS_PER_BUCKET - occ_run
+        rank = idx - np.repeat(grp_start, run_len)
+        accept = rank < np.repeat(free_run, run_len)
+        slot = np.repeat(occ_run, run_len).astype(np.int64) + rank
+        b_acc = bs[accept]
+        self.tags[b_acc, slot[accept]] = tags[order][accept]
+        # run_buckets are unique ⇒ direct fancy-index add is safe (no np.add.at)
+        self.occ[run_buckets] = occ_run + np.minimum(run_len, free_run).astype(np.uint8)
         placed = np.zeros(n, dtype=bool)
         placed[order] = accept
         return placed
@@ -292,10 +303,14 @@ class CuckooFilter:
 
     def _delete_one(self, i1: int, i2: int, tag: int) -> bool:
         for b in (i1, i2):
+            o = int(self.occ[b])
             row = self.tags[b]
-            hit = np.flatnonzero(row == tag)
+            hit = np.flatnonzero(row[:o] == tag)
             if len(hit):
-                row[hit[0]] = 0
+                # compact-slot invariant: swap the last occupied tag into the hole
+                row[hit[0]] = row[o - 1]
+                row[o - 1] = 0
+                self.occ[b] = o - 1
                 self.num_items -= 1
                 self._try_eliminate_victim()
                 return True
@@ -361,6 +376,14 @@ class CuckooFilter:
 
     def bits_per_item(self) -> float:
         return 8.0 * self.size_in_bytes() / max(1, self.num_items)
+
+    def recompact(self) -> None:
+        """Restore the compact-slot invariant after a raw ``tags`` load
+        (deserialization; the semisort codec reorders slots within a bucket)."""
+        nz = self.tags != 0
+        self.occ = nz.sum(axis=1).astype(np.uint8)
+        order = np.argsort(~nz, axis=1, kind="stable")
+        self.tags = np.ascontiguousarray(np.take_along_axis(self.tags, order, axis=1))
 
     def info(self) -> dict:
         return {

@@ -100,6 +100,7 @@ def row_to_filter(row: dict) -> Any:
         else:
             f.tags = unpack_bits(row["table_bytes"], f.bits_per_tag,
                                  nb * 4).reshape(nb, 4)
+        f.recompact()
         f.num_items = int(row["num_items"])
         f.victim_index = int(row["victim_index"])
         f.victim_tag = int(row["victim_tag"])
