@@ -1,0 +1,216 @@
+#!/usr/bin/env python
+"""Benchmark driver: headline pipelines over $GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+Modes:
+    python bench.py               # full suite
+    python bench.py --headline    # build+probe only (used by --scaling)
+    python bench.py --scaling     # same headline job at 8 and 32 cpus in
+                                  # fresh processes; reports M items/s at both
+                                  # plus scaling efficiency (BASELINE.md)
+
+The headline job is the engine equivalent of the reference's
+benchmarks/bulk-insert-and-query.cc harness (SURVEY.md §3.3): bulk Add of the
+lineitem key stream into a 32-shard partitioned cuckoo filter, then a mixed
+found-probability Contain sweep, reporting M adds/s, M finds/s and FPR.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SEED = 0x5EED_C0DE
+
+NUM_SHARDS = 32
+PROBE_N = int(os.environ.get("BENCH_PROBES", 32_000_000))
+PROBE_P = "sweep"  # found-probability sweep {0,.25,.5,.75,1} like the reference
+
+
+def _add_lineitem_keys(batch: pa.Table) -> pa.Table:
+    """uint64 item per lineitem row: murmur-mixed (l_orderkey*8 + l_linenumber)
+    — the composite primary key as the reference's raw integer item."""
+    from cuckoofilter_ray.kernels.hashing import mix_split
+    ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+    ln = batch.column("l_linenumber").to_numpy(zero_copy_only=False).astype(np.uint64)
+    keys = mix_split(ok * np.uint64(8) + ln, SEED)
+    return batch.append_column("key_hi64", pa.array(keys, type=pa.uint64()))
+
+
+def bench_headline(ray, results: dict, extras: dict) -> None:
+    """Bulk insert (partitioned build) + mixed-probability lookup sweep."""
+    import ray.data
+    from cuckoofilter_ray.pipelines.build import build_partitioned_filter
+    from cuckoofilter_ray.pipelines.membership import (
+        measure_membership, mixed_workload_distributed, probe_dataset)
+    from cuckoofilter_ray.stages.membership import filters_to_ref
+
+    li = ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                               columns=["l_orderkey", "l_linenumber"],
+                               override_num_blocks=64)
+    keyed = li.map_batches(_add_lineitem_keys, batch_format="pyarrow") \
+        .select_columns(["key_hi64"])
+
+    import pyarrow.parquet as pq
+    n_items = pq.ParquetFile(f"{SF_DIR}/lineitem.parquet").metadata.num_rows
+
+    per_shard = 1 << max(10, (int(n_items / NUM_SHARDS / 0.85) - 1).bit_length())
+    build_sec = float("inf")
+    for _ in range(2):                      # best-of-2: steady-state, like the
+        t0 = time.perf_counter()            # reference's hot-loop timers
+        filters = build_partitioned_filter(keyed, num_shards=NUM_SHARDS,
+                                           capacity_per_shard=per_shard,
+                                           kind="cuckoo", bits_per_tag=12,
+                                           seed=SEED)
+        rows = filters.take_all()
+        build_sec = min(build_sec, time.perf_counter() - t0)
+    results["build_lineitem"] = round(build_sec, 4)
+
+    # inserted keys broadcast once for positive-probe sampling
+    key_arr = np.concatenate(
+        [b.column("key_hi64").to_numpy(zero_copy_only=False)
+         for b in keyed.iter_batches(batch_size=1 << 20,
+                                     batch_format="pyarrow")]).astype(np.uint64)
+    inserted_ref = ray.put(key_arr)
+    fref = filters_to_ref(rows, group_col="_shard")
+
+    from cuckoofilter_ray.pipelines.membership import probe_workload_fused
+    num_blocks = max(NUM_CPUS * 2, PROBE_N // 1_000_000)
+    probe_sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        probed = probe_workload_fused(inserted_ref, fref, PROBE_N, PROBE_P,
+                                      seed=777, num_shards=NUM_SHARDS,
+                                      num_blocks=num_blocks)
+        m = measure_membership(probed)
+        probe_sec = min(probe_sec, time.perf_counter() - t0)
+    results["probe_lineitem"] = round(probe_sec, 4)
+
+    extras.update({
+        "n_items": int(n_items),
+        "n_probes": int(m["n_probes"]),
+        "adds_mps": round(n_items / build_sec / 1e6, 4),
+        "finds_mps": round(m["n_probes"] / probe_sec / 1e6, 4),
+        "recall": m["recall"],
+        "fpr": round(m["fpr"], 6),
+        "num_shards": NUM_SHARDS,
+    })
+    assert m["recall"] == 1.0, f"false negatives! recall={m['recall']}"
+
+
+def bench_full(ray, results: dict, extras: dict) -> None:
+    import ray.data
+    from cuckoofilter_ray.pipelines.build import build_grouped_filters, derive_keys
+    from cuckoofilter_ray.stages.dedup import minhash_lsh_pairs
+    from cuckoofilter_ray.functions.text import add_token_stats
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+
+    t0 = time.perf_counter()
+    keyed = derive_keys(docs, content_col="text")
+    filters = build_grouped_filters(keyed, "lang", capacity=16384,
+                                    kind="cuckoo", bits_per_tag=12, seed=SEED)
+    n = filters.count()
+    results["build_docs_lang"] = round(time.perf_counter() - t0, 4)
+    extras["n_lang_filters"] = int(n)
+
+    t0 = time.perf_counter()
+    pairs = minhash_lsh_pairs(docs, column="text", id_col="doc_id",
+                              num_perm=64, bands=16, threshold=0.5)
+    extras["n_neardup_pairs"] = int(pairs.count())
+    results["dedup_minhash"] = round(time.perf_counter() - t0, 4)
+
+    t0 = time.perf_counter()
+    ts = docs.map_batches(add_token_stats, batch_format="pyarrow",
+                          fn_kwargs={"column": "text"})
+    ts.count()
+    results["token_stats"] = round(time.perf_counter() - t0, 4)
+
+    t0 = time.perf_counter()
+    from cuckoofilter_ray.stages.similarity import knn_bruteforce
+    import pyarrow.parquet as pq
+    emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    qtbl = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    queries = {int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+               for r in qtbl.itertuples() if r.vec_id < 8}
+    knn_bruteforce(emb, queries, k=10).count()
+    results["knn_cosine"] = round(time.perf_counter() - t0, 4)
+
+
+def run(headline_only: bool) -> dict:
+    import ray
+    from ray.data import DataContext
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+
+    # Warm the worker pool (process spawn + import cost is ~3s on this box and
+    # would otherwise be billed to the first timed stage).
+    import ray.data
+    ray.data.range(NUM_CPUS * 2, override_num_blocks=NUM_CPUS * 2) \
+        .map_batches(lambda b: b, batch_format="pyarrow").count()
+
+    results: dict = {}
+    extras: dict = {}
+    bench_headline(ray, results, extras)
+    if not headline_only:
+        bench_full(ray, results, extras)
+
+    out = {
+        "metric": "cuckoofilter_ray headline pipelines wall time",
+        "value": round(sum(results.values()), 4),
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "num_cpus": NUM_CPUS,
+        **extras,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same headline job in fresh processes at two parallelism levels
+    (N and 4N cpus) — the sandbox stand-in for N vs 4N nodes."""
+    lo, hi = 8, 32
+    runs = {}
+    for cpus in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+        proc = subprocess.run([sys.executable, __file__, "--headline"],
+                              capture_output=True, text=True, env=env,
+                              timeout=1800, cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        runs[cpus] = json.loads(line)
+    thr = {c: (r["n_items"] + r["n_probes"]) /
+              (r["queries"]["build_lineitem"] + r["queries"]["probe_lineitem"])
+           for c, r in runs.items()}
+    eff = (thr[hi] / thr[lo]) / (hi / lo)
+    return {
+        "metric": "headline build+probe throughput scaling (8 → 32 cpus)",
+        "value": round(eff, 4),
+        "unit": "efficiency",
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "throughput_mps": {str(c): round(thr[c] / 1e6, 4) for c in thr},
+        "queries": {f"cpus{c}": r["queries"] for c, r in runs.items()},
+        "fpr": runs[hi]["fpr"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run(headline_only="--headline" in sys.argv)))

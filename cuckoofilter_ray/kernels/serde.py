@@ -51,11 +51,20 @@ def unpack_bits(data: bytes, bits: int, count: int) -> np.ndarray:
 
 
 def filter_to_row(filt: Any, group_key: str = "", shard_id: int = 0,
-                  kind: str | None = None) -> dict:
-    """One filter → one columnar shard-row dict (Arrow-compatible scalars)."""
+                  kind: str | None = None, packed: bool = True) -> dict:
+    """One filter → one columnar shard-row dict (Arrow-compatible scalars).
+
+    ``packed=True`` (checkpoint/at-rest form) bit-packs ``table_bytes`` at the
+    true tag width — value parity with the reference's ``SizeInBytes``.
+    ``packed=False`` (hot accumulator form, used by the mergeable UDAFs whose
+    combine runs thousands of times per reduce) stores raw little-endian
+    uint16 tags: ~5× cheaper to encode/decode, 25% larger at 12-bit tags.
+    """
     if isinstance(filt, CuckooFilter):
         k = kind or ("semisort" if filt.bits_per_tag == 13 else "cuckoo")
-        if k == "semisort":
+        if not packed:
+            table_bytes = np.ascontiguousarray(filt.tags).tobytes()
+        elif k == "semisort":
             if filt.bits_per_tag != 13:
                 raise ValueError("semisort codec is defined for 13-bit tags")
             table_bytes = semisort.pack_buckets(filt.tags)
@@ -63,6 +72,7 @@ def filter_to_row(filt: Any, group_key: str = "", shard_id: int = 0,
             table_bytes = pack_bits(filt.tags, filt.bits_per_tag)
         return {
             "group_key": group_key, "shard_id": shard_id, "kind": k,
+            "codec": ("pack" if packed else "raw16"),
             "variant": filt.variant, "bits_per_tag": filt.bits_per_tag,
             "num_buckets": filt.num_buckets, "num_items": filt.num_items,
             "victim_index": int(filt.victim_index), "victim_tag": int(filt.victim_tag),
@@ -95,12 +105,19 @@ def row_to_filter(row: dict) -> Any:
         f = CuckooFilter(int(row["num_buckets"]), int(row["bits_per_tag"]),
                          seed=int(row["seed"]), variant=row["variant"] or "pow2")
         nb = f.num_buckets
-        if kind == "semisort":
+        if row.get("codec", "pack") == "raw16":
+            # raw16 rows come from live filters, whose tags are always
+            # compact — just recount occupancy.
+            f.tags = np.frombuffer(row["table_bytes"], dtype=np.uint16) \
+                .reshape(nb, 4).copy()
+            f.occ = (f.tags != 0).sum(axis=1).astype(np.uint8)
+        elif kind == "semisort":
             f.tags = semisort.unpack_buckets(row["table_bytes"], nb)
+            f.recompact()
         else:
             f.tags = unpack_bits(row["table_bytes"], f.bits_per_tag,
                                  nb * 4).reshape(nb, 4)
-        f.recompact()
+            f.recompact()
         f.num_items = int(row["num_items"])
         f.victim_index = int(row["victim_index"])
         f.victim_tag = int(row["victim_tag"])

@@ -42,7 +42,7 @@ def derive_keys(ds: "ray.data.Dataset", content_col: str = "content",
                 drop_content: bool = False, sha_col: str = "sha_hex") -> "ray.data.Dataset":
     """Stateless key-derivation stage (sha256 → hex + uint64 key)."""
     return ds.map_batches(
-        add_content_keys, batch_format="pyarrow",
+        add_content_keys, batch_format="pyarrow", batch_size=None,
         fn_kwargs={"column": content_col, "drop_content": drop_content,
                    "sha_col": sha_col})
 
@@ -97,7 +97,7 @@ def build_grouped_filters_salted(ds: "ray.data.Dataset", group_key: str,
         salt = (keys % np.uint64(num_salts)).astype(np.int32)
         return batch.append_column("_salt", pa.array(salt, type=pa.int32()))
 
-    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+    salted = ds.map_batches(add_salt, batch_format="pyarrow", batch_size=None)
     agg = FilterSketch(on=key_col, kind=kind, capacity=capacity,
                        bits_per_tag=bits_per_tag, seed=seed, alias_name=SKETCH_COL)
     partials = salted.groupby([group_key, "_salt"]).aggregate(agg)
@@ -156,7 +156,7 @@ def build_partitioned_filter(ds: "ray.data.Dataset", key_col: str = "key_hi64",
 
     agg = FilterSketch(on=key_col, kind=kind, capacity=capacity_per_shard,
                        bits_per_tag=bits_per_tag, seed=seed, alias_name=SKETCH_COL)
-    return ds.map_batches(add_shard, batch_format="pyarrow") \
+    return ds.map_batches(add_shard, batch_format="pyarrow", batch_size=None) \
         .groupby("_shard").aggregate(agg)
 
 

@@ -65,6 +65,129 @@ def mixed_workload(inserted_keys: np.ndarray, n_probes: int, p: float,
     return ds
 
 
+class _WorkloadGen:
+    """Actor-pool batch fn turning ``ray.data.range`` ids into probe rows.
+
+    Random-access deterministic streams (murmur64 of id+seed) instead of the
+    sequential splitmix64 walk so any block can generate its rows without
+    coordination — the distributed form of ``DuplicateFreeMixIn``
+    (benchmarks/random.h:98-109).
+    """
+
+    #: the reference's found-probability sweep (bulk-insert-and-query.cc:615)
+    P_SWEEP = (0.0, 0.25, 0.5, 0.75, 1.0)
+
+    def __init__(self, inserted_ref, p, seed: int, num_shards: int = 0):
+        from ..kernels.hashing import mix_split
+        self._mix = mix_split
+        self._keys = ray.get(inserted_ref) if inserted_ref is not None else \
+            np.empty(0, dtype=np.uint64)
+        self._p = p  # float, or "sweep" for the 5-point sweep keyed on id%5
+        self._seed = int(seed)
+        self._num_shards = int(num_shards)
+
+    def _pos_mask(self, ids: np.ndarray, u1: np.ndarray) -> np.ndarray:
+        if self._p == "sweep":
+            p = np.take(np.asarray(self.P_SWEEP), (ids % np.uint64(5)).astype(np.int64))
+        else:
+            p = np.full(len(ids), float(self._p))
+        # p=1.0 would overflow a float→uint64 threshold; use <= with a clipped
+        # max so the top of the sweep is all-positive.
+        thresh = np.where(p >= 1.0, np.uint64(0xFFFFFFFFFFFFFFFF),
+                          (np.clip(p, 0.0, 0.999999) * float(2**64)).astype(np.uint64))
+        return u1 <= thresh
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64, copy=False)
+        u1 = self._mix(ids, self._seed)
+        u2 = self._mix(ids, self._seed ^ 0xA076_1D64_78BD_642F)
+        neg = self._mix(ids, self._seed ^ 0xE703_7ED1_A0B4_28DB)
+        is_pos = self._pos_mask(ids, u1)
+        if len(self._keys) == 0:
+            is_pos = np.zeros(len(ids), dtype=bool)
+        keys = neg
+        if is_pos.any():
+            keys = np.where(is_pos,
+                            self._keys[(u2 % np.uint64(max(1, len(self._keys))))
+                                       .astype(np.int64)],
+                            neg)
+        cols = {
+            "key_hi64": pa.array(keys, type=pa.uint64()),
+            "expect_member": pa.array(is_pos, type=pa.bool_()),
+        }
+        if self._num_shards:
+            from .build import shard_for_keys
+            cols["_shard"] = pa.array(shard_for_keys(keys, self._num_shards),
+                                      type=pa.int32())
+        return pa.table(cols)
+
+
+def mixed_workload_distributed(inserted_ref, n_probes: int, p: float,
+                               seed: int = 1234, num_shards: int = 0,
+                               num_blocks: int = 64,
+                               concurrency: int = 4) -> "ray.data.Dataset":
+    """Distributed probe-workload generator: ``range(n)`` → per-block key
+    synthesis against a broadcast inserted-key array (``ray.put`` once).
+
+    Positives are sampled with replacement (duplicate probes allowed — the
+    reference's non-dup-free ``MixIn``, benchmarks/random.h:73-96); negatives
+    are a disjoint-w.h.p. hash stream.  ``num_shards`` > 0 adds the ``_shard``
+    routing column for partitioned-filter probes.
+    """
+    return ray.data.range(n_probes, override_num_blocks=num_blocks).map_batches(
+        _WorkloadGen, batch_format="pyarrow", batch_size=None,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"inserted_ref": inserted_ref, "p": p,
+                               "seed": seed, "num_shards": num_shards})
+
+
+# Per-worker-process caches for the task-based (stateless-operator) hot path.
+# Task pools fuse consecutive map_batches into ONE pass per block and reuse
+# warm worker processes — no per-run actor spawn — so heavy setup (broadcast
+# fetch + filter deserialization) is cached here, keyed by ObjectRef so a new
+# broadcast invalidates naturally.
+_GEN_CACHE: dict = {}
+_PROBE_CACHE: dict = {}
+
+
+def workload_gen_fn(batch: pa.Table, *, inserted_ref=None, p=0.25,
+                    seed: int = 1234, num_shards: int = 0) -> pa.Table:
+    key = (inserted_ref.hex() if inserted_ref is not None else None,
+           str(p), seed, num_shards)
+    gen = _GEN_CACHE.get(key)
+    if gen is None:
+        gen = _GEN_CACHE[key] = _WorkloadGen(inserted_ref, p, seed, num_shards)
+    return gen(batch)
+
+
+def partitioned_probe_fn(batch: pa.Table, *, filters_ref=None,
+                         key_col: str = "key_hi64",
+                         shard_col: str = "_shard") -> pa.Table:
+    from ..stages.membership import PartitionedFilterProbe
+    key = (filters_ref.hex(), key_col, shard_col)
+    probe = _PROBE_CACHE.get(key)
+    if probe is None:
+        probe = _PROBE_CACHE[key] = PartitionedFilterProbe(
+            filters_ref, key_col=key_col, shard_col=shard_col)
+    return probe(batch)
+
+
+def probe_workload_fused(inserted_ref, filters_ref, n_probes: int, p,
+                         seed: int = 1234, num_shards: int = 0,
+                         num_blocks: int = 64) -> "ray.data.Dataset":
+    """Generate-and-probe as a fused task chain: range → gen → probe run as a
+    single pass per block (Ray fuses adjacent task-pool operators), with the
+    broadcast filter/key state cached per worker process."""
+    wl = ray.data.range(n_probes, override_num_blocks=num_blocks).map_batches(
+        workload_gen_fn, batch_format="pyarrow", batch_size=None,
+        fn_kwargs={"inserted_ref": inserted_ref, "p": p, "seed": seed,
+                   "num_shards": num_shards})
+    return wl.map_batches(
+        partitioned_probe_fn, batch_format="pyarrow", batch_size=None,
+        fn_kwargs={"filters_ref": filters_ref, "shard_col": "_shard"})
+
+
 def probe_dataset(workload: "ray.data.Dataset", filters_ref,
                   group_col: Optional[str] = None, key_col: str = "key_hi64",
                   sketch_col: Optional[str] = None,
@@ -95,7 +218,8 @@ def measure_membership(probed: "ray.data.Dataset") -> dict:
             "n_neg_found": pa.array([int((~exp & got).sum())], type=pa.int64()),
         })
 
-    parts = probed.map_batches(stats, batch_format="pyarrow").to_pandas()
+    parts = probed.map_batches(stats, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
     n_pos, n_pos_f = int(parts["n_pos"].sum()), int(parts["n_pos_found"].sum())
     n_neg, n_neg_f = int(parts["n_neg"].sum()), int(parts["n_neg_found"].sum())
     return {

@@ -126,4 +126,4 @@ def corpus_dataset(n_rows: int, seed: int = 42, n_repos: int = 50,
                                  dup_fraction=dup_fraction)
 
     base = ray.data.range(n_rows, override_num_blocks=override_num_blocks)
-    return base.map_batches(gen, batch_format="pyarrow")
+    return base.map_batches(gen, batch_format="pyarrow", batch_size=None)

@@ -28,7 +28,7 @@ import pyarrow as pa
 from ray.data.aggregate import AggregateFnV2
 from ray.data.block import Block, BlockAccessor
 
-from ..kernels import DEFAULT_SEED, deserialize, make_filter, serialize
+from ..kernels import DEFAULT_SEED, deserialize, make_filter, row_to_filter, serialize
 
 
 def _key_column(block: Block, name: str) -> np.ndarray:
@@ -70,26 +70,66 @@ class FilterSketch(AggregateFnV2):
         super().__init__(alias_name or f"{kind}_sketch({on})", on=on,
                          ignore_nulls=True, zero_factory=lambda: None)
 
+    # Accumulator format: pickled dict, either a filter shard-row (dense,
+    # raw16 codec — serde.filter_to_row(packed=False)) or a sparse key list
+    # {"codec": "sparse", "keys": uint64-LE bytes}.  Sparse-until-threshold is
+    # the standard mergeable-sketch trick (HLL sparse mode): a per-block
+    # partial holding 300 keys shuffles 2.4 KB, not a full bucket table; the
+    # one densify per group happens at the last combine or in finalize.
+    # Threshold capacity//4 keys ≈ the raw16 table's own byte size.
+
+    def _sparse_limit(self) -> int:
+        return max(64, self._capacity // 4)
+
+    def _densify(self, d: dict):
+        if d.get("codec") == "sparse":
+            filt = make_filter(self._kind, self._capacity, self._seed, self._bits)
+            filt.add_batch(np.frombuffer(d["keys"], dtype=np.uint64))
+            return filt
+        return row_to_filter(d)
+
     def aggregate_block(self, block: Block) -> bytes:
         keys = _key_column(block, self._target_col_name)
+        if len(keys) <= self._sparse_limit():
+            return pickle.dumps(
+                {"codec": "sparse", "keys": np.ascontiguousarray(keys).tobytes()},
+                protocol=pickle.HIGHEST_PROTOCOL)
         filt = make_filter(self._kind, self._capacity, self._seed, self._bits)
         filt.add_batch(keys)
-        return serialize(filt)
+        return serialize(filt, packed=False)
 
     def combine(self, current: Optional[bytes], new: Optional[bytes]) -> bytes:
         if current is None:
             return new
         if new is None:
             return current
-        a, b = deserialize(current), deserialize(new)
+        da, db = pickle.loads(current), pickle.loads(new)
+        a_sp, b_sp = da.get("codec") == "sparse", db.get("codec") == "sparse"
+        if a_sp and b_sp:
+            keys = da["keys"] + db["keys"]
+            if len(keys) <= self._sparse_limit() * 8:
+                return pickle.dumps({"codec": "sparse", "keys": keys},
+                                    protocol=pickle.HIGHEST_PROTOCOL)
+            filt = make_filter(self._kind, self._capacity, self._seed, self._bits)
+            filt.add_batch(np.frombuffer(keys, dtype=np.uint64))
+            return serialize(filt, packed=False)
+        if b_sp:          # dense ⊕ sparse: bulk-add the keys
+            a = row_to_filter(da)
+            a.add_batch(np.frombuffer(db["keys"], dtype=np.uint64))
+            return serialize(a, packed=False)
+        if a_sp:          # sparse ⊕ dense: add into the dense side (associative
+            b = row_to_filter(db)  # up to kick placement, which is allowed)
+            b.add_batch(np.frombuffer(da["keys"], dtype=np.uint64))
+            return serialize(b, packed=False)
+        a, b = row_to_filter(da), row_to_filter(db)
         a.merge(b)
-        return serialize(a)
+        return serialize(a, packed=False)
 
     def finalize(self, accumulator: Optional[bytes]) -> bytes:
         if accumulator is None:
             filt = make_filter(self._kind, self._capacity, self._seed, self._bits)
             return serialize(filt)
-        return accumulator
+        return serialize(self._densify(pickle.loads(accumulator)))
 
 
 class FilterItemCount(FilterSketch):
@@ -101,7 +141,10 @@ class FilterItemCount(FilterSketch):
     def finalize(self, accumulator: Optional[bytes]) -> int:
         if accumulator is None:
             return 0
-        return int(pickle.loads(accumulator)["num_items"])
+        d = pickle.loads(accumulator)
+        if d.get("codec") == "sparse":
+            return len(d["keys"]) // 8
+        return int(d["num_items"])
 
 
 class FilterLoadFactor(FilterSketch):
@@ -111,6 +154,9 @@ class FilterLoadFactor(FilterSketch):
         if accumulator is None:
             return 0.0
         row = pickle.loads(accumulator)
+        if row.get("codec") == "sparse":
+            filt = self._densify(row)
+            return filt.load_factor() if hasattr(filt, "load_factor") else float("nan")
         if row["kind"] in ("cuckoo", "semisort"):
             return row["num_items"] / (row["num_buckets"] * 4)
         return float("nan")

@@ -100,6 +100,77 @@ class FilterProbe:
         return batch.append_column(self._out_col, pa.array(out, type=pa.bool_()))
 
 
+class PartitionedFilterProbe:
+    """Vectorized probe of a sharded cuckoo filter (pipelines.build.
+    build_partitioned_filter) with NO per-shard loop.
+
+    All shards of one partitioned filter share ``(seed, num_buckets,
+    bits_per_tag, variant)``, so the shard tables stack into one
+    ``(num_shards * nb, 4)`` tag matrix and a key's global bucket row is
+    ``shard * nb + i1`` — the whole batch probes with two gathers and two
+    compares, exactly like a single filter with ``num_shards×`` the buckets.
+    (The distributed analog of the reference's batched lookups,
+    src/cuckoo-batch-prefetch.h:109-139.)  Victim caches are carried as three
+    per-shard arrays and checked vectorized (rare at sane loads).
+    """
+
+    def __init__(self, filters_ref, key_col: str = "key_hi64",
+                 out_col: str = "is_member", shard_col: Optional[str] = None):
+        table = ray.get(filters_ref)
+        filters = _rows_to_filters(table)
+        shards = sorted(int(k) for k in filters)
+        if shards != list(range(len(shards))):
+            raise ValueError(f"expected contiguous shard ids 0..n-1, got {shards}")
+        flist = [filters[s] for s in shards]
+        cfg = {(f.seed, f.num_buckets, f.bits_per_tag, f.variant) for f in flist}
+        if len(cfg) != 1:
+            raise ValueError(f"shards disagree on filter config: {cfg}")
+        self._proto = flist[0]
+        self._nb = self._proto.num_buckets
+        self._num_shards = len(flist)
+        self._tags = np.vstack([f.tags for f in flist])
+        self._vic_used = np.array([f.victim_used for f in flist])
+        self._vic_index = np.array([f.victim_index for f in flist], dtype=np.int64)
+        self._vic_tag = np.array([f.victim_tag for f in flist], dtype=np.uint16)
+        self._any_victim = bool(self._vic_used.any())
+        self._key_col = key_col
+        self._out_col = out_col
+        self._shard_col = shard_col
+
+    def contain_batch(self, keys: np.ndarray,
+                      shard: Optional[np.ndarray] = None) -> np.ndarray:
+        from ..pipelines.build import shard_for_keys
+        keys = np.asarray(keys, dtype=np.uint64)
+        if shard is None:
+            shard = shard_for_keys(keys, self._num_shards)
+        base = shard.astype(np.int64) * self._nb
+        found = np.empty(len(keys), dtype=bool)
+        step = 65536
+        for s in range(0, max(1, len(keys)), step):
+            sl = slice(s, s + step)
+            i1, tag = self._proto._index_tag(keys[sl])
+            i2 = self._proto.alt_index(i1, tag)
+            b = base[sl]
+            t = tag[:, None]
+            hit = (self._tags[b + i1] == t).any(axis=1) | \
+                  (self._tags[b + i2] == t).any(axis=1)
+            if self._any_victim:
+                sh = shard[sl]
+                hit |= self._vic_used[sh] & (tag == self._vic_tag[sh]) & \
+                    ((i1 == self._vic_index[sh]) | (i2 == self._vic_index[sh]))
+            found[sl] = hit
+        return found
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self._key_col).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64, copy=False)
+        shard = None
+        if self._shard_col and self._shard_col in batch.column_names:
+            shard = batch.column(self._shard_col).to_numpy(zero_copy_only=False)
+        out = self.contain_batch(keys, shard)
+        return batch.append_column(self._out_col, pa.array(out, type=pa.bool_()))
+
+
 class FilterDelete:
     """Actor ``map_batches`` callable applying Delete to an owned filter copy
     and reporting per-key status (src/cuckoofilter.h:206-238 semantics,
