@@ -88,51 +88,42 @@ def minhash_signature(shingles: np.ndarray, num_perm: int, seed: int) -> np.ndar
     return vals.min(axis=1)
 
 
-class MinHasher:
-    """Actor-pool stage: per-doc minhash signature + LSH band keys.
-
-    Emits ``bands`` as an exploded table (doc per band):
-    (id, band_id, band_hash) for the downstream groupby.
-    """
-
-    def __init__(self, column: str = "text", id_col: str = "doc_id",
-                 num_perm: int = 64, shingle_k: int = 5, bands: int = 16,
-                 seed: int = 777):
-        assert num_perm % bands == 0
-        self._column, self._id_col = column, id_col
-        self._num_perm, self._k, self._bands = num_perm, shingle_k, bands
-        self._rows = num_perm // bands
-        self._seed = seed
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self._column).to_pylist()
-        ids = batch.column(self._id_col).to_numpy(zero_copy_only=False)
-        sigs = np.empty((len(texts), self._num_perm), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sh = _shingle_hashes(t, self._k, self._seed)
-            sigs[i] = minhash_signature(sh, self._num_perm, self._seed + 2)
-        # band hashes: hash each band's row-slice to one uint64
-        band_mat = sigs.reshape(len(texts), self._bands, self._rows)
-        bh = np.zeros((len(texts), self._bands), dtype=np.uint64)
-        for j in range(self._rows):
-            bh = bh * np.uint64(0x100000001B3) + band_mat[:, :, j]
-        bh = mix_split(bh.ravel(), self._seed + 3).reshape(len(texts), self._bands)
-        out_ids = np.repeat(ids, self._bands)
-        band_ids = np.tile(np.arange(self._bands, dtype=np.int32), len(texts))
-        return pa.table({
-            self._id_col: pa.array(out_ids),
-            "band_id": pa.array(band_ids, pa.int32()),
-            "band_hash": pa.array(bh.ravel(), pa.uint64()),
-            "signature": pa.array(list(np.repeat(sigs, self._bands, axis=0)),
-                                  pa.list_(pa.uint64())),
-        })
+def minhash_band_rows(batch: pa.Table, *, column: str = "text",
+                      id_col: str = "doc_id", num_perm: int = 64,
+                      shingle_k: int = 5, bands: int = 16,
+                      seed: int = 777) -> pa.Table:
+    """Stateless task stage: per-doc minhash signature + LSH band keys,
+    exploded to one row per (doc, band) for the downstream groupby."""
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    texts = batch.column(column).to_pylist()
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    sigs = np.empty((len(texts), num_perm), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        sh = _shingle_hashes(t, shingle_k, seed)
+        sigs[i] = minhash_signature(sh, num_perm, seed + 2)
+    # band hashes: hash each band's row-slice to one uint64
+    band_mat = sigs.reshape(len(texts), bands, rows)
+    bh = np.zeros((len(texts), bands), dtype=np.uint64)
+    for j in range(rows):
+        bh = bh * np.uint64(0x100000001B3) + band_mat[:, :, j]
+    bh = mix_split(bh.ravel(), seed + 3).reshape(len(texts), bands)
+    out_ids = np.repeat(ids, bands)
+    band_ids = np.tile(np.arange(bands, dtype=np.int32), len(texts))
+    return pa.table({
+        id_col: pa.array(out_ids),
+        "band_id": pa.array(band_ids, pa.int32()),
+        "band_hash": pa.array(bh.ravel(), pa.uint64()),
+        "signature": pa.array(list(np.repeat(sigs, bands, axis=0)),
+                              pa.list_(pa.uint64())),
+    })
 
 
 def minhash_lsh_pairs(ds: "ray.data.Dataset", column: str = "text",
                       id_col: str = "doc_id", num_perm: int = 64,
                       shingle_k: int = 5, bands: int = 16,
                       threshold: float = 0.7, seed: int = 777,
-                      concurrency: Optional[int] = None) -> "ray.data.Dataset":
+                      num_blocks: int = 32) -> "ray.data.Dataset":
     """Candidate near-dup pairs with signature-estimated Jaccard ≥ threshold.
 
     shingle→minhash→band (map, actor pool) → groupby(band_id, band_hash)
@@ -140,32 +131,44 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", column: str = "text",
     → within-bucket pairs → estimate Jaccard from signatures → threshold.
     Pairs are emitted (lo_id, hi_id) and deduplicated.
     """
-    banded = ds.map_batches(
-        MinHasher, batch_format="pyarrow",
-        fn_constructor_kwargs={"column": column, "id_col": id_col,
-                               "num_perm": num_perm, "shingle_k": shingle_k,
-                               "bands": bands, "seed": seed},
-        **({"concurrency": concurrency} if concurrency else {"concurrency": 2}))
+    # the hash stage is CPU-bound per doc: split small inputs so the task
+    # pool can use every core (a single-file parquet read is ONE block)
+    banded = ds.repartition(num_blocks).map_batches(
+        minhash_band_rows, batch_format="pyarrow", batch_size=None,
+        fn_kwargs={"column": column, "id_col": id_col, "num_perm": num_perm,
+                   "shingle_k": shingle_k, "bands": bands, "seed": seed})
+
+    rows_per_band = num_perm // bands
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) < 2:
             return pd.DataFrame({"lo_id": [], "hi_id": [], "est_jaccard": []})
         g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        band_id = int(g["band_id"].iloc[0])
         ids = g[id_col].to_numpy()
         sigs = np.stack(g["signature"].to_numpy())
+        band_mat = sigs.reshape(len(ids), bands, rows_per_band)
         lo, hi, est = [], [], []
         for i in range(len(ids)):
             match = (sigs[i + 1:] == sigs[i]).mean(axis=1)
             sel = np.flatnonzero(match >= threshold)
-            for s in sel:
-                lo.append(ids[i]); hi.append(ids[i + 1 + s]); est.append(match[s])
+            if len(sel) == 0:
+                continue
+            # emit the pair only from the FIRST band whose slices agree — an
+            # exact cross-band dedup with no second shuffle (both docs' full
+            # signatures are already co-located in this bucket)
+            band_eq = (band_mat[i + 1 + sel] == band_mat[i]).all(axis=2)
+            first_band = band_eq.argmax(axis=1)
+            # hash-collision-only candidates (no truly equal band, ~2^-64)
+            # are dropped deterministically by the any() guard
+            for s, fb, ok in zip(sel, first_band, band_eq.any(axis=1)):
+                if ok and fb == band_id:
+                    lo.append(ids[i]); hi.append(ids[i + 1 + s])
+                    est.append(match[s])
         return pd.DataFrame({"lo_id": lo, "hi_id": hi, "est_jaccard": est})
 
-    pairs = banded.groupby(["band_id", "band_hash"]) \
+    return banded.groupby(["band_id", "band_hash"]) \
         .map_groups(bucket_pairs, batch_format="pandas")
-    # a pair can surface from several bands — keep one
-    return pairs.groupby(["lo_id", "hi_id"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
 
 
 # ----------------------------------------------------------------- simhash
@@ -201,17 +204,22 @@ class SimHasher:
             "simhash64", pa.array(out, pa.uint64()))
 
 
+def simhash_rows(batch: pa.Table, *, column: str = "text",
+                 id_col: str = "doc_id", seed: int = 999) -> pa.Table:
+    """Stateless task form of :class:`SimHasher` (construction is free, so a
+    task pool — which reuses warm workers and fuses — beats an actor pool)."""
+    return SimHasher(column=column, id_col=id_col, seed=seed)(batch)
+
+
 def simhash_pairs(ds: "ray.data.Dataset", column: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
-                  seed: int = 999) -> "ray.data.Dataset":
+                  seed: int = 999, num_blocks: int = 32) -> "ray.data.Dataset":
     """Near-dup pairs by SimHash: band the 64-bit hash into 4×16-bit chunks
     (any pair within Hamming ≤ 3 shares ≥1 exact chunk — pigeonhole), group
     by chunk, verify Hamming within buckets."""
-    hashed = ds.map_batches(SimHasher, batch_format="pyarrow",
-                            fn_constructor_kwargs={"column": column,
-                                                   "id_col": id_col,
-                                                   "seed": seed},
-                            concurrency=2)
+    hashed = ds.repartition(num_blocks).map_batches(
+        simhash_rows, batch_format="pyarrow", batch_size=None,
+        fn_kwargs={"column": column, "id_col": id_col, "seed": seed})
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
@@ -229,21 +237,33 @@ def simhash_pairs(ds: "ray.data.Dataset", column: str = "text",
         if len(group) < 2:
             return pd.DataFrame({"lo_id": [], "hi_id": [], "hamming": []})
         g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        chunk_id = int(g["chunk_id"].iloc[0])
         ids = g[id_col].to_numpy()
         sh = g["simhash64"].to_numpy().astype(np.uint64)
         lo, hi, ham = [], [], []
         for i in range(len(ids)):
             x = sh[i + 1:] ^ sh[i]
             d = np.array([bin(int(v)).count("1") for v in x])
-            for s in np.flatnonzero(d <= max_hamming):
-                lo.append(ids[i]); hi.append(ids[i + 1 + s]); ham.append(int(d[s]))
+            sel = np.flatnonzero(d <= max_hamming)
+            if len(sel) == 0:
+                continue
+            # emit each pair from the FIRST shared 16-bit chunk only — exact
+            # cross-chunk dedup with no second shuffle (pigeonhole: some chunk
+            # is shared, so exactly one bucket emits the pair)
+            xs = x[sel]
+            chunk_eq = np.stack(
+                [(xs >> np.uint64(16 * c)) & np.uint64(0xFFFF) == 0
+                 for c in range(4)], axis=1)
+            first = chunk_eq.argmax(axis=1)
+            for s, fc in zip(sel, first):
+                if fc == chunk_id:
+                    lo.append(ids[i]); hi.append(ids[i + 1 + s])
+                    ham.append(int(d[s]))
         return pd.DataFrame({"lo_id": lo, "hi_id": hi, "hamming": ham})
 
-    pairs = hashed.map_batches(explode, batch_format="pyarrow") \
+    return hashed.map_batches(explode, batch_format="pyarrow") \
         .groupby(["chunk_id", "chunk_val"]) \
         .map_groups(bucket_pairs, batch_format="pandas")
-    return pairs.groupby(["lo_id", "hi_id"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
 
 
 # ----------------------------------------------------- exact jaccard verify
