@@ -1,0 +1,234 @@
+"""End-to-end Ray pipeline tests (SURVEY.md §5 engine test plan).
+
+Covers the distributed paths the kernel tests can't: partitioned builds,
+stacked-shard probes, the fused sweep kernel, combine-vs-UDAF build parity,
+salted skew builds, checkpoint/resume, and dedup stages — all at sf0.001
+scale on the shared 4-cpu Ray session.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from conftest import SF_DIR
+
+from cuckoofilter_ray.kernels import deserialize
+from cuckoofilter_ray.kernels.hashing import splitmix64
+from cuckoofilter_ray.pipelines.build import (SKETCH_COL, build_grouped_filters,
+                                              build_grouped_filters_salted,
+                                              build_partitioned_filter,
+                                              derive_keys, shard_for_keys)
+from cuckoofilter_ray.stages.aggregate import FilterSketch
+from cuckoofilter_ray.stages.membership import (FilterProbe,
+                                                PartitionedFilterProbe,
+                                                filters_to_ref)
+from cuckoofilter_ray.stages.sweep import run_sweep
+
+SEED = 0xC0FFEE
+
+
+def _keys_ds(ray, keys):
+    import ray.data
+    return ray.data.from_arrow(pa.table({"key_hi64": pa.array(keys, pa.uint64())})) \
+        .repartition(4)
+
+
+@pytest.fixture(scope="module")
+def ray_mod(ray_session):
+    import ray
+    return ray
+
+
+def test_partitioned_build_probe_consistency(ray_mod):
+    ray = ray_mod
+    keys = splitmix64(20_000, seed=11)
+    ds = _keys_ds(ray, keys)
+    filters = build_partitioned_filter(ds, num_shards=8, capacity_per_shard=4096,
+                                       seed=SEED)
+    rows = filters.take_all()
+    assert sorted(r["_shard"] for r in rows) == list(range(8))
+    assert sum(r["num_items"] for r in rows) == len(keys)
+    fref = filters_to_ref(rows, group_col="_shard")
+    view = PartitionedFilterProbe(fref)
+    # stacked-view answers == per-shard kernel answers, and recall == 1
+    probes = np.concatenate([keys, splitmix64(20_000, seed=99)])
+    got = view.contain_batch(probes)
+    assert got[:len(keys)].all(), "false negative in partitioned probe"
+    shard = shard_for_keys(probes, 8)
+    per_shard = {r["_shard"]: deserialize(r[SKETCH_COL]) for r in rows}
+    expect = np.zeros(len(probes), dtype=bool)
+    for s in range(8):
+        m = shard == s
+        expect[m] = per_shard[s].contain_batch(probes[m])
+    assert (got == expect).all()
+
+
+def test_sweep_kernel_invariants(ray_mod):
+    ray = ray_mod
+    keys = splitmix64(20_000, seed=13)
+    ds = _keys_ds(ray, keys)
+    filters = build_partitioned_filter(ds, num_shards=8, capacity_per_shard=4096,
+                                       seed=SEED)
+    fref = filters_to_ref(filters.take_all(), group_col="_shard")
+    iref = ray.put(keys)
+    m1 = run_sweep(iref, fref, 200_000, seed=7, num_shards=8, num_blocks=4)
+    m2 = run_sweep(iref, fref, 200_000, seed=7, num_shards=8, num_blocks=8)
+    assert m1["n_probes"] == 200_000
+    assert m1["recall"] == 1.0
+    for p, d in m1["per_p"].items():
+        assert d["recall"] == 1.0, f"false negatives at p={p}"
+    assert m1["fpr"] <= 2 * 4 / (1 << 12)
+    # deterministic: same seed → same counts regardless of block split
+    assert m1 == m2
+
+
+def test_combine_build_matches_udaf_aggregate(ray_mod):
+    ray = ray_mod
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+    keyed = derive_keys(docs, content_col="text")
+    combine = {r["lang"]: r for r in build_grouped_filters(
+        keyed, "lang", capacity=4096, seed=SEED).take_all()}
+    agg = keyed.groupby("lang").aggregate(
+        FilterSketch(on="key_hi64", kind="cuckoo", capacity=4096, seed=SEED,
+                     alias_name=SKETCH_COL))
+    udaf = {r["lang"]: r for r in agg.take_all()}
+    assert set(combine) == set(udaf)
+    probes = splitmix64(50_000, seed=5)
+    rows = keyed.select_columns(["lang", "key_hi64"]).take_all()
+    for lang in combine:
+        fa = deserialize(combine[lang][SKETCH_COL])
+        fb = deserialize(udaf[lang][SKETCH_COL])
+        assert fa.num_items == fb.num_items
+        ins = np.array([x["key_hi64"] for x in rows if x["lang"] == lang],
+                       dtype=np.uint64)
+        assert fa.contain_batch(ins).all() and fb.contain_batch(ins).all()
+        # same config ⇒ same FPR regime; answers agree on ≥99.9% of a random
+        # probe stream (slot placement may differ, so tiny FP divergence is ok)
+        agree = (fa.contain_batch(probes) == fb.contain_batch(probes)).mean()
+        assert agree > 0.999
+
+
+def test_salted_build_equivalence(ray_mod):
+    ray = ray_mod
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+    keyed = derive_keys(docs, content_col="text")
+    plain = {r["lang"]: r for r in build_grouped_filters(
+        keyed, "lang", capacity=4096, seed=SEED).take_all()}
+    salted = {r["lang"]: r for r in build_grouped_filters_salted(
+        keyed, "lang", capacity=4096, seed=SEED, num_salts=4).take_all()}
+    assert set(plain) == set(salted)
+    rows = keyed.select_columns(["lang", "key_hi64"]).take_all()
+    for lang in plain:
+        ins = np.array([x["key_hi64"] for x in rows if x["lang"] == lang],
+                       dtype=np.uint64)
+        fs = deserialize(salted[lang][SKETCH_COL])
+        assert fs.num_items == plain[lang]["num_items"]
+        assert fs.contain_batch(ins).all()
+
+
+def test_checkpoint_resume(ray_mod, tmp_path):
+    ray = ray_mod
+    from cuckoofilter_ray.state.checkpoint import (missing_groups,
+                                                   read_filter_shards,
+                                                   resumable_build)
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+    keyed = derive_keys(docs, content_col="text").materialize()
+    root = str(tmp_path / "ckpt")
+
+    def build_fn(sub, gk):
+        return build_grouped_filters(sub, gk, capacity=4096, seed=SEED)
+
+    cfg = {"kind": "cuckoo", "capacity": 4096, "seed": SEED}
+    first = resumable_build(keyed, root, "lang", build_fn, config=cfg)
+    langs = sorted(r["lang"] for r in first.take_all())
+    assert missing_groups(root, langs, group_col="group_key") == []
+    # resume: nothing left to build; shard set identical
+    again = resumable_build(keyed, root, "lang", build_fn, config=cfg)
+    a = {r["group_key"]: r["num_items"] for r in first.take_all()}
+    b = {r["group_key"]: r["num_items"] for r in again.take_all()}
+    assert a == b
+    # round-trip: filters read back answer identically (example/test1.cc:63-72)
+    rows = keyed.select_columns(["lang", "key_hi64"]).take_all()
+    for r in read_filter_shards(root).take_all():
+        filt = deserialize(r[SKETCH_COL])
+        ins = np.array([x["key_hi64"] for x in rows
+                        if x["lang"] == r["group_key"]], dtype=np.uint64)
+        assert filt.contain_batch(ins).all()
+    # config mismatch fails loudly
+    with pytest.raises(ValueError, match="config mismatch"):
+        resumable_build(keyed, root, "lang", build_fn,
+                        config={**cfg, "seed": 1})
+
+
+def test_exact_dedup_ids_matches_pandas(ray_mod):
+    ray = ray_mod
+    from cuckoofilter_ray.stages.dedup import exact_dedup_ids
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+    keyed = derive_keys(docs, content_col="text")
+    got = sorted(r["doc_id"] for r in exact_dedup_ids(
+        keyed, key_col="sha_hex", id_col="doc_id").take_all())
+    pdf = keyed.select_columns(["sha_hex", "doc_id"]).to_pandas()
+    want = sorted(pdf.groupby("sha_hex")["doc_id"].min())
+    assert got == want
+
+
+def test_minhash_finds_planted_neardup(ray_mod):
+    ray = ray_mod
+    from cuckoofilter_ray.stages.dedup import minhash_lsh_pairs
+    rng = np.random.default_rng(3)
+    vocab = [f"tok{i}" for i in range(500)]
+    base = " ".join(rng.choice(vocab, 120))
+    near = base.replace("tok", "tok", 1) + " extraword"      # ~identical
+    far = " ".join(rng.choice(vocab, 120))
+    docs = pa.table({
+        "doc_id": pa.array(list(range(40)), pa.int64()),
+        "text": pa.array([base, near, far] +
+                         [" ".join(rng.choice(vocab, 120)) for _ in range(37)]),
+    })
+    ds = ray.data.from_arrow(docs)
+    pairs = minhash_lsh_pairs(ds, column="text", id_col="doc_id",
+                              num_perm=64, bands=16, threshold=0.5,
+                              num_blocks=4).take_all()
+    assert any(p["lo_id"] == 0 and p["hi_id"] == 1 for p in pairs), \
+        f"planted near-dup not found in {pairs}"
+    # determinism
+    pairs2 = minhash_lsh_pairs(ds, column="text", id_col="doc_id",
+                               num_perm=64, bands=16, threshold=0.5,
+                               num_blocks=4).take_all()
+    key = lambda p: (p["lo_id"], p["hi_id"])
+    assert sorted(map(key, pairs)) == sorted(map(key, pairs2))
+
+
+def test_simhash_planted_pair(ray_mod):
+    ray = ray_mod
+    from cuckoofilter_ray.stages.dedup import simhash_pairs
+    rng = np.random.default_rng(4)
+    vocab = [f"w{i}" for i in range(300)]
+    base_toks = list(rng.choice(vocab, 150))
+    near = " ".join(base_toks[:-1] + ["w0"])
+    docs = pa.table({
+        "doc_id": pa.array(list(range(20)), pa.int64()),
+        "text": pa.array([" ".join(base_toks), near] +
+                         [" ".join(rng.choice(vocab, 150)) for _ in range(18)]),
+    })
+    pairs = simhash_pairs(ray.data.from_arrow(docs), column="text",
+                          id_col="doc_id", max_hamming=3,
+                          num_blocks=4).take_all()
+    assert any(p["lo_id"] == 0 and p["hi_id"] == 1 for p in pairs)
+
+
+def test_filter_delete_stage(ray_mod):
+    ray = ray_mod
+    from cuckoofilter_ray.stages.membership import FilterDelete
+    from cuckoofilter_ray.kernels import CuckooFilter, filter_to_row
+    keys = splitmix64(5000, seed=21)
+    filt = CuckooFilter.create(8192, seed=SEED)
+    filt.add_batch(keys)
+    fref = ray.put({"": filter_to_row(filt)})
+    wl = ray.data.from_arrow(pa.table({
+        "key_hi64": pa.array(keys[:2500], pa.uint64())}))
+    out = wl.map_batches(FilterDelete, batch_format="pyarrow", concurrency=1,
+                         batch_size=None,
+                         fn_constructor_kwargs={"filters_ref": fref}).take_all()
+    assert all(r["deleted"] for r in out)
