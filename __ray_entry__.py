@@ -116,6 +116,39 @@ def q_membership_recall(sf_dir: str):
         .aggregate(Count(alias_name="n_probed"), Sum("found", alias_name="n_found"))
 
 
+def _membership_recall_for_kind(sf_dir: str, kind: str):
+    """Shared body: per-lang filters of ``kind`` (exact-size map_groups
+    build, src/cuckoofilter_stable.h:115 sizing / xorfilter.h AddAll), probe
+    every inserted key; no-false-negative invariant ⇒ exact SQL oracle."""
+    keyed = _docs_keyed(sf_dir)
+    filters = build_grouped_filters(keyed, "lang", capacity=None, kind=kind,
+                                    seed=SEED)
+    fref = filters_to_ref(filters.take_all(), group_col="lang")
+    probed = probe_dataset(keyed, fref, group_col="lang", sketch_col=SKETCH_COL,
+                           concurrency=2)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        member = batch.column("is_member").to_numpy(zero_copy_only=False)
+        return pa.table({"lang": batch.column("lang"),
+                         "found": pa.array(member.astype(np.int64))})
+
+    from ray.data.aggregate import Count, Sum
+    return probed.map_batches(stats, batch_format="pyarrow").groupby("lang") \
+        .aggregate(Count(alias_name="n_probed"), Sum("found", alias_name="n_found"))
+
+
+def q_xor_membership(sf_dir: str):
+    """Per-lang xor filters (immutable 3-wise XOR AMQ, src/xorfilter.h):
+    bulk-build per group, zero false negatives on inserted keys."""
+    return _membership_recall_for_kind(sf_dir, "xor")
+
+
+def q_stable_membership(sf_dir: str):
+    """Per-lang CuckooFilterStable (exact-capacity Lemire-reduce variant,
+    src/cuckoofilter_stable.h): zero false negatives on inserted keys."""
+    return _membership_recall_for_kind(sf_dir, "cuckoo-stable")
+
+
 def q_distinct_texts(sf_dir: str):
     """Exact per-lang distinct-content cardinality via the mergeable
     ExactDistinct UDAF over sha keys (ground-truth audit op, SURVEY §2.5)."""
@@ -336,6 +369,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cuckoo_build_stats": q_cuckoo_build_stats,
         "membership_recall": q_membership_recall,
+        "xor_membership": q_xor_membership,
+        "stable_membership": q_stable_membership,
         "distinct_texts": q_distinct_texts,
         "dedup_exact": q_dedup_exact,
         "doc_sha256": q_doc_sha256,
@@ -361,6 +396,12 @@ def oracle_sql() -> dict[str, str]:
         "cuckoo_build_stats":
             "SELECT lang, count(*) AS num_items FROM documents GROUP BY lang",
         "membership_recall":
+            "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
+            "FROM documents GROUP BY lang",
+        "xor_membership":
+            "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
+            "FROM documents GROUP BY lang",
+        "stable_membership":
             "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
             "FROM documents GROUP BY lang",
         "distinct_texts":

@@ -6,6 +6,7 @@ from .cuckoo import (MAX_KICKS, NOT_ENOUGH_SPACE, NOT_FOUND, OK, TAGS_PER_BUCKET
 from .hashing import (DEFAULT_SEED, mix_split, murmur64, sha256_bytes,
                       sha256_hex, sha256_u64, splitmix64,
                       two_independent_multiply_shift)
+from .xor import XorFilter
 from .serde import (deserialize, filter_to_row, make_filter, pack_bits,
                     row_to_filter, serialize, unpack_bits)
 
@@ -16,4 +17,5 @@ __all__ = [
     "mix_split", "murmur64", "next_prime", "pack_bits", "row_to_filter",
     "serialize", "sha256_bytes", "sha256_hex", "sha256_u64", "splitmix64",
     "two_independent_multiply_shift", "unpack_bits", "upperpower2",
+    "XorFilter",
 ]

@@ -24,6 +24,7 @@ import numpy as np
 
 from .bloom import BlockedBloomFilter, BloomFilter
 from .cuckoo import CuckooFilter
+from .xor import XorFilter
 from . import semisort
 
 _CHUNK = 1 << 20
@@ -95,6 +96,17 @@ def filter_to_row(filt: Any, group_key: str = "", shard_id: int = 0,
             "victim_index": 0, "victim_tag": 0, "victim_used": False,
             "seed": int(filt.seed), "table_bytes": filt.lanes.tobytes(),
         }
+    if isinstance(filt, XorFilter):
+        # seed column carries the successful build seed; num_buckets the
+        # block length (capacity is recoverable only approximately — rows
+        # rebuild via the stored geometry, not the constructor)
+        return {
+            "group_key": group_key, "shard_id": shard_id, "kind": "xor",
+            "variant": "built" if filt._built else "", "bits_per_tag": filt.bits_per_tag,
+            "num_buckets": filt.block_length, "num_items": filt.num_items,
+            "victim_index": 0, "victim_tag": 0, "victim_used": False,
+            "seed": int(filt.build_seed), "table_bytes": filt.fingerprints.tobytes(),
+        }
     raise TypeError(f"unknown filter type {type(filt)!r}")
 
 
@@ -135,6 +147,16 @@ def row_to_filter(row: dict) -> Any:
         f.lanes = np.frombuffer(row["table_bytes"], dtype=np.uint32).reshape(-1, 8).copy()
         f.num_items = int(row["num_items"])
         return f
+    if kind == "xor":
+        f = XorFilter(1, bits_per_tag=int(row["bits_per_tag"]),
+                      seed=int(row["seed"]))
+        f.block_length = int(row["num_buckets"])
+        dtype = np.uint8 if f.bits_per_tag == 8 else np.uint16
+        f.fingerprints = np.frombuffer(row["table_bytes"], dtype=dtype).copy()
+        f.build_seed = int(row["seed"])
+        f.num_items = int(row["num_items"])
+        f._built = row.get("variant") == "built"
+        return f
     raise ValueError(f"unknown filter kind {kind!r}")
 
 
@@ -161,4 +183,7 @@ def make_filter(kind: str, capacity: int, seed: int, bits_per_tag: int = 12) -> 
         return BloomFilter.create(capacity, bits_per_item=bits_per_tag, seed=seed)
     if kind == "blockedbloom":
         return BlockedBloomFilter.create(capacity, bits_per_item=bits_per_tag, seed=seed)
+    if kind == "xor":
+        return XorFilter(capacity, bits_per_tag=bits_per_tag if bits_per_tag
+                         in (8, 16) else 8, seed=seed)
     raise ValueError(f"unknown filter kind {kind!r}")

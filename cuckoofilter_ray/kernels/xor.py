@@ -1,0 +1,175 @@
+"""Xor-filter kernel: immutable 3-wise XOR AMQ (value-level port of
+``/root/reference/src/xorfilter.h``).
+
+Reference semantics reproduced:
+
+- sizing ``arrayLength = 32 + 1.23·n`` split into 3 equal blocks
+  (``src/xorfilter.h:74-77``); the three probe positions live one per block
+  (``src/xorfilter.h:37-53``).
+- fingerprint = folded hash masked to ``bits`` (``src/xorfilter.h:60-64``),
+  ``Contain``: ``fp ^ B[h0] ^ B[h1] ^ B[h2] == 0`` (``src/xorfilter.h:283-295``).
+- peeling construction with retry on a fresh seed when a 2-core remains
+  (``AddAll`` ``src/xorfilter.h:122-279``, retry at ``:246-251``).
+
+Engine deviations (SURVEY.md §7.5 fidelity contract):
+
+- peeling runs in **vectorized rounds** (all current singleton cells peel at
+  once — correct because a round-peeled key's other cells are, by the
+  singleton property, owned by later-peeled keys, so reverse-round assignment
+  sees only final values) instead of the reference's scalar queue.
+- seeds are explicit and deterministic (attempt i uses ``mix(seed, i)``), not
+  ``std::random_device``.
+- the filter is **bulk-build-only and NOT mergeable** (as in the reference —
+  no ``qf_merge`` analog exists for xor filters); the distributed build path
+  therefore shuffles raw keys per group (sparse accumulators all the way
+  down) rather than partial filters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import DEFAULT_SEED, mix_split, murmur64
+
+U64 = np.uint64
+MAX_ATTEMPTS = 100
+
+
+class XorFilter:
+    """Immutable xor filter over uint64 keys (8- or 16-bit fingerprints)."""
+
+    KIND = "xor"
+
+    __slots__ = ("block_length", "bits_per_tag", "seed", "build_seed",
+                 "fingerprints", "num_items", "_built")
+
+    def __init__(self, capacity: int, bits_per_tag: int = 8,
+                 seed: int = DEFAULT_SEED):
+        if bits_per_tag not in (8, 16):
+            raise ValueError("xor filter supports 8- or 16-bit fingerprints")
+        array_length = 32 + int(1.23 * max(1, int(capacity)))
+        self.block_length = (array_length + 2) // 3
+        self.bits_per_tag = int(bits_per_tag)
+        self.seed = int(seed) & 0xFFFFFFFFFFFFFFFF
+        self.build_seed = self.seed
+        dtype = np.uint8 if bits_per_tag == 8 else np.uint16
+        self.fingerprints = np.zeros(3 * self.block_length, dtype=dtype)
+        self.num_items = 0
+        self._built = False
+
+    # ------------------------------------------------------------- hash bits
+
+    def _hash(self, keys: np.ndarray, seed: int) -> np.ndarray:
+        return mix_split(keys, seed)
+
+    def _positions(self, h: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Three cells, one per block (src/xorfilter.h:37-53 reduce+rotl)."""
+        bl = U64(self.block_length)
+        r0 = h
+        r1 = np.bitwise_or(h << U64(21), h >> U64(43))   # rotl64(h, 21)
+        r2 = np.bitwise_or(h << U64(42), h >> U64(22))   # rotl64(h, 42)
+        h0 = ((r0 >> U64(32)) * bl) >> U64(32)
+        h1 = ((r1 >> U64(32)) * bl) >> U64(32)
+        h2 = ((r2 >> U64(32)) * bl) >> U64(32)
+        return (h0.astype(np.int64),
+                h1.astype(np.int64) + self.block_length,
+                h2.astype(np.int64) + 2 * self.block_length)
+
+    def _fingerprint(self, h: np.ndarray) -> np.ndarray:
+        f = (h ^ (h >> U64(32))) & U64((1 << self.bits_per_tag) - 1)
+        return f.astype(self.fingerprints.dtype)
+
+    # ----------------------------------------------------------------- build
+
+    def add_all(self, keys) -> None:
+        """Bulk construction (AddAll, src/xorfilter.h:122-279).  One-shot."""
+        if self._built:
+            raise RuntimeError("xor filter is immutable once built")
+        keys = np.unique(np.asarray(keys, dtype=np.uint64))
+        n = len(keys)
+        ncells = 3 * self.block_length
+        for attempt in range(MAX_ATTEMPTS):
+            bseed = int(murmur64(np.array(
+                [self.seed + attempt * 0x9E3779B97F4A7C15],
+                dtype=np.uint64))[0])
+            h = self._hash(keys, bseed)
+            if len(np.unique(h)) != n:     # 64-bit hash collision: reseed
+                continue
+            h0, h1, h2 = self._positions(h)
+            counts = np.zeros(ncells, dtype=np.int64)
+            xors = np.zeros(ncells, dtype=np.uint64)
+            for pos in (h0, h1, h2):
+                np.add.at(counts, pos, 1)
+                np.bitwise_xor.at(xors, pos, h)
+            # vectorized peeling rounds
+            peel_rounds = []        # list of (key_hash_array, cell_array)
+            remaining = n
+            while remaining:
+                single = np.flatnonzero(counts == 1)
+                if len(single) == 0:
+                    break
+                kh = xors[single]                      # the lone key per cell
+                kh_u, first = np.unique(kh, return_index=True)
+                cells = single[first]                  # one cell per peeled key
+                p0, p1, p2 = self._positions(kh_u)
+                for pos in (p0, p1, p2):
+                    np.add.at(counts, pos, -1)
+                    np.bitwise_xor.at(xors, pos, kh_u)
+                peel_rounds.append((kh_u, cells))
+                remaining -= len(kh_u)
+            if remaining:
+                continue                               # 2-core left: retry
+            # reverse-round assignment: B[c] = fp(k) ^ B[o0] ^ B[o1] ^ B[o2] ^ B[c]
+            B = self.fingerprints
+            B[:] = 0
+            for kh_u, cells in reversed(peel_rounds):
+                p0, p1, p2 = self._positions(kh_u)
+                fp = self._fingerprint(kh_u)
+                B[cells] = 0
+                B[cells] = fp ^ B[p0] ^ B[p1] ^ B[p2]
+            self.build_seed = bseed
+            self.num_items = n
+            self._built = True
+            return
+        raise RuntimeError(f"xor filter construction failed after {MAX_ATTEMPTS} seeds")
+
+    # alias so the generic group-build path (filt.add_batch(keys)) works
+    def add_batch(self, keys):
+        from .cuckoo import BulkResult
+        self.add_all(keys)
+        return BulkResult(ok=self.num_items, overflow=0)
+
+    # ---------------------------------------------------------------- lookup
+
+    def contain_batch(self, keys) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.uint64)
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        h = self._hash(keys, self.build_seed)
+        h0, h1, h2 = self._positions(h)
+        f = self._fingerprint(h)
+        B = self.fingerprints
+        return (f ^ B[h0] ^ B[h1] ^ B[h2]) == 0
+
+    def contain(self, key: int) -> bool:
+        return bool(self.contain_batch(np.array([key], dtype=np.uint64))[0])
+
+    # ----------------------------------------------------------------- stats
+
+    def size(self) -> int:
+        return self.num_items
+
+    def size_in_bytes(self) -> int:
+        return self.fingerprints.nbytes
+
+    def bits_per_item(self) -> float:
+        return 8.0 * self.size_in_bytes() / max(1, self.num_items)
+
+    def merge(self, other):
+        raise NotImplementedError("xor filters are not mergeable "
+                                  "(build-once, src/xorfilter.h AddAll)")
+
+    def info(self) -> dict:
+        return {"kind": self.KIND, "bits_per_tag": self.bits_per_tag,
+                "block_length": self.block_length, "num_items": self.num_items,
+                "size_in_bytes": self.size_in_bytes()}

@@ -79,7 +79,7 @@ class FilterSketch(AggregateFnV2):
     # Threshold capacity//4 keys ≈ the raw16 table's own byte size.
 
     def _sparse_limit(self) -> int:
-        return max(64, self._capacity // 4)
+        return sparse_limit_for(self._kind, self._capacity)
 
     def _densify(self, d: dict):
         if d.get("codec") == "sparse":
@@ -130,6 +130,17 @@ class FilterSketch(AggregateFnV2):
             filt = make_filter(self._kind, self._capacity, self._seed, self._bits)
             return serialize(filt)
         return serialize(self._densify(pickle.loads(accumulator)))
+
+
+#: bulk-build-only structures: accumulators stay sparse (raw keys) all the
+#: way to the final per-group build — there is no partial-filter merge.
+NOT_MERGEABLE = {"xor"}
+
+
+def sparse_limit_for(kind: str, capacity: int) -> int:
+    if kind in NOT_MERGEABLE:
+        return 1 << 62
+    return max(64, int(capacity) // 4)
 
 
 def make_sparse_acc(keys: np.ndarray) -> bytes:
@@ -198,7 +209,7 @@ def partial_filter_rows(batch: pa.Table, *, group_cols: list, key_col: str,
     sorted_codes = codes[order]
     n_groups = len(next(iter(unique_cols.values())))
     bounds = np.searchsorted(sorted_codes, np.arange(n_groups + 1))
-    sparse_limit = max(64, capacity // 4)
+    sparse_limit = sparse_limit_for(kind, capacity)
     accs = []
     for g in range(n_groups):
         gk = keys[order[bounds[g]:bounds[g + 1]]]

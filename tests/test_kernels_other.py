@@ -145,7 +145,7 @@ def test_pack_bits_roundtrip():
 
 
 @pytest.mark.parametrize("kind", ["cuckoo", "cuckoo-stable", "semisort",
-                                  "bloom", "blockedbloom"])
+                                  "bloom", "blockedbloom", "xor"])
 def test_serde_roundtrip_every_kind(kind):
     # example/test1.cc:63-72: Serialize → Deserialize → identical answers
     keys = splitmix64(8_000, seed=20)
@@ -156,3 +156,42 @@ def test_serde_roundtrip_every_kind(kind):
     assert (f.contain_batch(probes) == f2.contain_batch(probes)).all()
     assert f2.contain_batch(keys).all()
     assert f2.size() == f.size()
+
+
+# ------------------------------------------------------------------ xor
+
+def test_xor_filter_membership_and_fpr():
+    from cuckoofilter_ray.kernels import XorFilter
+    keys = splitmix64(50_000, seed=40)
+    f = XorFilter(len(keys), bits_per_tag=8, seed=41)
+    f.add_all(keys)
+    assert f.contain_batch(keys).all(), "xor filter false negative"
+    neg = splitmix64(200_000, seed=42)
+    fpr = f.contain_batch(neg).mean()
+    assert fpr <= 2 / 256, f"xor fpr {fpr} above 2x the 2^-8 bound"
+    # ~9.84 bits/key at 8-bit fingerprints (1.23 expansion)
+    assert 9.0 < f.bits_per_item() < 11.0
+
+
+def test_xor_filter_immutable_and_deterministic():
+    from cuckoofilter_ray.kernels import XorFilter
+    import pytest as _pytest
+    keys = splitmix64(5_000, seed=43)
+    a = XorFilter(len(keys), seed=44); a.add_all(keys)
+    b = XorFilter(len(keys), seed=44); b.add_all(keys)
+    assert (a.fingerprints == b.fingerprints).all()
+    assert a.build_seed == b.build_seed
+    with _pytest.raises(RuntimeError):
+        a.add_all(keys)
+    with _pytest.raises(NotImplementedError):
+        a.merge(b)
+
+
+def test_xor_16bit_tighter_fpr():
+    from cuckoofilter_ray.kernels import XorFilter
+    keys = splitmix64(20_000, seed=45)
+    f = XorFilter(len(keys), bits_per_tag=16, seed=46)
+    f.add_all(keys)
+    assert f.contain_batch(keys).all()
+    neg = splitmix64(300_000, seed=47)
+    assert f.contain_batch(neg).mean() <= 2 / 65536
