@@ -342,6 +342,70 @@ def q_langid_eval(sf_dir: str):
                           "accuracy": c / max(1, n)}])
 
 
+def q_fingerprints(sf_dir: str):
+    """Order-sensitive 64-bit rolling-hash document fingerprints (rows-only:
+    custom polynomial hash, no SQL equivalent)."""
+    from cuckoofilter_ray.functions.text import add_fingerprint
+    ds = _docs(sf_dir).map_batches(add_fingerprint, batch_format="pyarrow",
+                                   fn_kwargs={"column": "text"})
+    return ds.select_columns(["doc_id", "fingerprint64"])
+
+
+def q_knn_lsh(sf_dir: str):
+    """LSH-bucketed approximate top-k (the 100 TB ANN path: hyperplane
+    buckets prune the scan; rows-only — approximate by design)."""
+    from cuckoofilter_ray.stages.similarity import knn_lsh
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    queries = {int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+               for r in qtbl.itertuples() if r.vec_id in (0, 1, 2)}
+    return knn_lsh(emb, queries, k=5, bits=6) \
+        .select_columns(["query_id", "vec_id", "rank"])
+
+
+def q_neardup_verified(sf_dir: str):
+    """MinHash-LSH candidates + exact n-gram-Jaccard verification (the
+    two-stage near-dup pipeline; rows-only)."""
+    from cuckoofilter_ray.stages.dedup import (minhash_lsh_pairs,
+                                               ngram_jaccard_verify)
+    docs = _docs(sf_dir)
+    pairs = minhash_lsh_pairs(docs, column="text", id_col="doc_id",
+                              num_perm=64, bands=16, threshold=0.4,
+                              num_blocks=8)
+    id_text = {r["doc_id"]: r["text"]
+               for r in docs.select_columns(["doc_id", "text"]).take_all()}
+    verified = ngram_jaccard_verify(pairs, ray.put(id_text), threshold=0.4)
+    return verified.select_columns(["lo_id", "hi_id"])
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing (rows-only): opaque binary payload column →
+    actor-pool decode stub → per-image channel features; video rows fan out
+    via the frame sampler.  Deterministic synthetic media table (the
+    image/audio codecs aren't in this container — SURVEY/prompt stub rule)."""
+    from cuckoofilter_ray.stages.multimodal import (FrameSampler,
+                                                    decode_images,
+                                                    media_dataset_from_corpus)
+    media = media_dataset_from_corpus(1000, seed=7)
+    images = media.filter(lambda r: r["kind"] == "image")
+    feats = decode_images(images, concurrency=2)
+
+    def round3(t: pa.Table) -> pa.Table:
+        for c in ("feat_r", "feat_g", "feat_b"):
+            t = t.set_column(t.column_names.index(c), c,
+                             pa.compute.round(t.column(c), ndigits=3))
+        return t
+
+    frames = media.filter(lambda r: r["kind"] == "video") \
+        .map_batches(FrameSampler, batch_format="pyarrow", concurrency=2,
+                     fn_constructor_kwargs={"n_frames": 4})
+    n_frames = frames.count()
+    out = feats.map_batches(round3, batch_format="pyarrow") \
+        .select_columns(["media_id", "feat_r", "feat_g", "feat_b"]).to_pandas()
+    out["n_video_frames"] = n_frames
+    return out
+
+
 def q_delete_workload(sf_dir: str):
     """F3 delete semantics end-to-end: build per-lang filters, delete half of
     each lang's keys, re-probe both halves; survivors must all be found."""
@@ -387,6 +451,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup": q_simhash_neardup,
         "langid_eval": q_langid_eval,
         "delete_workload": q_delete_workload,
+        "fingerprints": q_fingerprints,
+        "knn_lsh": q_knn_lsh,
+        "neardup_verified": q_neardup_verified,
+        "media_features": q_media_features,
     }
 
 

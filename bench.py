@@ -125,6 +125,19 @@ def bench_full(ray, results: dict, extras: dict) -> None:
     results["build_docs_lang"] = round(time.perf_counter() - t0, 4)
     extras["n_lang_filters"] = int(n)
 
+    # the north-star corpus pipeline: synthesize (repo,path,commit,lang,
+    # content) rows, sha256-key them (content dropped pre-shuffle), build
+    # salted per-repo cuckoo filters
+    from cuckoofilter_ray.pipelines.build import build_grouped_filters_salted
+    from cuckoofilter_ray.sources.corpus import corpus_dataset
+    t0 = time.perf_counter()
+    corpus = corpus_dataset(200_000, seed=42, override_num_blocks=64)
+    ckeyed = derive_keys(corpus, content_col="content", drop_content=True)
+    cfilters = build_grouped_filters_salted(ckeyed, "repo", capacity=1 << 15,
+                                            seed=SEED, num_salts=8)
+    extras["n_repo_filters"] = int(cfilters.count())
+    results["corpus_build_200k"] = round(time.perf_counter() - t0, 4)
+
     t0 = time.perf_counter()
     pairs = minhash_lsh_pairs(docs, column="text", id_col="doc_id",
                               num_perm=64, bands=16, threshold=0.5)

@@ -133,9 +133,11 @@ def build_grouped_filters_salted(ds: "ray.data.Dataset", group_key: str,
         return batch.append_column("_salt", pa.array(salt, type=pa.int32()))
 
     salted = ds.map_batches(add_salt, batch_format="pyarrow", batch_size=None)
-    agg = FilterSketch(on=key_col, kind=kind, capacity=capacity,
-                       bits_per_tag=bits_per_tag, seed=seed, alias_name=SKETCH_COL)
-    partials = salted.groupby([group_key, "_salt"]).aggregate(agg)
+    # tier 1: per-(group, salt) partial filters via the map-side-combine path
+    # — a giant group's merge fan-in is split num_salts ways
+    partials = _combine_build(salted, [group_key, "_salt"], key_col=key_col,
+                              kind=kind, capacity=capacity,
+                              bits_per_tag=bits_per_tag, seed=seed)
 
     from ..kernels import deserialize
 
@@ -154,6 +156,7 @@ def build_grouped_filters_salted(ds: "ray.data.Dataset", group_key: str,
             "overflow": pa.array([overflow], type=pa.int64()),
         })
 
+    # tier 2: associative merge of the salted partials per true group
     return partials.groupby(group_key).map_groups(merge_group, batch_format="pyarrow")
 
 

@@ -218,6 +218,67 @@ def test_simhash_planted_pair(ray_mod):
     assert any(p["lo_id"] == 0 and p["hi_id"] == 1 for p in pairs)
 
 
+def test_corpus_per_repo_build(ray_mod):
+    """North-star input shape: (repo, path, commit, lang, content) corpus →
+    sha256 keys (content dropped before the shuffle) → salted per-repo
+    filters → zero false negatives; per-row sha equality vs hashlib."""
+    import hashlib
+    ray = ray_mod
+    from cuckoofilter_ray.sources.corpus import corpus_dataset
+    ds = corpus_dataset(3000, seed=42, override_num_blocks=4)
+    sample = ds.take(8)
+    keyed = derive_keys(ds, content_col="content", drop_content=True)
+    krows = keyed.select_columns(["repo", "path", "sha_hex", "key_hi64"]).take_all()
+    by_path = {(r["repo"], r["path"]): r for r in krows}
+    for s in sample:
+        k = by_path[(s["repo"], s["path"])]
+        assert k["sha_hex"] == hashlib.sha256(s["content"].encode()).hexdigest()
+    assert "content" not in keyed.schema().names
+    filters = build_grouped_filters_salted(keyed, "repo", capacity=4096,
+                                           seed=SEED, num_salts=4)
+    rows = filters.take_all()
+    assert sum(r["num_items"] for r in rows) == 3000
+    assert sum(r["overflow"] for r in rows) == 0
+    big = max(rows, key=lambda r: r["num_items"])
+    filt = deserialize(big[SKETCH_COL])
+    ins = np.array([r["key_hi64"] for r in krows if r["repo"] == big["repo"]],
+                   dtype=np.uint64)
+    assert filt.contain_batch(ins).all()
+
+
+def test_embedding_neardup_lsh_blocked(ray_mod):
+    """LSH-blocked embedding near-dup ⊇ high-threshold exact pairs."""
+    ray = ray_mod
+    from cuckoofilter_ray.stages.similarity import (embedding_neardup_exact,
+                                                    embedding_neardup_pairs)
+    emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {(r["lo_id"], r["hi_id"])
+             for r in embedding_neardup_exact(emb, threshold=0.9).take_all()}
+    blocked = {(r["lo_id"], r["hi_id"])
+               for r in embedding_neardup_pairs(emb, threshold=0.9).take_all()}
+    # LSH blocking is approximate but must find most very-close pairs
+    if exact:
+        assert len(blocked & exact) >= len(exact) * 0.5
+    for pair in blocked:
+        assert pair[0] < pair[1]
+
+
+def test_multimodal_stub_pipeline(ray_mod):
+    ray = ray_mod
+    from cuckoofilter_ray.stages.multimodal import (FrameSampler, decode_images,
+                                                    media_dataset_from_corpus)
+    media = media_dataset_from_corpus(300, seed=7)
+    images = media.filter(lambda r: r["kind"] == "image")
+    feats = decode_images(images, concurrency=1).take_all()
+    assert all(0 <= r["feat_r"] <= 255 for r in feats)
+    assert feats and "payload" not in feats[0]
+    vids = media.filter(lambda r: r["kind"] == "video")
+    frames = vids.map_batches(FrameSampler, batch_format="pyarrow",
+                              concurrency=1,
+                              fn_constructor_kwargs={"n_frames": 3}).take_all()
+    assert len(frames) == 3 * vids.count()
+
+
 def test_filter_delete_stage(ray_mod):
     ray = ray_mod
     from cuckoofilter_ray.stages.membership import FilterDelete
