@@ -226,6 +226,42 @@ def q_filter_antijoin(sf_dir: str):
     return out.select_columns(["event_id", "user_id"])
 
 
+def q_delete_partitioned(sf_dir: str):
+    """Distributed Delete (src/cuckoofilter.h:206-238): build a partitioned
+    filter over all order keys, route deletes of 'F'-status orders to their
+    owning shards, re-probe. Exact oracle: every delete of an inserted key
+    succeeds, and survivors have zero false negatives."""
+    from cuckoofilter_ray.pipelines.build import build_partitioned_filter
+    from cuckoofilter_ray.pipelines.membership import delete_keys_partitioned
+    from cuckoofilter_ray.stages.membership import PartitionedFilterProbe
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderstatus"])
+    keyed = orders.map_batches(add_int_keys, batch_format="pyarrow",
+                               fn_kwargs={"column": "o_orderkey"})
+    filters = build_partitioned_filter(keyed, num_shards=8,
+                                       capacity_per_shard=1 << 15, seed=SEED)
+    dele = keyed.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("o_orderstatus"), "F")),
+        batch_format="pyarrow")
+    updated = delete_keys_partitioned(filters, dele, num_shards=8)
+    rows = updated.take_all()
+    fref = filters_to_ref(rows, group_col="_shard")
+    survivors = keyed.map_batches(
+        lambda t: t.filter(pa.compute.not_equal(t.column("o_orderstatus"), "F")),
+        batch_format="pyarrow")
+    probed = survivors.map_batches(
+        PartitionedFilterProbe, batch_format="pyarrow", batch_size=None,
+        concurrency=2, fn_constructor_kwargs={"filters_ref": fref})
+    n_found = int(sum(
+        b.column("is_member").to_numpy(zero_copy_only=False).sum()
+        for b in probed.iter_batches(batch_size=1 << 18, batch_format="pyarrow")))
+    return pd.DataFrame([{
+        "n_deleted": int(sum(r["n_deleted"] for r in rows)),
+        "survivors_found": n_found,
+    }])
+
+
 def q_token_stats(sf_dir: str):
     """Vectorized token/char statistics per document (RE2 == DuckDB RE2)."""
     ds = _docs(sf_dir).map_batches(add_token_stats, batch_format="pyarrow",
@@ -440,6 +476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sha256": q_doc_sha256,
         "filter_semijoin": q_filter_semijoin,
         "filter_antijoin": q_filter_antijoin,
+        "delete_partitioned": q_delete_partitioned,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "events_by_type": q_events_by_type,
@@ -485,6 +522,10 @@ def oracle_sql() -> dict[str, str]:
         "filter_antijoin":
             f"SELECT event_id, user_id FROM events "
             f"WHERE user_id NOT IN ({semijoin_filter})",
+        "delete_partitioned":
+            "SELECT count(*) FILTER (o_orderstatus = 'F') AS n_deleted, "
+            "count(*) FILTER (o_orderstatus <> 'F') AS survivors_found "
+            "FROM orders",
         "token_stats":
             r"SELECT doc_id, "
             r"length(regexp_extract_all(text, '\S+')) AS n_tokens, "

@@ -200,6 +200,69 @@ def probe_dataset(workload: "ray.data.Dataset", filters_ref,
                                "group_col": group_col, "sketch_col": sketch_col})
 
 
+def delete_keys_partitioned(filters_rows, delete_ds: "ray.data.Dataset",
+                            num_shards: int, key_col: str = "key_hi64"
+                            ) -> "ray.data.Dataset":
+    """Distributed Delete against a partitioned filter (src/cuckoofilter.h:
+    206-238 semantics per shard, incl. victim resurrection).
+
+    Deletes are routed to their owning shard by the same high-bit hash
+    partitioning the build used (ONE partitioning key reused across stages —
+    SURVEY.md §7.3), applied per shard in a single task, and the UPDATED
+    shard rows are emitted — the delete is a pure function from (filter
+    shards, delete keys) to new filter shards, so it composes with the
+    checkpoint layer like any build.
+
+    Returns Dataset[(_shard, sketch, num_items, n_deleted, n_notfound)].
+    """
+    from ..kernels import deserialize, row_to_filter, serialize
+    from .build import shard_for_keys
+
+    if hasattr(filters_rows, "take_all"):
+        filters_rows = filters_rows.take_all()
+    table = {int(r["_shard"]): r for r in filters_rows}
+    fref = ray.put(table)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64, copy=False)
+        return batch.append_column(
+            "_shard", pa.array(shard_for_keys(keys, num_shards), pa.int32()))
+
+    def apply_deletes(group: pa.Table) -> pa.Table:
+        shard = int(group.column("_shard")[0].as_py())
+        row = ray.get(fref)[shard]
+        filt = deserialize(row["sketch"]) if "sketch" in row \
+            else row_to_filter(row)
+        keys = group.column(key_col).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64, copy=False)
+        deleted = filt.delete_batch(keys)
+        return pa.table({
+            "_shard": pa.array([shard], pa.int32()),
+            "sketch": pa.array([serialize(filt)], pa.large_binary()),
+            "num_items": pa.array([filt.size()], pa.int64()),
+            "n_deleted": pa.array([int(deleted.sum())], pa.int64()),
+            "n_notfound": pa.array([int((~deleted).sum())], pa.int64()),
+        })
+
+    routed = delete_ds.map_batches(add_shard, batch_format="pyarrow",
+                                   batch_size=None)
+    updated = routed.groupby("_shard").map_groups(apply_deletes,
+                                                  batch_format="pyarrow")
+
+    # shards with no deletes pass through unchanged (shard rows are small —
+    # collecting them on the driver is the design; the KEY stream streamed)
+    updated_rows = updated.take_all()
+    touched = {int(r["_shard"]) for r in updated_rows}
+    passthrough = [{
+        "_shard": s,
+        "sketch": r["sketch"] if "sketch" in r else serialize(row_to_filter(r)),
+        "num_items": int(r.get("num_items", 0)),
+        "n_deleted": 0, "n_notfound": 0,
+    } for s, r in table.items() if s not in touched]
+    return ray.data.from_arrow(pa.Table.from_pylist(updated_rows + passthrough))
+
+
 def measure_membership(probed: "ray.data.Dataset") -> dict:
     """Aggregate recall / FPR from a probed workload (vectorized, streaming).
 

@@ -279,6 +279,26 @@ def test_multimodal_stub_pipeline(ray_mod):
     assert len(frames) == 3 * vids.count()
 
 
+def test_distributed_delete_partitioned(ray_mod):
+    """Shard-routed Delete: survivors keep zero false negatives and the
+    updated shard set composes like any filter Dataset."""
+    ray = ray_mod
+    from cuckoofilter_ray.pipelines.membership import delete_keys_partitioned
+    keys = splitmix64(20_000, seed=31)
+    ds = _keys_ds(ray, keys)
+    rows = build_partitioned_filter(ds, num_shards=8, capacity_per_shard=4096,
+                                    seed=SEED).take_all()
+    dele = ray.data.from_arrow(pa.table({
+        "key_hi64": pa.array(keys[:10_000], pa.uint64())})).repartition(4)
+    updated = delete_keys_partitioned(rows, dele, num_shards=8).take_all()
+    assert sum(r["n_deleted"] for r in updated) == 10_000
+    assert sum(r["num_items"] for r in updated) == 10_000
+    fref = filters_to_ref(updated, group_col="_shard")
+    view = PartitionedFilterProbe(fref, shard_col=None)
+    assert view.contain_batch(keys[10_000:]).all(), \
+        "survivor lost after distributed delete"
+
+
 def test_filter_delete_stage(ray_mod):
     ray = ray_mod
     from cuckoofilter_ray.stages.membership import FilterDelete
