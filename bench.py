@@ -96,8 +96,40 @@ def bench_headline(ray, results: dict, extras: dict) -> None:
         probe_sec = min(probe_sec, time.perf_counter() - t0)
     results["probe_lineitem"] = round(probe_sec, 4)
 
+    # larger synthetic build: the lineitem table at sf0.1 is only 600 k keys,
+    # which is fixed-cost-bound; 8 M keys shows the streaming add rate
+    import ray.data as rd
+    from cuckoofilter_ray.pipelines.membership import workload_gen_fn
+    nbig = int(os.environ.get("BENCH_BUILD_KEYS", 8_000_000))
+    if nbig <= 0:
+        extras.update({"n_items": int(n_items), "n_probes": int(m["n_probes"]),
+                       "adds_mps": round(n_items / build_sec / 1e6, 4),
+                       "finds_mps": round(m["n_probes"] / probe_sec / 1e6, 4),
+                       "recall": m["recall"], "fpr": round(m["fpr"], 6),
+                       "num_shards": NUM_SHARDS})
+        assert m["recall"] == 1.0, f"false negatives! recall={m['recall']}"
+        return
+    empty_ref = ray.put(np.empty(0, dtype=np.uint64))
+
+    def synth_keys(batch: pa.Table) -> pa.Table:
+        out = workload_gen_fn(batch, inserted_ref=empty_ref, p=0.0, seed=99)
+        return out.select(["key_hi64"])
+
+    big_sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        big = rd.range(nbig, override_num_blocks=max(16, NUM_CPUS)) \
+            .map_batches(synth_keys, batch_format="pyarrow", batch_size=None)
+        build_partitioned_filter(big, num_shards=64,
+                                 capacity_per_shard=1 << 18,
+                                 kind="cuckoo", bits_per_tag=12,
+                                 seed=SEED).take_all()
+        big_sec = min(big_sec, time.perf_counter() - t0)
+    results["build_synthetic_8m"] = round(big_sec, 4)
+
     extras.update({
         "n_items": int(n_items),
+        "adds_mps_8m": round(nbig / big_sec / 1e6, 4),
         "n_probes": int(m["n_probes"]),
         "adds_mps": round(n_items / build_sec / 1e6, 4),
         "finds_mps": round(m["n_probes"] / probe_sec / 1e6, 4),
@@ -208,11 +240,11 @@ def run_scaling() -> dict:
     subsystem, which is the regime the 2 → 8 pair emulates."""
     lo = int(os.environ.get("SCALE_CPUS_LO", 2))
     hi = int(os.environ.get("SCALE_CPUS_HI", 8))
-    probes = os.environ.get("BENCH_PROBES", str(128_000_000))
+    probes = os.environ.get("BENCH_PROBES", str(256_000_000))
     runs = {}
     for cpus in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR,
-                   BENCH_PROBES=probes)
+                   BENCH_PROBES=probes, BENCH_BUILD_KEYS="0")
         proc = subprocess.run([sys.executable, __file__, "--headline"],
                               capture_output=True, text=True, env=env,
                               timeout=1800, cwd=os.path.dirname(os.path.abspath(__file__)))
