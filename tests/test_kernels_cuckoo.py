@@ -191,3 +191,52 @@ def test_adversarial_sequential_keys():
         res = f.add_batch(keys)
         assert res.ok == n, rot
         assert f.contain_batch(keys).all()
+
+
+def test_duplicate_flood_caps_at_two_buckets_plus_victim():
+    """README.md:21 / singletable 4-way: the same item fits kTagsPerBucket*2
+    times (both candidate buckets) plus one victim slot; further copies are
+    NotEnoughSpace.  Scalar and batch paths agree."""
+    f = CuckooFilter.create(10_000, seed=5)
+    res = [f.add(123456) for _ in range(20)]
+    assert res.count(OK) == 9 and res.count(NOT_ENOUGH_SPACE) == 11
+    assert f.victim_used and f.num_items == 8
+    fb = CuckooFilter.create(10_000, seed=5)
+    r = fb.add_batch(np.full(20, 123456, dtype=np.uint64))
+    assert r.ok == 8 and r.overflow == 11 and fb.victim_used
+
+
+def test_model_based_random_ops():
+    """Model check vs a Python multiset: no false negatives ever, delete
+    only succeeds for present-or-colliding items, counts consistent."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=30, deadline=None, derandomize=True)
+    @given(st.lists(st.tuples(st.sampled_from(["add", "del", "probe"]),
+                              st.integers(0, 49)), min_size=1, max_size=120))
+    def run(ops):
+        f = CuckooFilter.create(256, seed=9)
+        model = {}
+        for op, key in ops:
+            if op == "add":
+                if f.add(key) == OK:
+                    model[key] = model.get(key, 0) + 1
+            elif op == "del":
+                st_ = f.delete(key)
+                if model.get(key, 0) > 0:
+                    assert st_ == OK  # present ⇒ delete must succeed
+                    model[key] -= 1
+                elif st_ == OK:
+                    # deleted a same-fingerprint collision victim: the
+                    # reference documents this hazard (README.md:21); the
+                    # model can't track which copy died, so just note it
+                    for k in sorted(model, key=lambda k: -model[k]):
+                        if model[k] > 0:
+                            model[k] -= 1
+                            break
+            else:
+                if model.get(key, 0) > 0:
+                    assert f.contain(key), f"false negative for {key}"
+        assert f.num_items == sum(model.values())
+
+    run()
