@@ -83,7 +83,7 @@ class CuckooFilter:
 
     __slots__ = ("num_buckets", "bits_per_tag", "seed", "variant", "tags",
                  "num_items", "victim_index", "victim_tag", "victim_used",
-                 "_rng", "_kick_counter", "occ")
+                 "_rng", "_kick_counter", "occ", "_scratch")
 
     def __init__(self, num_buckets: int, bits_per_tag: int = 12,
                  seed: int = DEFAULT_SEED, variant: str = "pow2"):
@@ -104,6 +104,7 @@ class CuckooFilter:
         # fill left-to-right and deletes swap the last tag into the hole —
         # this removes the per-row empty-slot search from the insert path.
         self.occ = np.zeros(self.num_buckets, dtype=np.uint8)
+        self._scratch = None  # lazy per-bucket scatter-race cells (bulk adds)
         self.num_items = 0
         self.victim_index = 0
         self.victim_tag = 0
@@ -165,39 +166,43 @@ class CuckooFilter:
 
     # --------------------------------------------------------------- bulk core
 
-    def _place_empty(self, buckets: np.ndarray, tags: np.ndarray) -> np.ndarray:
-        """Vectorized InsertTagToBucket(empty-slot path) for many chains at once.
+    def _place_empty(self, buckets: np.ndarray,
+                     tags: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized InsertTagToBucket(empty-slot path) via a scatter race —
+        O(n), no sort.
 
-        Sort chains by bucket, rank within each equal-bucket run, accept the
-        first ``free`` chains of each run into the bucket's compact-slot
-        prefix (no per-row empty-slot scan — the compact invariant makes the
-        target slot ``occ + rank``).  Returns a bool mask of placed chains
-        (in input order).
+        Every chain writes its index into a persistent per-bucket scratch
+        cell; the last writer per bucket ("winner") claims slot ``occ[b]``
+        (compact-slot invariant).  Losers — same-bucket collisions within the
+        batch, rare since buckets ≫ batch — simply retry next round.  Returns
+        ``(placed, full)`` masks: ``full`` marks winners whose bucket had no
+        free slot (those chains must advance to alt/kick; losers must NOT).
         """
         n = len(buckets)
         if n == 0:
-            return np.zeros(0, dtype=bool)
-        order = np.argsort(buckets, kind="stable")
-        bs = buckets[order]
+            z = np.zeros(0, dtype=bool)
+            return z, z
+        if n == 1:      # victim re-insertion / scalar adds: skip the scratch
+            b = int(buckets[0])
+            o = int(self.occ[b])
+            if o < TAGS_PER_BUCKET:
+                self.tags[b, o] = tags[0]
+                self.occ[b] = o + 1
+                return np.ones(1, dtype=bool), np.zeros(1, dtype=bool)
+            return np.zeros(1, dtype=bool), np.ones(1, dtype=bool)
+        if self._scratch is None:
+            self._scratch = np.empty(self.num_buckets, dtype=np.int64)
+        scratch = self._scratch
         idx = np.arange(n)
-        new_grp = np.empty(n, dtype=bool)
-        new_grp[0] = True
-        new_grp[1:] = bs[1:] != bs[:-1]
-        grp_start = idx[new_grp]
-        run_len = np.diff(np.append(grp_start, n))
-        run_buckets = bs[new_grp]                    # unique, sorted
-        occ_run = self.occ[run_buckets]
-        free_run = TAGS_PER_BUCKET - occ_run
-        rank = idx - np.repeat(grp_start, run_len)
-        accept = rank < np.repeat(free_run, run_len)
-        slot = np.repeat(occ_run, run_len).astype(np.int64) + rank
-        b_acc = bs[accept]
-        self.tags[b_acc, slot[accept]] = tags[order][accept]
-        # run_buckets are unique ⇒ direct fancy-index add is safe (no np.add.at)
-        self.occ[run_buckets] = occ_run + np.minimum(run_len, free_run).astype(np.uint8)
-        placed = np.zeros(n, dtype=bool)
-        placed[order] = accept
-        return placed
+        scratch[buckets] = idx
+        winner = scratch[buckets] == idx
+        occ_w = self.occ[buckets]
+        placed = winner & (occ_w < TAGS_PER_BUCKET)
+        bw = buckets[placed]
+        self.tags[bw, occ_w[placed]] = tags[placed]
+        self.occ[bw] = occ_w[placed] + 1
+        full = winner & (occ_w >= TAGS_PER_BUCKET)
+        return placed, full
 
     def _insert_pairs(self, idx: np.ndarray, tags: np.ndarray) -> BulkResult:
         """AddImpl over vectors of (first-choice bucket, tag) (cuckoofilter.h:156-181).
@@ -214,25 +219,22 @@ class CuckooFilter:
         ok = 0
         overflow = 0
         while len(cur_i):
-            placed = self._place_empty(cur_i, cur_t)
+            placed, full = self._place_empty(cur_i, cur_t)
             ok += int(placed.sum())
             if placed.all():
                 break
             keep = ~placed
+            full = full[keep]
             cur_i, cur_t, kicks, phase = cur_i[keep], cur_t[keep], kicks[keep], phase[keep]
-            # chains still at their first bucket: move to the alternate, retry
-            fresh = phase == 0
+            # chains whose FIRST bucket is confirmed full: move to the
+            # alternate and retry (scatter-race losers keep full=False and
+            # simply retry the same bucket next round)
+            fresh = full & (phase == 0)
             if fresh.any():
                 cur_i[fresh] = self.alt_index(cur_i[fresh], cur_t[fresh])
                 phase[fresh] = 1
-                if not fresh.all():
-                    pass  # non-fresh chains fall through to the kick step below
-                else:
-                    continue
-            # kick step: one chain per distinct full bucket kicks this round
-            kickable = phase == 1
-            if fresh.any():
-                kickable = kickable & ~fresh  # freshly-moved chains retry placement first
+            # kick step: one chain per distinct confirmed-full alt bucket
+            kickable = full & (phase == 1) & ~fresh
             if kickable.any():
                 kidx = np.flatnonzero(kickable)
                 _, first_pos = np.unique(cur_i[kidx], return_index=True)
