@@ -149,6 +149,23 @@ def q_stable_membership(sf_dir: str):
     return _membership_recall_for_kind(sf_dir, "cuckoo-stable")
 
 
+def q_filter_stats(sf_dir: str):
+    """Info()/stats surface (src/cuckoofilter.h:86-88,240-255): per-lang
+    filter metadata.  Fixed capacity 8192 ⇒ num_buckets 2048 and
+    load_factor = n/8192 are SQL-computable ⇒ exact oracle."""
+    keyed = _docs_keyed(sf_dir)
+    filters = build_grouped_filters(keyed, "lang", capacity=8192,
+                                    kind="cuckoo", bits_per_tag=12, seed=SEED)
+    rows = filters.take_all()
+    out = []
+    for r in rows:
+        filt = deserialize(r[SKETCH_COL])
+        out.append({"lang": r["lang"], "num_items": filt.num_items,
+                    "num_buckets": filt.num_buckets,
+                    "load_factor": round(filt.load_factor(), 6)})
+    return pd.DataFrame(sorted(out, key=lambda x: x["lang"]))
+
+
 def q_distinct_texts(sf_dir: str):
     """Exact per-lang distinct-content cardinality via the mergeable
     ExactDistinct UDAF over sha keys (ground-truth audit op, SURVEY §2.5)."""
@@ -471,6 +488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "membership_recall": q_membership_recall,
         "xor_membership": q_xor_membership,
         "stable_membership": q_stable_membership,
+        "filter_stats": q_filter_stats,
         "distinct_texts": q_distinct_texts,
         "dedup_exact": q_dedup_exact,
         "doc_sha256": q_doc_sha256,
@@ -508,6 +526,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY lang",
         "stable_membership":
             "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
+            "FROM documents GROUP BY lang",
+        # capacity 8192 ⇒ upperpower2(2048) buckets, doubled by the >0.94
+        # load rule (src/cuckoofilter.h:93-97) ⇒ 4096 buckets / 16384 slots
+        "filter_stats":
+            "SELECT lang, count(*) AS num_items, 4096 AS num_buckets, "
+            "round(count(*) / 16384.0, 6) AS load_factor "
             "FROM documents GROUP BY lang",
         "distinct_texts":
             "SELECT lang, count(DISTINCT text) AS n_distinct "
