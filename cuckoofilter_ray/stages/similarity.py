@@ -74,15 +74,30 @@ class BatchTopK:
         })
 
 
+_TOPK_CACHE: dict = {}
+
+
+def batch_topk_fn(batch: pa.Table, *, queries_ref=None, id_col: str = "vec_id",
+                  emb_col: str = "embedding", k: int = 5) -> pa.Table:
+    """Task form of :class:`BatchTopK` with per-worker broadcast caching
+    (task pools fuse with the read and reuse warm workers)."""
+    key = (queries_ref.hex(), id_col, emb_col, k)
+    st = _TOPK_CACHE.get(key)
+    if st is None:
+        st = _TOPK_CACHE[key] = BatchTopK(queries_ref, id_col=id_col,
+                                          emb_col=emb_col, k=k)
+    return st(batch)
+
+
 def knn_bruteforce(ds: "ray.data.Dataset", queries: dict, k: int = 5,
                    id_col: str = "vec_id", emb_col: str = "embedding",
                    concurrency: int = 2) -> "ray.data.Dataset":
     """Exact global top-k per query: per-batch top-k (map) → per-query reduce."""
     qref = ray.put(queries)
     candidates = ds.map_batches(
-        BatchTopK, batch_format="pyarrow", concurrency=concurrency,
-        fn_constructor_kwargs={"queries_ref": qref, "id_col": id_col,
-                               "emb_col": emb_col, "k": k})
+        batch_topk_fn, batch_format="pyarrow", batch_size=None,
+        fn_kwargs={"queries_ref": qref, "id_col": id_col,
+                   "emb_col": emb_col, "k": k})
 
     def reduce_topk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
