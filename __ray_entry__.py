@@ -174,6 +174,57 @@ def q_distinct_texts(sf_dir: str):
         ExactDistinct(on="key_hi64", alias_name="n_distinct"))
 
 
+def q_hll_distinct(sf_dir: str):
+    """Per-lang HyperLogLog distinct estimate vs exact: the estimate must sit
+    inside the 3σ band (σ = 1.04/√m).  Ray side does the real comparison;
+    the SQL oracle asserts the expected verdict."""
+    from cuckoofilter_ray.stages.aggregate import HllDistinct
+    keyed = _docs_keyed(sf_dir)
+    est = keyed.groupby("lang").aggregate(
+        HllDistinct(on="key_hi64", p=12, seed=SEED, alias_name="hll_est"))
+    exact = keyed.groupby("lang").aggregate(
+        ExactDistinct(on="key_hi64", alias_name="n_exact"))
+    e = {r["lang"]: r["hll_est"] for r in est.take_all()}
+    x = {r["lang"]: r["n_exact"] for r in exact.take_all()}
+    bound = 3 * 1.04 / (1 << 12) ** 0.5
+    return pd.DataFrame(sorted(
+        ({"lang": k, "within_bound": abs(e[k] - x[k]) / max(1, x[k]) <= bound}
+         for k in x), key=lambda r: r["lang"]))
+
+
+def q_countmin_events(sf_dir: str):
+    """Count-Min frequency estimates per event_type.  Cardinality (5) ≪
+    width (2048) and hashing is seeded-deterministic, so the min-row
+    estimate has no collisions and equals the exact count — an exact oracle
+    for the frequency-sketch path (the εN overestimate bound is covered in
+    tests with adversarial cardinalities)."""
+    from cuckoofilter_ray.kernels.hashing import sha256_u64
+    from cuckoofilter_ray.stages.aggregate import CountMinAgg
+
+    def keyify(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        codes, uniques = pd.factorize(et)
+        ukeys = sha256_u64([str(u) for u in uniques])
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "key_hi64": pa.array(ukeys[codes], pa.uint64()),
+        })
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type"])
+    keyed = ev.map_batches(keyify, batch_format="pyarrow", batch_size=None)
+    agg = CountMinAgg(on="key_hi64", depth=5, width=2048, seed=SEED,
+                      alias_name="cm")
+    row = keyed.aggregate(agg)
+    cm = agg.unpack(row["cm"])
+    types = sorted(set(
+        keyed.select_columns(["event_type"]).unique("event_type")))
+    tkeys = sha256_u64([str(t) for t in types])
+    ests = cm.estimate_batch(tkeys)
+    return pd.DataFrame({"event_type": types,
+                         "n_events": [int(v) for v in ests]})
+
+
 def q_dedup_exact(sf_dir: str):
     """Exact dedup winners: min doc_id per distinct content hash."""
     keyed = _docs_keyed(sf_dir)
@@ -490,6 +541,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stable_membership": q_stable_membership,
         "filter_stats": q_filter_stats,
         "distinct_texts": q_distinct_texts,
+        "hll_distinct": q_hll_distinct,
+        "countmin_events": q_countmin_events,
         "dedup_exact": q_dedup_exact,
         "doc_sha256": q_doc_sha256,
         "filter_semijoin": q_filter_semijoin,
@@ -536,6 +589,11 @@ def oracle_sql() -> dict[str, str]:
         "distinct_texts":
             "SELECT lang, count(DISTINCT text) AS n_distinct "
             "FROM documents GROUP BY lang",
+        "hll_distinct":
+            "SELECT lang, true AS within_bound FROM documents GROUP BY lang",
+        "countmin_events":
+            "SELECT event_type, count(*) AS n_events FROM events "
+            "GROUP BY event_type",
         "dedup_exact":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "doc_sha256":

@@ -1,0 +1,161 @@
+"""Cardinality / frequency sketches: HyperLogLog and Count-Min.
+
+The north rule frames this engine as a "distributed sketch /
+approximate-aggregation library ... as mergeable UDAFs"; alongside the AMQ
+filters these two round out the classic mergeable-sketch family:
+
+- **HyperLogLog** (Flajolet et al. 2007, with the HLL++ small-range linear
+  counting correction): 2^p uint8 registers, merge = elementwise max,
+  standard error ≈ 1.04/sqrt(2^p).
+- **Count-Min** (Cormode & Muthukrishnan 2005): depth×width int64 counters,
+  point estimate = min over rows (one-sided: est ≥ true, est ≤ true + εN
+  w.h.p.), merge = elementwise add.
+
+Both follow the engine's distributed-merge discipline (SURVEY.md §4.3.1):
+explicit shared seeds, no process-local randomness, vectorized adds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import DEFAULT_SEED, mix_split
+
+U64 = np.uint64
+
+
+class HyperLogLog:
+    """Dense HLL over uint64 keys (p ∈ [4, 18])."""
+
+    KIND = "hll"
+
+    __slots__ = ("p", "m", "seed", "registers")
+
+    def __init__(self, p: int = 12, seed: int = DEFAULT_SEED):
+        if not 4 <= p <= 18:
+            raise ValueError("p must be in [4, 18]")
+        self.p = int(p)
+        self.m = 1 << self.p
+        self.seed = int(seed) & 0xFFFFFFFFFFFFFFFF
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_batch(self, keys) -> None:
+        keys = np.asarray(keys, dtype=np.uint64)
+        if len(keys) == 0:
+            return
+        h = mix_split(keys, self.seed)
+        j = (h >> U64(64 - self.p)).astype(np.int64)
+        w = h & U64((1 << (64 - self.p)) - 1)
+        # rho = position of the leftmost 1-bit of w within 64-p bits, 1-based;
+        # w fits 64-p ≤ 60 bits — too wide for exact float log2, so split:
+        # high 32 bits first, low 32 as fallback (each ≤ 2^32 is float-exact)
+        q = 64 - self.p
+        hi = (w >> U64(32)).astype(np.float64)
+        lo = (w & U64(0xFFFFFFFF)).astype(np.float64)
+        msb = np.where(
+            hi > 0, 32 + np.floor(np.log2(np.maximum(hi, 1.0))),
+            np.where(lo > 0, np.floor(np.log2(np.maximum(lo, 1.0))), -1.0))
+        rho = (q - msb).astype(np.int64)          # w==0 → q+1
+        np.maximum.at(self.registers, j, np.minimum(rho, 255).astype(np.uint8))
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if (self.p, self.seed) != (other.p, other.seed):
+            raise ValueError("HLL merge requires identical (p, seed)")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+            self.m, 0.7213 / (1 + 1.079 / m))
+        inv = np.ldexp(1.0, -self.registers.astype(np.int64))
+        e = alpha * m * m / inv.sum()
+        if e <= 2.5 * m:                       # small-range linear counting
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                return m * np.log(m / zeros)
+        return float(e)
+
+    def rel_error_bound(self, sigmas: float = 3.0) -> float:
+        return sigmas * 1.04 / np.sqrt(self.m)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, p: int, seed: int) -> "HyperLogLog":
+        h = cls(p=p, seed=seed)
+        h.registers = np.frombuffer(data, dtype=np.uint8).copy()
+        return h
+
+
+class CountMin:
+    """Count-Min frequency sketch over uint64 keys."""
+
+    KIND = "countmin"
+
+    __slots__ = ("depth", "width", "seed", "counts", "total")
+
+    def __init__(self, depth: int = 5, width: int = 2048,
+                 seed: int = DEFAULT_SEED):
+        if width & (width - 1):
+            raise ValueError("width must be a power of two")
+        self.depth = int(depth)
+        self.width = int(width)
+        self.seed = int(seed) & 0xFFFFFFFFFFFFFFFF
+        self.counts = np.zeros((self.depth, self.width), dtype=np.int64)
+        self.total = 0
+
+    def _cols(self, keys: np.ndarray) -> np.ndarray:
+        """(depth, n) column indices, one seeded hash row each."""
+        return np.stack([
+            (mix_split(keys, self.seed + 0x9E37 * (d + 1))
+             & U64(self.width - 1)).astype(np.int64)
+            for d in range(self.depth)])
+
+    def add_batch(self, keys, weights=None) -> None:
+        keys = np.asarray(keys, dtype=np.uint64)
+        if len(keys) == 0:
+            return
+        cols = self._cols(keys)
+        if weights is None:
+            for d in range(self.depth):
+                np.add.at(self.counts[d], cols[d], 1)
+            self.total += len(keys)
+        else:
+            w = np.asarray(weights, dtype=np.int64)
+            for d in range(self.depth):
+                np.add.at(self.counts[d], cols[d], w)
+            self.total += int(w.sum())
+
+    def estimate_batch(self, keys) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.uint64)
+        if len(keys) == 0:
+            return np.zeros(0, dtype=np.int64)
+        cols = self._cols(keys)
+        ests = np.stack([self.counts[d][cols[d]] for d in range(self.depth)])
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        if (self.depth, self.width, self.seed) != \
+                (other.depth, other.width, other.seed):
+            raise ValueError("CountMin merge requires identical (depth, width, seed)")
+        self.counts += other.counts
+        self.total += other.total
+        return self
+
+    def error_bound(self) -> float:
+        """ε·N with ε = e/width (overestimate bound w.p. ≥ 1 - e^-depth)."""
+        return float(np.e / self.width * self.total)
+
+    def to_bytes(self) -> bytes:
+        return self.counts.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, depth: int, width: int, seed: int,
+                   total: int = 0) -> "CountMin":
+        c = cls(depth=depth, width=width, seed=seed)
+        c.counts = np.frombuffer(data, dtype=np.int64) \
+            .reshape(depth, width).copy()
+        c.total = total
+        return c

@@ -250,6 +250,87 @@ class FilterLoadFactor(FilterSketch):
         return float("nan")
 
 
+class HllDistinct(AggregateFnV2):
+    """Per-group HyperLogLog distinct-count estimate (mergeable UDAF).
+
+    Accumulator = raw register bytes; combine = elementwise max (the HLL
+    merge) — no deserialization beyond a frombuffer.  ``finalize`` emits the
+    rounded estimate; standard error 1.04/sqrt(2^p).
+    """
+
+    def __init__(self, on: str, p: int = 12, seed: int = DEFAULT_SEED,
+                 alias_name: Optional[str] = None):
+        self._p = int(p)
+        self._seed = int(seed)
+        super().__init__(alias_name or f"hll_distinct({on})", on=on,
+                         ignore_nulls=True, zero_factory=lambda: None)
+
+    def aggregate_block(self, block: Block) -> bytes:
+        from ..kernels.sketches import HyperLogLog
+        h = HyperLogLog(p=self._p, seed=self._seed)
+        h.add_batch(_key_column(block, self._target_col_name))
+        return h.to_bytes()
+
+    def combine(self, current: Optional[bytes], new: Optional[bytes]) -> bytes:
+        if current is None:
+            return new
+        if new is None:
+            return current
+        a = np.frombuffer(current, dtype=np.uint8)
+        b = np.frombuffer(new, dtype=np.uint8)
+        return np.maximum(a, b).tobytes()
+
+    def finalize(self, accumulator: Optional[bytes]) -> int:
+        if accumulator is None:
+            return 0
+        from ..kernels.sketches import HyperLogLog
+        return int(round(HyperLogLog.from_bytes(accumulator, self._p,
+                                                self._seed).estimate()))
+
+
+class CountMinAgg(AggregateFnV2):
+    """Per-group Count-Min sketch (mergeable UDAF); finalize → sketch bytes
+    (reconstruct with ``CountMin.from_bytes``; the row's total rides along
+    in the first 8 bytes)."""
+
+    def __init__(self, on: str, depth: int = 5, width: int = 2048,
+                 seed: int = DEFAULT_SEED, alias_name: Optional[str] = None):
+        self._depth, self._width, self._seed = int(depth), int(width), int(seed)
+        super().__init__(alias_name or f"countmin({on})", on=on,
+                         ignore_nulls=True, zero_factory=lambda: None)
+
+    def _pack(self, cm) -> bytes:
+        return int(cm.total).to_bytes(8, "little") + cm.to_bytes()
+
+    def unpack(self, data: bytes):
+        from ..kernels.sketches import CountMin
+        total = int.from_bytes(data[:8], "little")
+        return CountMin.from_bytes(data[8:], self._depth, self._width,
+                                   self._seed, total=total)
+
+    def aggregate_block(self, block: Block) -> bytes:
+        from ..kernels.sketches import CountMin
+        cm = CountMin(depth=self._depth, width=self._width, seed=self._seed)
+        cm.add_batch(_key_column(block, self._target_col_name))
+        return self._pack(cm)
+
+    def combine(self, current: Optional[bytes], new: Optional[bytes]) -> bytes:
+        if current is None:
+            return new
+        if new is None:
+            return current
+        a, b = self.unpack(current), self.unpack(new)
+        a.merge(b)
+        return self._pack(a)
+
+    def finalize(self, accumulator: Optional[bytes]) -> bytes:
+        if accumulator is None:
+            from ..kernels.sketches import CountMin
+            return self._pack(CountMin(depth=self._depth, width=self._width,
+                                       seed=self._seed))
+        return accumulator
+
+
 class ExactDistinct(AggregateFnV2):
     """Exact per-group distinct count of a uint64 key column.
 

@@ -195,3 +195,49 @@ def test_xor_16bit_tighter_fpr():
     assert f.contain_batch(keys).all()
     neg = splitmix64(300_000, seed=47)
     assert f.contain_batch(neg).mean() <= 2 / 65536
+
+
+# ------------------------------------------------------------- hll / countmin
+
+def test_hll_error_bound_and_merge():
+    from cuckoofilter_ray.kernels.sketches import HyperLogLog
+    n = 100_000
+    keys = splitmix64(n, seed=50)
+    h = HyperLogLog(p=12, seed=51)
+    h.add_batch(keys)
+    est = h.estimate()
+    assert abs(est - n) / n < h.rel_error_bound(), (est, n)
+    # merge associativity + idempotence: split adds == bulk add
+    a, b, c = (HyperLogLog(p=12, seed=51) for _ in range(3))
+    a.add_batch(keys[:30_000]); b.add_batch(keys[30_000:]); c.add_batch(keys)
+    a.merge(b)
+    assert (a.registers == c.registers).all()
+    a.merge(c)   # idempotent under max
+    assert (a.registers == c.registers).all()
+
+
+def test_hll_small_range_linear_counting():
+    from cuckoofilter_ray.kernels.sketches import HyperLogLog
+    h = HyperLogLog(p=12, seed=52)
+    keys = splitmix64(200, seed=53)
+    h.add_batch(keys)
+    assert abs(h.estimate() - 200) / 200 < 0.05
+
+
+def test_countmin_bounds_and_merge():
+    from cuckoofilter_ray.kernels.sketches import CountMin
+    rng = np.random.default_rng(6)
+    # zipf-ish frequencies over 200 distinct keys
+    keys = splitmix64(200, seed=54)
+    freqs = (2000 / np.arange(1, 201)).astype(np.int64) + 1
+    stream = np.repeat(keys, freqs)
+    cm = CountMin(depth=5, width=2048, seed=55)
+    cm.add_batch(stream)
+    est = cm.estimate_batch(keys)
+    assert (est >= freqs).all(), "count-min must never underestimate"
+    assert (est <= freqs + cm.error_bound()).all()
+    # merge == bulk
+    a, b = CountMin(seed=55), CountMin(seed=55)
+    a.add_batch(stream[:5000]); b.add_batch(stream[5000:])
+    a.merge(b)
+    assert (a.counts == cm.counts).all() and a.total == cm.total
