@@ -225,6 +225,34 @@ def q_countmin_events(sf_dir: str):
                          "n_events": [int(v) for v in ests]})
 
 
+def q_quantile_prices(sf_dir: str):
+    """Mergeable bottom-k quantile sketch over o_totalprice: sample quantiles
+    must sit within the 3σ RANK band of the exact distribution (exact CDF
+    computed Ray-side; the SQL oracle asserts the verdict)."""
+    from cuckoofilter_ray.stages.aggregate import (QuantileSketchAgg,
+                                                   pack_uid_value)
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_totalprice"])
+    keyed = orders.map_batches(
+        pack_uid_value, batch_format="pyarrow", batch_size=None,
+        fn_kwargs={"uid_col": "o_orderkey", "val_col": "o_totalprice"})
+    agg = QuantileSketchAgg(on="uv16", k=4096, seed=SEED, alias_name="qs")
+    sketch = agg.unpack(keyed.aggregate(agg)["qs"])
+    exact = np.sort(np.concatenate([
+        b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        for b in orders.iter_batches(batch_size=1 << 20,
+                                     batch_format="pyarrow")]))
+    n = len(exact)
+    out = []
+    for q in (0.5, 0.9, 0.99):
+        est = float(sketch.quantile(q))
+        rank = np.searchsorted(exact, est) / n
+        out.append({"quantile": f"p{int(q * 100)}",
+                    "within_bound": bool(abs(rank - q) <=
+                                         sketch.rank_error_bound())})
+    return pd.DataFrame(out)
+
+
 def q_dedup_exact(sf_dir: str):
     """Exact dedup winners: min doc_id per distinct content hash."""
     keyed = _docs_keyed(sf_dir)
@@ -543,6 +571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_texts": q_distinct_texts,
         "hll_distinct": q_hll_distinct,
         "countmin_events": q_countmin_events,
+        "quantile_prices": q_quantile_prices,
         "dedup_exact": q_dedup_exact,
         "doc_sha256": q_doc_sha256,
         "filter_semijoin": q_filter_semijoin,
@@ -594,6 +623,9 @@ def oracle_sql() -> dict[str, str]:
         "countmin_events":
             "SELECT event_type, count(*) AS n_events FROM events "
             "GROUP BY event_type",
+        "quantile_prices":
+            "SELECT 'p' || q AS quantile, true AS within_bound "
+            "FROM (VALUES (50), (90), (99)) t(q)",
         "dedup_exact":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "doc_sha256":

@@ -89,6 +89,80 @@ class HyperLogLog:
         return h
 
 
+class BottomKQuantile:
+    """Mergeable quantile sketch: a bottom-k (KMV) uniform row sample.
+
+    Each row gets priority ``mix_split(uid, seed)``; the sketch keeps the k
+    pairs with smallest priority.  Merge = bottom-k of the union —
+    associative, commutative and idempotent, so it composes as a UDAF like
+    the other sketches.  Quantile estimates are sample quantiles with rank
+    error O(1/sqrt(k)); the k-th smallest priority also yields a KMV
+    distinct-count estimate for free.
+    """
+
+    KIND = "bottomk"
+
+    __slots__ = ("k", "seed", "prio", "vals")
+
+    def __init__(self, k: int = 4096, seed: int = DEFAULT_SEED):
+        self.k = int(k)
+        self.seed = int(seed) & 0xFFFFFFFFFFFFFFFF
+        self.prio = np.empty(0, dtype=np.uint64)
+        self.vals = np.empty(0, dtype=np.float64)
+
+    def _trim(self) -> None:
+        if len(self.prio) > self.k:
+            keep = np.argpartition(self.prio, self.k - 1)[:self.k]
+            self.prio = self.prio[keep]
+            self.vals = self.vals[keep]
+
+    def add_batch(self, uids, values) -> None:
+        uids = np.asarray(uids, dtype=np.uint64)
+        if len(uids) == 0:
+            return
+        p = mix_split(uids, self.seed)
+        self.prio = np.concatenate([self.prio, p])
+        self.vals = np.concatenate(
+            [self.vals, np.asarray(values, dtype=np.float64)])
+        self._trim()
+
+    def merge(self, other: "BottomKQuantile") -> "BottomKQuantile":
+        if (self.k, self.seed) != (other.k, other.seed):
+            raise ValueError("bottom-k merge requires identical (k, seed)")
+        self.prio = np.concatenate([self.prio, other.prio])
+        self.vals = np.concatenate([self.vals, other.vals])
+        self._trim()
+        return self
+
+    def quantile(self, q) -> np.ndarray:
+        if len(self.vals) == 0:
+            return np.full(np.shape(q), np.nan)
+        return np.quantile(self.vals, q)
+
+    def rank_error_bound(self, sigmas: float = 3.0) -> float:
+        """Rank error of a sample quantile: ~sigmas·sqrt(q(1-q)/k) ≤ that at
+        q=0.5."""
+        return sigmas * 0.5 / np.sqrt(max(1, min(self.k, len(self.vals))))
+
+    def distinct_estimate(self) -> float:
+        """KMV: (k-1) / max_kept_priority (normalized)."""
+        if len(self.prio) < self.k:
+            return float(len(np.unique(self.prio)))
+        return (self.k - 1) / (float(self.prio.max()) / float(2**64))
+
+    def to_bytes(self) -> bytes:
+        return len(self.prio).to_bytes(8, "little") + \
+            self.prio.tobytes() + self.vals.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, k: int, seed: int) -> "BottomKQuantile":
+        s = cls(k=k, seed=seed)
+        n = int.from_bytes(data[:8], "little")
+        s.prio = np.frombuffer(data[8:8 + 8 * n], dtype=np.uint64).copy()
+        s.vals = np.frombuffer(data[8 + 8 * n:8 + 16 * n], dtype=np.float64).copy()
+        return s
+
+
 class CountMin:
     """Count-Min frequency sketch over uint64 keys."""
 

@@ -331,6 +331,79 @@ class CountMinAgg(AggregateFnV2):
         return accumulator
 
 
+def pack_uid_value(batch: pa.Table, uid_col: str, val_col: str,
+                   out_col: str = "uv16") -> pa.Table:
+    """Pack (uid: uint64, value: float64) into one fixed-size-binary(16)
+    column — ray's aggregate prunes every column except the one it's `on`,
+    so multi-input sketches ride in a single packed column."""
+    uids = batch.column(uid_col).to_numpy(zero_copy_only=False) \
+        .astype(np.uint64, copy=False)
+    vals = batch.column(val_col).to_numpy(zero_copy_only=False) \
+        .astype(np.float64, copy=False)
+    arr = np.empty((len(uids), 2), dtype=np.uint64)
+    arr[:, 0] = uids
+    arr[:, 1] = vals.view(np.uint64)
+    col = pa.Array.from_buffers(pa.binary(16), len(uids),
+                                [None, pa.py_buffer(arr.tobytes())])
+    return batch.append_column(out_col, col)
+
+
+def _unpack_uv16(tbl: pa.Table, col: str) -> tuple[np.ndarray, np.ndarray]:
+    arr = tbl.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    raw = np.frombuffer(arr.buffers()[1], dtype=np.uint64) \
+        .reshape(-1, 2)[arr.offset:arr.offset + len(arr)]
+    return raw[:, 0].copy(), raw[:, 1].copy().view(np.float64)
+
+
+class QuantileSketchAgg(AggregateFnV2):
+    """Per-group mergeable quantile sketch (bottom-k uniform row sample).
+
+    ``on`` is a packed (uid, value) fixed-size-binary(16) column produced by
+    :func:`pack_uid_value`; the uid's seeded hash is the sampling priority
+    (deterministic across runs and block splits).  finalize → sketch bytes
+    (``BottomKQuantile.from_bytes``).
+    """
+
+    def __init__(self, on: str, k: int = 4096,
+                 seed: int = DEFAULT_SEED, alias_name: Optional[str] = None):
+        self._k = int(k)
+        self._seed = int(seed)
+        super().__init__(alias_name or f"quantile_sketch({on})", on=on,
+                         ignore_nulls=True, zero_factory=lambda: None)
+
+    def _new(self):
+        from ..kernels.sketches import BottomKQuantile
+        return BottomKQuantile(k=self._k, seed=self._seed)
+
+    def unpack(self, data: bytes):
+        from ..kernels.sketches import BottomKQuantile
+        return BottomKQuantile.from_bytes(data, self._k, self._seed)
+
+    def aggregate_block(self, block: Block) -> bytes:
+        tbl = block if isinstance(block, pa.Table) else \
+            BlockAccessor.for_block(block).to_arrow()
+        uids, vals = _unpack_uv16(tbl, self._target_col_name)
+        s = self._new()
+        s.add_batch(uids, vals)
+        return s.to_bytes()
+
+    def combine(self, current: Optional[bytes], new: Optional[bytes]) -> bytes:
+        if current is None:
+            return new
+        if new is None:
+            return current
+        a, b = self.unpack(current), self.unpack(new)
+        a.merge(b)
+        return a.to_bytes()
+
+    def finalize(self, accumulator: Optional[bytes]) -> bytes:
+        if accumulator is None:
+            return self._new().to_bytes()
+        return accumulator
+
+
 class ExactDistinct(AggregateFnV2):
     """Exact per-group distinct count of a uint64 key column.
 

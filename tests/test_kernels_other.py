@@ -241,3 +241,26 @@ def test_countmin_bounds_and_merge():
     a.add_batch(stream[:5000]); b.add_batch(stream[5000:])
     a.merge(b)
     assert (a.counts == cm.counts).all() and a.total == cm.total
+
+
+def test_bottomk_quantile_rank_error_and_merge():
+    from cuckoofilter_ray.kernels.sketches import BottomKQuantile
+    n = 100_000
+    uids = splitmix64(n, seed=60)
+    vals = np.sort(splitmix64(n, seed=61).astype(np.float64))  # value i ≈ rank i
+    s = BottomKQuantile(k=4096, seed=62)
+    s.add_batch(uids, vals)
+    exact = np.sort(vals)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = float(s.quantile(q))
+        rank = np.searchsorted(exact, est) / n
+        assert abs(rank - q) <= s.rank_error_bound(), (q, rank)
+    # merge == bulk (bottom-k of union is order-independent)
+    a, b = BottomKQuantile(k=4096, seed=62), BottomKQuantile(k=4096, seed=62)
+    a.add_batch(uids[:40_000], vals[:40_000])
+    b.add_batch(uids[40_000:], vals[40_000:])
+    a.merge(b)
+    oa = np.argsort(a.prio); ob = np.argsort(s.prio)
+    assert (a.prio[oa] == s.prio[ob]).all() and (a.vals[oa] == s.vals[ob]).all()
+    # KMV distinct estimate within 10%
+    assert abs(s.distinct_estimate() - n) / n < 0.1
