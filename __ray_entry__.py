@@ -399,6 +399,40 @@ def q_events_by_type(sf_dir: str):
     return out.map_batches(round4, batch_format="pyarrow")
 
 
+def q_events_windowed(sf_dir: str):
+    """Tumbling hourly window per user: count + sum(value) — partial
+    pre-aggregation per block, shuffle of partials only."""
+    from cuckoofilter_ray.stages.relational import tumbling_window_agg
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id", "value"])
+    out = tumbling_window_agg(ev, ts_col="ts", key_col="user_id",
+                              value_col="value", window_us=3_600_000_000)
+
+    def fmt4(t: pa.Table) -> pa.Table:
+        # %.4f string on BOTH sides: arrow round() and duckdb round() can
+        # disagree by one ulp on small sums, which breaks exact compare
+        vals = t.column("total_value").to_numpy(zero_copy_only=False)
+        s = pa.array([f"{v:.4f}" for v in vals], pa.string())
+        return t.set_column(t.column_names.index("total_value"),
+                            "total_value", s)
+
+    return out.map_batches(fmt4, batch_format="pyarrow")
+
+
+def q_orders_join_customers(sf_dir: str):
+    """Partitioned hash join (both sides 'large'): orders ⋈ customer on
+    custkey → (o_orderkey, c_name, c_mktsegment)."""
+    from cuckoofilter_ray.stages.relational import hash_join
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_name",
+                                          "c_mktsegment"])
+    joined = hash_join(orders, cust, left_key="o_custkey",
+                       right_key="c_custkey", num_buckets=16)
+    return joined.select_columns(["o_orderkey", "c_name", "c_mktsegment"])
+
+
 def q_knn_cosine(sf_dir: str):
     """Exact brute-force cosine top-5 for query vectors 0..2 (rank only —
     float-compare-free output)."""
@@ -580,6 +614,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "events_by_type": q_events_by_type,
+        "events_windowed": q_events_windowed,
+        "orders_join_customers": q_orders_join_customers,
         "knn_cosine": q_knn_cosine,
         "embedding_neardup": q_embedding_neardup,
         # rows-only (no SQL equivalent):
@@ -657,6 +693,14 @@ def oracle_sql() -> dict[str, str]:
         "events_by_type":
             "SELECT event_type, count(*) AS n_events, "
             "round(sum(value), 4) AS total_value FROM events GROUP BY event_type",
+        "events_windowed":
+            "SELECT user_id, "
+            "CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS window_id, "
+            "count(*) AS n_events, printf('%.4f', sum(value)) AS total_value "
+            "FROM events GROUP BY user_id, window_id",
+        "orders_join_customers":
+            "SELECT o_orderkey, c_name, c_mktsegment FROM orders "
+            "JOIN customer ON o_custkey = c_custkey",
         "embedding_neardup":
             "SELECT a.vec_id AS lo_id, b.vec_id AS hi_id "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
