@@ -544,6 +544,16 @@ def q_neardup_verified(sf_dir: str):
     return verified.select_columns(["lo_id", "hi_id"])
 
 
+def q_neardup_clusters(sf_dir: str):
+    """Near-dup cluster assignment: minhash pairs → connected components via
+    min-label propagation (rows-only)."""
+    from cuckoofilter_ray.stages.dedup import minhash_lsh_pairs, neardup_clusters
+    pairs = minhash_lsh_pairs(_docs(sf_dir), column="text", id_col="doc_id",
+                              num_perm=64, bands=16, threshold=0.5,
+                              num_blocks=8)
+    return neardup_clusters(pairs)
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing (rows-only): opaque binary payload column →
     actor-pool decode stub → per-image channel features; video rows fan out
@@ -627,6 +637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q_fingerprints,
         "knn_lsh": q_knn_lsh,
         "neardup_verified": q_neardup_verified,
+        "neardup_clusters": q_neardup_clusters,
         "media_features": q_media_features,
     }
 

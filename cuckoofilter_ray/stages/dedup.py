@@ -266,6 +266,70 @@ def simhash_pairs(ds: "ray.data.Dataset", column: str = "text",
         .map_groups(bucket_pairs, batch_format="pandas")
 
 
+# ------------------------------------------------------ near-dup clustering
+
+def neardup_clusters(pairs: "ray.data.Dataset", id_col: str = "doc_id",
+                     max_rounds: int = 10) -> "ray.data.Dataset":
+    """Connected components over near-dup pairs → (id, cluster_id = min id).
+
+    Iterative min-label propagation on the PAIR graph (nodes = only ids that
+    appear in a pair — tiny relative to the corpus), each round a
+    ``hash_join`` of edges against labels plus a ``groupby(dst).min``; stops
+    at fixpoint or ``max_rounds`` (propagation needs O(diameter) rounds —
+    near-dup clusters are shallow in practice).  Keep-one dedup = keep rows
+    whose id == cluster_id.
+    """
+    from .relational import hash_join
+    from ray.data.aggregate import Min
+
+    edges = pairs.map_batches(
+        lambda t: pa.table({
+            "src": pa.concat_arrays([
+                t.column("lo_id").combine_chunks().cast(pa.int64()),
+                t.column("hi_id").combine_chunks().cast(pa.int64())]),
+            "dst": pa.concat_arrays([
+                t.column("hi_id").combine_chunks().cast(pa.int64()),
+                t.column("lo_id").combine_chunks().cast(pa.int64())]),
+        }), batch_format="pyarrow", batch_size=None)
+
+    def _arrow(ds):
+        return ds.map_batches(lambda t: t, batch_format="pyarrow",
+                              batch_size=None)
+
+    labels = _arrow(edges.map_batches(
+        lambda t: pa.table({"node": t.column("src"),
+                            "label": t.column("src")}),
+        batch_format="pyarrow", batch_size=None)
+        .groupby("node").aggregate(Min("label", alias_name="label")))
+
+    for _ in range(max_rounds):
+        msgs = hash_join(edges, labels, left_key="src", right_key="node",
+                         num_buckets=8)
+        # candidate label for dst = neighbor's label; keep own via union
+        cand = msgs.map_batches(
+            lambda t: pa.table({"node": t.column("dst"),
+                                "label": t.column("label")}),
+            batch_format="pyarrow", batch_size=None).union(labels)
+        new_labels = _arrow(cand.groupby("node").aggregate(
+            Min("label", alias_name="label"))).materialize()
+        changed = hash_join(new_labels, labels, left_key="node",
+                            right_key="node", suffixes=("_new", "_old"),
+                            num_buckets=8).map_batches(
+            lambda t: pa.table({"n": pa.array(
+                [int((pa.compute.not_equal(t.column("label_new"),
+                                           t.column("label_old"))
+                      ).to_numpy(zero_copy_only=False).sum())], pa.int64())}),
+            batch_format="pyarrow", batch_size=None)
+        n_changed = sum(r["n"] for r in changed.take_all())
+        labels = new_labels
+        if n_changed == 0:
+            break
+    return labels.map_batches(
+        lambda t: pa.table({id_col: t.column("node"),
+                            "cluster_id": t.column("label")}),
+        batch_format="pyarrow", batch_size=None)
+
+
 # ----------------------------------------------------- exact jaccard verify
 
 def ngram_jaccard_verify(pairs: "ray.data.Dataset", docs_ref,

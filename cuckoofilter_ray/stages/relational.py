@@ -113,5 +113,9 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
             return pd.DataFrame(columns=["_k"] + l_names + r_names)
         return pd.merge(lg, rg, on="_k")
 
-    return both.groupby("_bucket").map_groups(join_bucket,
-                                              batch_format="pandas")
+    joined = both.groupby("_bucket").map_groups(join_bucket,
+                                                batch_format="pandas")
+    # normalize to Arrow blocks: pandas map_groups emits pandas blocks, which
+    # poison later unions/aggregates that expect one block type
+    return joined.map_batches(lambda t: t, batch_format="pyarrow",
+                              batch_size=None)

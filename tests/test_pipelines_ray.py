@@ -313,3 +313,15 @@ def test_filter_delete_stage(ray_mod):
                          batch_size=None,
                          fn_constructor_kwargs={"filters_ref": fref}).take_all()
     assert all(r["deleted"] for r in out)
+
+
+def test_neardup_clusters_label_propagation(ray_mod):
+    ray = ray_mod
+    from cuckoofilter_ray.stages.dedup import neardup_clusters
+    pairs = ray.data.from_arrow(pa.table({
+        "lo_id": pa.array([1, 2, 5, 9, 10], pa.int64()),
+        "hi_id": pa.array([2, 3, 6, 10, 11], pa.int64()),
+    }))
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in neardup_clusters(pairs).take_all()}
+    assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9, 10: 9, 11: 9}
