@@ -562,8 +562,14 @@ def q_media_features(sf_dir: str):
     from cuckoofilter_ray.stages.multimodal import (FrameSampler,
                                                     decode_images,
                                                     media_dataset_from_corpus)
+    def kind_is(k):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pa.compute.equal(t.column("kind"), k))
+        return fn
+
     media = media_dataset_from_corpus(1000, seed=7)
-    images = media.filter(lambda r: r["kind"] == "image")
+    images = media.map_batches(kind_is("image"), batch_format="pyarrow",
+                               batch_size=None)
     feats = decode_images(images, concurrency=2)
 
     def round3(t: pa.Table) -> pa.Table:
@@ -572,7 +578,8 @@ def q_media_features(sf_dir: str):
                              pa.compute.round(t.column(c), ndigits=3))
         return t
 
-    frames = media.filter(lambda r: r["kind"] == "video") \
+    frames = media.map_batches(kind_is("video"), batch_format="pyarrow",
+                               batch_size=None) \
         .map_batches(FrameSampler, batch_format="pyarrow", concurrency=2,
                      fn_constructor_kwargs={"n_frames": 4})
     n_frames = frames.count()
