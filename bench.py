@@ -193,6 +193,53 @@ def bench_full(ray, results: dict, extras: dict) -> None:
     results["knn_cosine"] = round(time.perf_counter() - t0, 4)
 
 
+def bench_config_sweep(ray, results: dict, extras: dict) -> None:
+    """Reference bulk-insert-and-query table analog: per filter config,
+    distributed build of N synthetic keys + mixed p=0.5 lookups, reporting
+    M adds/s, M finds/s, FPR and bits/item (BASELINE.md §bulk rows)."""
+    import ray.data as rd
+    from cuckoofilter_ray.kernels import filter_to_row
+    from cuckoofilter_ray.kernels.hashing import splitmix64
+    from cuckoofilter_ray.pipelines.build import build_single_filter
+    from cuckoofilter_ray.pipelines.membership import measure_single_filter
+
+    n = int(os.environ.get("BENCH_SWEEP_KEYS", 2_000_000))
+    n_probes = n
+    keys = splitmix64(n, seed=123)          # driver-side once; broadcast
+    inserted_ref = ray.put(keys)
+    keyed = rd.from_numpy(keys).map_batches(
+        lambda b: pa.table({"key_hi64": b.column("data")}),
+        batch_format="pyarrow", batch_size=None) \
+        .repartition(max(16, NUM_CPUS)).materialize()
+
+    table = {}
+    sweep_t0 = time.perf_counter()
+    for kind, bits in [("cuckoo", 8), ("cuckoo", 12), ("cuckoo", 16),
+                       ("semisort", 13), ("cuckoo-stable", 12),
+                       ("bloom", 12), ("blockedbloom", 8), ("xor", 8)]:
+        t0 = time.perf_counter()
+        filt = build_single_filter(keyed, capacity=n, kind=kind,
+                                   bits_per_tag=bits, seed=SEED)
+        build_s = time.perf_counter() - t0
+        # probes broadcast the raw16 form (frombuffer-cheap per worker);
+        # bits/item reports the bit-packed at-rest size
+        fref = ray.put(filter_to_row(filt, packed=False))
+        row = filter_to_row(filt)
+        t0 = time.perf_counter()
+        m = measure_single_filter(inserted_ref, fref, n_probes, p=0.5,
+                                  seed=321, num_blocks=max(16, NUM_CPUS))
+        probe_s = time.perf_counter() - t0
+        assert m["recall"] == 1.0, f"{kind}{bits}: recall {m['recall']}"
+        table[f"{kind}{bits}"] = {
+            "adds_mps": round(n / build_s / 1e6, 2),
+            "finds_mps": round(n_probes / probe_s / 1e6, 2),
+            "fpr": round(m["fpr"], 6),
+            "bits_per_item": round(len(row["table_bytes"]) * 8 / n, 2),
+        }
+    extras["config_sweep"] = table
+    results["config_sweep_total"] = round(time.perf_counter() - sweep_t0, 4)
+
+
 def run(headline_only: bool) -> dict:
     import ray
     from ray.data import DataContext
@@ -212,6 +259,7 @@ def run(headline_only: bool) -> dict:
     extras: dict = {}
     bench_headline(ray, results, extras)
     if not headline_only:
+        bench_config_sweep(ray, results, extras)
         bench_full(ray, results, extras)
 
     out = {

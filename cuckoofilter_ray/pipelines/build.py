@@ -166,7 +166,8 @@ def build_single_filter(ds: "ray.data.Dataset", key_col: str = "key_hi64",
     """Whole-dataset filter via the mergeable UDAF; returns the live kernel
     object on the driver (small: ~2 bytes/key)."""
     agg = FilterSketch(on=key_col, kind=kind, capacity=capacity,
-                       bits_per_tag=bits_per_tag, seed=seed, alias_name=SKETCH_COL)
+                       bits_per_tag=bits_per_tag, seed=seed,
+                       alias_name=SKETCH_COL, pack_final=False)
     out = ds.aggregate(agg)
     from ..kernels import deserialize
     return deserialize(out[SKETCH_COL])

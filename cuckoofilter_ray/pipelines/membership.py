@@ -200,6 +200,56 @@ def probe_dataset(workload: "ray.data.Dataset", filters_ref,
                                "group_col": group_col, "sketch_col": sketch_col})
 
 
+_SINGLE_CACHE: dict = {}
+
+
+def single_gen_probe_fn(batch: pa.Table, *, inserted_ref=None, filter_ref=None,
+                        p=0.5, seed: int = 1234) -> pa.Table:
+    """Fused gen+probe+count against ONE broadcast filter of any kind
+    (cuckoo / semisort / stable / bloom / blockedbloom / xor) — the
+    kind-generic benchmark loop (per-worker cached state, task-pool
+    fusable)."""
+    from ..kernels import row_to_filter
+    key = (filter_ref.hex(),)
+    filt = _SINGLE_CACHE.get(key)
+    if filt is None:
+        row = ray.get(filter_ref)
+        filt = _SINGLE_CACHE[key] = row_to_filter(row)
+    gkey = (inserted_ref.hex() if inserted_ref is not None else None,
+            str(p), seed, 0)
+    gen = _GEN_CACHE.get(gkey)
+    if gen is None:
+        gen = _GEN_CACHE[gkey] = _WorkloadGen(inserted_ref, p, seed, 0)
+    wl = gen(batch)
+    keys = wl.column("key_hi64").to_numpy(zero_copy_only=False) \
+        .astype(np.uint64, copy=False)
+    exp = wl.column("expect_member").to_numpy(zero_copy_only=False)
+    got = filt.contain_batch(keys)
+    return pa.table({
+        "n_pos": pa.array([int(exp.sum())], pa.int64()),
+        "n_pos_found": pa.array([int((exp & got).sum())], pa.int64()),
+        "n_neg": pa.array([int((~exp).sum())], pa.int64()),
+        "n_neg_found": pa.array([int((~exp & got).sum())], pa.int64()),
+    })
+
+
+def measure_single_filter(inserted_ref, filter_ref, n_probes: int,
+                          p=0.5, seed: int = 1234,
+                          num_blocks: int = 32) -> dict:
+    """Distributed recall/FPR measurement against one broadcast filter."""
+    parts = ray.data.range(n_probes, override_num_blocks=num_blocks) \
+        .map_batches(single_gen_probe_fn, batch_format="pyarrow",
+                     batch_size=None,
+                     fn_kwargs={"inserted_ref": inserted_ref,
+                                "filter_ref": filter_ref, "p": p,
+                                "seed": seed}).to_pandas()
+    n_pos, n_pos_f = int(parts["n_pos"].sum()), int(parts["n_pos_found"].sum())
+    n_neg, n_neg_f = int(parts["n_neg"].sum()), int(parts["n_neg_found"].sum())
+    return {"n_probes": n_pos + n_neg,
+            "recall": (n_pos_f / n_pos) if n_pos else 1.0,
+            "fpr": (n_neg_f / n_neg) if n_neg else 0.0}
+
+
 def delete_keys_partitioned(filters_rows, delete_ds: "ray.data.Dataset",
                             num_shards: int, key_col: str = "key_hi64"
                             ) -> "ray.data.Dataset":

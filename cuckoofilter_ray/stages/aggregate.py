@@ -62,11 +62,15 @@ class FilterSketch(AggregateFnV2):
 
     def __init__(self, on: str, kind: str = "cuckoo", capacity: int = 1 << 16,
                  bits_per_tag: int = 12, seed: int = DEFAULT_SEED,
-                 alias_name: Optional[str] = None):
+                 alias_name: Optional[str] = None, pack_final: bool = True):
         self._kind = kind
         self._capacity = int(capacity)
         self._bits = int(bits_per_tag)
         self._seed = int(seed)
+        # pack_final=False skips the bit-pack codec in finalize — right when
+        # the result is immediately deserialized (broadcast probe state)
+        # rather than written at rest
+        self._pack_final = bool(pack_final)
         super().__init__(alias_name or f"{kind}_sketch({on})", on=on,
                          ignore_nulls=True, zero_factory=lambda: None)
 
@@ -128,8 +132,9 @@ class FilterSketch(AggregateFnV2):
     def finalize(self, accumulator: Optional[bytes]) -> bytes:
         if accumulator is None:
             filt = make_filter(self._kind, self._capacity, self._seed, self._bits)
-            return serialize(filt)
-        return serialize(self._densify(pickle.loads(accumulator)))
+            return serialize(filt, packed=self._pack_final)
+        return serialize(self._densify(pickle.loads(accumulator)),
+                         packed=self._pack_final)
 
 
 #: bulk-build-only structures: accumulators stay sparse (raw keys) all the
