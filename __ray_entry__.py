@@ -259,6 +259,26 @@ def q_dedup_exact(sf_dir: str):
     return exact_dedup_ids(keyed, key_col="sha_hex", id_col="doc_id")
 
 
+def q_dedup_incremental(sf_dir: str):
+    """AMQ-prescreened incremental dedup: docs with doc_id < 250 are the
+    already-ingested corpus (broadcast cuckoo filter + exact verify); emit
+    first-occurrence ids of texts NOT in the prior corpus."""
+    from cuckoofilter_ray.kernels import filter_to_row
+    from cuckoofilter_ray.pipelines.build import build_single_filter
+    from cuckoofilter_ray.stages.dedup import exact_dedup_filter
+    keyed = _docs_keyed(sf_dir)
+    prior = keyed.map_batches(
+        lambda t: t.filter(pa.compute.less(t.column("doc_id"), 250)),
+        batch_format="pyarrow", batch_size=None)
+    filt = build_single_filter(prior, capacity=4096, kind="cuckoo", seed=SEED)
+    prior_keys = np.sort(np.array(
+        [r["key_hi64"] for r in prior.select_columns(["key_hi64"]).take_all()],
+        dtype=np.uint64))
+    fref = ray.put(filter_to_row(filt))
+    eref = ray.put(prior_keys)
+    return exact_dedup_filter(keyed, fref, exact_ref=eref)
+
+
 def q_doc_sha256(sf_dir: str):
     """Per-row sha256 hex — the content-equality invariant vs the reference."""
     keyed = derive_keys(_docs(sf_dir), content_col="text")
@@ -624,6 +644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_events": q_countmin_events,
         "quantile_prices": q_quantile_prices,
         "dedup_exact": q_dedup_exact,
+        "dedup_incremental": q_dedup_incremental,
         "doc_sha256": q_doc_sha256,
         "filter_semijoin": q_filter_semijoin,
         "filter_antijoin": q_filter_antijoin,
@@ -682,6 +703,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM (VALUES (50), (90), (99)) t(q)",
         "dedup_exact":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "dedup_incremental":
+            "WITH prior AS (SELECT DISTINCT text FROM documents "
+            "WHERE doc_id < 250) "
+            "SELECT min(doc_id) AS doc_id FROM documents "
+            "WHERE text NOT IN (SELECT text FROM prior) GROUP BY text",
         "doc_sha256":
             "SELECT doc_id, sha256(text) AS sha_hex FROM documents",
         "filter_semijoin":

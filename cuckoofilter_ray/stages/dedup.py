@@ -15,7 +15,8 @@ for training-data pipelines:
                          estimated Jaccard (ray_guide near-dup pattern).
 - ``simhash64``          64-bit simhash; near-dup = Hamming ≤ r via 4×16-bit
                          band blocking.
-- ``ngram_jaccard_pairs`` exact Jaccard verify over candidate pairs.
+- ``ngram_jaccard_verify`` exact Jaccard verify over candidate pairs.
+- ``neardup_clusters``   connected components over near-dup pairs.
 
 All hashing is seeded splitmix64/mix-split — deterministic across runs and
 workers (the distributed-merge discipline of SURVEY.md §4.3.1).
@@ -58,6 +59,36 @@ def exact_dedup_ids(ds: "ray.data.Dataset", key_col: str = "key_hi64",
     return ds.select_columns([key_col, id_col]) \
         .groupby(key_col).aggregate(Min(id_col, alias_name=id_col)) \
         .select_columns([id_col])
+
+
+def exact_dedup_filter(ds: "ray.data.Dataset", filter_ref,
+                       key_col: str = "key_hi64", id_col: str = "doc_id",
+                       exact_ref=None) -> "ray.data.Dataset":
+    """Incremental-ingest dedup with an AMQ prescreen (the north-star
+    "deduplication probe"): given a broadcast cuckoo filter of the ALREADY
+    ingested corpus, emit incoming rows that are new, deduped among
+    themselves.
+
+    - AMQ-negative rows are *definitely* not in the prior corpus (zero false
+      negatives) — they go straight to the self-dedup, no verification.
+    - AMQ-positive rows are either prior dups or false positives; with
+      ``exact_ref`` (sorted prior key array) they are verified exactly and
+      FPs rescued, else they are dropped (documented ε loss ≈ the filter's
+      FPR — the trade a 100 TB ingest makes to avoid shuffling the corpus).
+    - Self-dedup shuffles only (key, id) — min-id wins, like
+      :func:`exact_dedup_ids`.
+    """
+    from .membership import SemiJoinProbe
+
+    survivors = ds.map_batches(
+        SemiJoinProbe, batch_format="pyarrow", concurrency=2,
+        fn_constructor_kwargs={"filter_ref": filter_ref,
+                               "exact_ref": exact_ref,
+                               "key_col": key_col, "anti": True})
+    winners = survivors.select_columns([key_col, id_col]) \
+        .groupby(key_col).aggregate(Min(id_col, alias_name=id_col)) \
+        .select_columns([id_col])
+    return winners
 
 
 # ----------------------------------------------------------------- minhash

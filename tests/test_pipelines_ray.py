@@ -325,3 +325,27 @@ def test_neardup_clusters_label_propagation(ray_mod):
     out = {r["doc_id"]: r["cluster_id"]
            for r in neardup_clusters(pairs).take_all()}
     assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9, 10: 9, 11: 9}
+
+
+def test_exact_dedup_filter_incremental(ray_mod):
+    """AMQ-prescreened incremental dedup: prior-corpus rows dropped, new rows
+    deduped among themselves, FPs rescued by the exact verify."""
+    ray = ray_mod
+    from cuckoofilter_ray.kernels import CuckooFilter, filter_to_row
+    from cuckoofilter_ray.stages.dedup import exact_dedup_filter
+    prior_keys = splitmix64(4000, seed=71)
+    new_keys = splitmix64(3000, seed=72)
+    filt = CuckooFilter.create(8192, seed=SEED)
+    filt.add_batch(prior_keys)
+    fref = ray.put(filter_to_row(filt))
+    eref = ray.put(np.sort(prior_keys))
+    # incoming: all prior keys + new keys, each new key appearing twice
+    incoming_keys = np.concatenate([prior_keys, new_keys, new_keys])
+    ids = np.arange(len(incoming_keys), dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "key_hi64": pa.array(incoming_keys, pa.uint64()),
+        "doc_id": pa.array(ids, pa.int64())})).repartition(4)
+    got = sorted(r["doc_id"] for r in exact_dedup_filter(
+        ds, fref, exact_ref=eref).take_all())
+    # expected: first occurrence of each new key = ids 4000..6999
+    assert got == list(range(4000, 7000))
