@@ -306,18 +306,68 @@ class CuckooFilter:
         return found
 
     def delete_batch(self, keys) -> np.ndarray:
-        """Vectorized-precompute Delete (src/cuckoofilter.h:206-238).
-
-        Slot updates are per-row (deletes must consume one slot each when the
-        batch holds duplicates), but the hash work is batched.  Returns a bool
-        array: True = deleted, False = NotFound.
+        """Vectorized Delete (src/cuckoofilter.h:206-238) in scatter-race
+        rounds, like the insert path: per round, one delete per contested
+        bucket wins and consumes one matching slot (compact-remove); losers
+        retry, misses advance i1→i2, i2-misses are NotFound.  Duplicate
+        deletes in one batch each consume their own copy.  Falls back to the
+        sequential loop when a victim is parked (resurrection is
+        order-dependent, src/cuckoofilter.h:230-237 — and rare).
+        Returns bool array: True = deleted, False = NotFound.
         """
         keys = np.asarray(keys, dtype=np.uint64)
+        n = len(keys)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        if n > self._ADD_CHUNK:         # self-chunk like the other bulk ops
+            return np.concatenate([
+                self.delete_batch(keys[s:s + self._ADD_CHUNK])
+                for s in range(0, n, self._ADD_CHUNK)])
         i1s, tags = self._index_tag(keys)
         i2s = self.alt_index(i1s, tags)
-        out = np.zeros(len(keys), dtype=bool)
-        for k in range(len(keys)):
-            out[k] = self._delete_one(int(i1s[k]), int(i2s[k]), int(tags[k]))
+        out = np.zeros(n, dtype=bool)
+        if self.victim_used or n == 1:
+            for k in range(n):
+                out[k] = self._delete_one(int(i1s[k]), int(i2s[k]), int(tags[k]))
+            return out
+        if self._scratch is None:
+            self._scratch = np.empty(self.num_buckets, dtype=np.int64)
+        cur_b = i1s.copy()
+        phase = np.zeros(n, dtype=np.int8)
+        active = np.arange(n)
+        n_deleted = 0
+        while len(active):
+            b = cur_b[active]
+            pos = np.arange(len(active))
+            self._scratch[b] = pos
+            winner = self._scratch[b] == pos
+            wpos = np.flatnonzero(winner)
+            w = active[wpos]
+            bw = cur_b[w]                      # unique buckets this round
+            occ_w = self.occ[bw].astype(np.int64)
+            rows = self.tags[bw]               # (m, 4)
+            hits = (rows == tags[w][:, None]) & \
+                (np.arange(TAGS_PER_BUCKET)[None, :] < occ_w[:, None])
+            has_hit = hits.any(axis=1)
+            slot = hits.argmax(axis=1)
+            # compact-remove for winners with a hit (bw unique ⇒ safe scatter)
+            hb, hs, ho = bw[has_hit], slot[has_hit], occ_w[has_hit]
+            self.tags[hb, hs] = self.tags[hb, ho - 1]
+            self.tags[hb, ho - 1] = 0
+            self.occ[hb] = (ho - 1).astype(np.uint8)
+            n_deleted += len(hb)
+            out[w[has_hit]] = True
+            # winners that missed at i1 advance to i2; i2-misses are NotFound
+            was0 = phase[w] == 0
+            adv = w[~has_hit & was0]
+            cur_b[adv] = i2s[adv]
+            phase[adv] = 1
+            # keep losers (retry same bucket) and advanced winners; drop
+            # successes and phase-1 misses
+            keep_mask = np.ones(len(active), dtype=bool)
+            keep_mask[wpos[has_hit | ~was0]] = False
+            active = active[keep_mask]
+        self.num_items -= n_deleted
         return out
 
     def _delete_one(self, i1: int, i2: int, tag: int) -> bool:

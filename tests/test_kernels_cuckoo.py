@@ -240,3 +240,24 @@ def test_model_based_random_ops():
         assert f.num_items == sum(model.values())
 
     run()
+
+
+def test_vectorized_delete_matches_scalar():
+    """Bulk delete (scatter-race rounds) ≡ sequential Delete at value level:
+    same success count, same num_items, survivor invariant on both paths,
+    duplicate deletes each consume their own copy."""
+    rng = np.random.default_rng(8)
+    keys = splitmix64(30_000, seed=80)
+    dup = rng.choice(keys, 3_000)
+    fa = CuckooFilter.create(50_000, seed=9)
+    fb = CuckooFilter.create(50_000, seed=9)
+    fa.add_batch(np.concatenate([keys, dup]))
+    fb.add_batch(np.concatenate([keys, dup]))
+    dele = np.concatenate([rng.choice(keys, 12_000, replace=False), dup[:1_000]])
+    ra = fa.delete_batch(dele)
+    rb = np.array([fb.delete(int(k)) == OK for k in dele])
+    assert ra.all() and rb.all()
+    assert fa.num_items == fb.num_items == 33_000 - len(dele)
+    remaining = np.setdiff1d(keys, dele)
+    assert fa.contain_batch(remaining).all()
+    assert fb.contain_batch(remaining).all()
