@@ -389,3 +389,50 @@ def ngram_jaccard_verify(pairs: "ray.data.Dataset", docs_ref,
             return out.filter(pa.array(np.asarray(jac) >= threshold))
 
     return pairs.map_batches(Verify, batch_format="pyarrow", concurrency=2)
+
+
+def ngram_jaccard_verify_joined(pairs: "ray.data.Dataset",
+                                docs: "ray.data.Dataset",
+                                id_col: str = "doc_id",
+                                text_col: str = "text", shingle_k: int = 5,
+                                seed: int = 777,
+                                threshold: float = 0.5) -> "ray.data.Dataset":
+    """Scale path of :func:`ngram_jaccard_verify`: texts are JOINED to the
+    candidate pairs (two bucketed hash joins) instead of broadcast — the
+    corpus never has to fit in one worker's memory.  Candidates are rare, so
+    both joins move only the pair rows plus the texts they touch... on the
+    pair side; the docs side shuffles its (id, text) projection once per
+    join, which is the price of generality (prune `docs` first when a
+    candidate-id filter is available — e.g. a cuckoo filter of pair ids)."""
+    from .relational import hash_join
+
+    d = docs.select_columns([id_col, text_col])
+    j1 = hash_join(pairs.select_columns(["lo_id", "hi_id"]), d,
+                   left_key="lo_id", right_key=id_col, num_buckets=8)
+    j1 = j1.map_batches(
+        lambda t: t.rename_columns(
+            ["lo_id" if c == "_k" else ("text_lo" if c == text_col else c)
+             for c in t.column_names]),
+        batch_format="pyarrow", batch_size=None)
+    j2 = hash_join(j1, d, left_key="hi_id", right_key=id_col, num_buckets=8)
+    j2 = j2.map_batches(
+        lambda t: t.rename_columns(
+            ["hi_id" if c == "_k" else ("text_hi" if c == text_col else c)
+             for c in t.column_names]),
+        batch_format="pyarrow", batch_size=None)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lo_t = batch.column("text_lo").to_pylist()
+        hi_t = batch.column("text_hi").to_pylist()
+        jac = []
+        for a, b in zip(lo_t, hi_t):
+            sa = _shingle_hashes(a or "", shingle_k, seed)
+            sb = _shingle_hashes(b or "", shingle_k, seed)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac.append(inter / union if union else 1.0)
+        out = batch.select(["lo_id", "hi_id"]) \
+            .append_column("jaccard", pa.array(jac, pa.float64()))
+        return out.filter(pa.array(np.asarray(jac) >= threshold))
+
+    return j2.map_batches(verify, batch_format="pyarrow", batch_size=None)

@@ -349,3 +349,23 @@ def test_exact_dedup_filter_incremental(ray_mod):
         ds, fref, exact_ref=eref).take_all())
     # expected: first occurrence of each new key = ids 4000..6999
     assert got == list(range(4000, 7000))
+
+
+def test_jaccard_verify_joined_matches_broadcast(ray_mod):
+    ray = ray_mod
+    from cuckoofilter_ray.stages.dedup import (minhash_lsh_pairs,
+                                               ngram_jaccard_verify,
+                                               ngram_jaccard_verify_joined)
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, column="text", id_col="doc_id",
+                              num_perm=64, bands=16, threshold=0.4,
+                              num_blocks=4).materialize()
+    id_text = {r["doc_id"]: r["text"]
+               for r in docs.select_columns(["doc_id", "text"]).take_all()}
+    a = {(r["lo_id"], r["hi_id"]): round(r["jaccard"], 9)
+         for r in ngram_jaccard_verify(pairs, ray.put(id_text),
+                                       threshold=0.4).take_all()}
+    b = {(r["lo_id"], r["hi_id"]): round(r["jaccard"], 9)
+         for r in ngram_jaccard_verify_joined(pairs, docs,
+                                              threshold=0.4).take_all()}
+    assert a == b and len(a) > 0
