@@ -193,6 +193,51 @@ def bench_full(ray, results: dict, extras: dict) -> None:
     results["knn_cosine"] = round(time.perf_counter() - t0, 4)
 
 
+def bench_at_capacity(ray, results: dict, extras: dict) -> None:
+    """conext-figure5 analog: probe sweep against a partitioned filter FILLED
+    to the 0.94 load target (the reference's 'at capacity' regime; its CF-12
+    lookup numbers there are 25.9-26.1 M/s single-thread, FPR 0.18%)."""
+    import ray.data as rd
+    from cuckoofilter_ray.pipelines.build import build_partitioned_filter
+    from cuckoofilter_ray.pipelines.membership import workload_gen_fn
+    from cuckoofilter_ray.stages.membership import filters_to_ref
+    from cuckoofilter_ray.stages.sweep import run_sweep
+    from cuckoofilter_ray.kernels.hashing import splitmix64
+
+    shards, nb = 32, 1 << 14
+    per_shard = int(0.94 * 4 * nb)   # sized so create() keeps nb (no doubling)
+    n = per_shard * shards           # fills every shard to the 0.94 target
+    keys = splitmix64(n, seed=222)
+    iref = ray.put(keys)
+    keyed = rd.from_numpy(keys).map_batches(
+        lambda b: pa.table({"key_hi64": b.column("data")}),
+        batch_format="pyarrow", batch_size=None) \
+        .repartition(max(16, NUM_CPUS)).materialize()
+    filters = build_partitioned_filter(keyed, num_shards=shards,
+                                       capacity_per_shard=per_shard,
+                                       kind="cuckoo", bits_per_tag=12,
+                                       seed=SEED)
+    rows = filters.take_all()
+    from cuckoofilter_ray.kernels import deserialize
+    slots = sum(deserialize(r["sketch"]).num_buckets * 4 for r in rows)
+    fref = filters_to_ref(rows, group_col="_shard")
+    n_probes = 16_000_000
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        m = run_sweep(iref, fref, n_probes, seed=333, num_shards=shards,
+                      num_blocks=max(16, NUM_CPUS))
+        best = min(best, time.perf_counter() - t0)
+    load = sum(r["num_items"] for r in rows) / slots
+    assert m["recall"] == 1.0, f"false negatives at capacity: {m['recall']}"
+    results["probe_at_capacity"] = round(best, 4)
+    extras["at_capacity"] = {
+        "load": round(load, 4),
+        "finds_mps": round(n_probes / best / 1e6, 2),
+        "fpr_pct": round(100 * m["fpr"], 4),
+    }
+
+
 def bench_config_sweep(ray, results: dict, extras: dict) -> None:
     """Reference bulk-insert-and-query table analog: per filter config,
     distributed build of N synthetic keys + mixed p=0.5 lookups, reporting
@@ -285,6 +330,7 @@ def run(headline_only: bool) -> dict:
     bench_headline(ray, results, extras)
     if not headline_only:
         bench_fill(extras)
+        bench_at_capacity(ray, results, extras)
         bench_config_sweep(ray, results, extras)
         bench_full(ray, results, extras)
 
