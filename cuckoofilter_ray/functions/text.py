@@ -115,14 +115,21 @@ def add_fingerprint(batch: pa.Table, column: str = "text",
     with B = 1000003 — a content fingerprint cheap enough for 100 TB scans.
     """
     texts = batch.column(column).to_pylist()
-    B = 1000003
-    MASK = (1 << 64) - 1
+    B = np.uint64(1000003)
+    norm = [" ".join((t or "").split()) + " " if t and t.split() else ""
+            for t in texts]
+    max_len = max((len(s) for s in norm), default=0)
+    # B^k mod 2^64 via wrapping cumprod; Horner(s) == dot(codes, B^{L-1-i})
+    powers = np.ones(max(1, max_len), dtype=np.uint64)
+    if max_len > 1:
+        powers[1:] = B
+        np.cumprod(powers, out=powers)
     out = np.empty(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        h = 0
-        for tok in (t or "").split():
-            for ch in tok:
-                h = (h * B + ord(ch)) & MASK
-            h = (h * B + 32) & MASK
-        out[i] = h
+    for i, s in enumerate(norm):
+        if not s:
+            out[i] = 0
+            continue
+        codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32) \
+            .astype(np.uint64)
+        out[i] = (codes * powers[len(s) - 1::-1]).sum()
     return batch.append_column(out_col, pa.array(out, pa.uint64()))
