@@ -351,12 +351,14 @@ def q_delete_partitioned(sf_dir: str):
     from cuckoofilter_ray.pipelines.membership import delete_keys_partitioned
     from cuckoofilter_ray.stages.membership import PartitionedFilterProbe
 
+    n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    per_shard = 1 << max(12, (int(n_orders / 8 / 0.85) - 1).bit_length())
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_orderkey", "o_orderstatus"])
     keyed = orders.map_batches(add_int_keys, batch_format="pyarrow",
                                fn_kwargs={"column": "o_orderkey"})
     filters = build_partitioned_filter(keyed, num_shards=8,
-                                       capacity_per_shard=1 << 15, seed=SEED)
+                                       capacity_per_shard=per_shard, seed=SEED)
     dele = keyed.map_batches(
         lambda t: t.filter(pa.compute.equal(t.column("o_orderstatus"), "F")),
         batch_format="pyarrow")
@@ -411,12 +413,15 @@ def q_events_by_type(sf_dir: str):
     out = ev.groupby("event_type").aggregate(
         Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
 
-    def round4(t: pa.Table) -> pa.Table:
-        s = pa.compute.round(t.column("total_value"), ndigits=4)
+    def fmt4(t: pa.Table) -> pa.Table:
+        # %.4f string on BOTH sides (see events_windowed): arrow and duckdb
+        # round() can differ by one ulp on float sums
+        vals = t.column("total_value").to_numpy(zero_copy_only=False)
+        s = pa.array([f"{v:.4f}" for v in vals], pa.string())
         return t.set_column(t.column_names.index("total_value"),
                             "total_value", s)
 
-    return out.map_batches(round4, batch_format="pyarrow")
+    return out.map_batches(fmt4, batch_format="pyarrow")
 
 
 def q_events_windowed(sf_dir: str):
@@ -736,7 +741,8 @@ def oracle_sql() -> dict[str, str]:
             r", 6) AS quality_score FROM documents",
         "events_by_type":
             "SELECT event_type, count(*) AS n_events, "
-            "round(sum(value), 4) AS total_value FROM events GROUP BY event_type",
+            "printf('%.4f', sum(value)) AS total_value "
+            "FROM events GROUP BY event_type",
         "events_windowed":
             "SELECT user_id, "
             "CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS window_id, "

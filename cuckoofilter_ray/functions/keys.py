@@ -34,7 +34,14 @@ def add_content_keys(batch: pa.Table, column: str = "content",
 
 
 def add_int_keys(batch: pa.Table, column: str, key_col: str = "key_hi64") -> pa.Table:
-    """uint64 key column from an integer column (identity reinterpret) —
-    for probing filters keyed on raw integers (reference's native item type)."""
-    keys = batch.column(column).to_numpy(zero_copy_only=False).astype(np.uint64)
-    return batch.append_column(key_col, pa.array(keys, type=pa.uint64()))
+    """uint64 key column from an integer column, murmur-mixed.
+
+    Raw integer ids (orderkeys etc.) have empty high bits, which would send
+    every row to shard 0 of a partitioned filter (routing uses the key's top
+    bits); mixing makes the key uniform, and membership semantics are
+    unchanged (hash of the id stands in for the id, exactly like
+    sha256→key_hi64 stands in for content)."""
+    from ..kernels.hashing import mix_split
+    ids = batch.column(column).to_numpy(zero_copy_only=False).astype(np.uint64)
+    return batch.append_column(key_col, pa.array(mix_split(ids, 0x1D),
+                                                 type=pa.uint64()))

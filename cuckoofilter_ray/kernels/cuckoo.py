@@ -217,6 +217,7 @@ class CuckooFilter:
         kicks = np.zeros(len(cur_i), dtype=np.int32)
         phase = np.zeros(len(cur_i), dtype=np.int8)  # 0: at i1, 1: kick-on-full
         ok = 0
+        parked = 0
         overflow = 0
         while len(cur_i):
             placed, full = self._place_empty(cur_i, cur_t)
@@ -254,12 +255,14 @@ class CuckooFilter:
                         self.victim_index = int(cur_i[pos])
                         self.victim_tag = int(cur_t[pos])
                         self.victim_used = True
+                        parked += 1  # park returns Ok but does NOT count in
+                                     # num_items_ (src/cuckoofilter.h:177-181)
                     else:
                         overflow += 1
                 keep = ~dead
                 cur_i, cur_t, kicks, phase = cur_i[keep], cur_t[keep], kicks[keep], phase[keep]
         self.num_items += ok
-        return BulkResult(ok=ok, overflow=overflow)
+        return BulkResult(ok=ok + parked, overflow=overflow)
 
     # ------------------------------------------------------------- public bulk
 

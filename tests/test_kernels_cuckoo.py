@@ -203,7 +203,11 @@ def test_duplicate_flood_caps_at_two_buckets_plus_victim():
     assert f.victim_used and f.num_items == 8
     fb = CuckooFilter.create(10_000, seed=5)
     r = fb.add_batch(np.full(20, 123456, dtype=np.uint64))
-    assert r.ok == 8 and r.overflow == 11 and fb.victim_used
+    # ok counts Ok STATUSES (8 placements + 1 victim park, matching the
+    # scalar path); num_items counts stored tags only (cuckoofilter.h:177-181)
+    assert r.ok == 9 and r.overflow == 11 and fb.victim_used
+    assert fb.num_items == 8
+    assert r.ok + r.overflow == 20
 
 
 def test_model_based_random_ops():
