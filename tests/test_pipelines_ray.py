@@ -369,3 +369,20 @@ def test_jaccard_verify_joined_matches_broadcast(ray_mod):
          for r in ngram_jaccard_verify_joined(pairs, docs,
                                               threshold=0.4).take_all()}
     assert a == b and len(a) > 0
+
+
+def test_int_key_shard_routing_uniform(ray_mod):
+    """Regression: raw integer ids (empty high bits) must still spread across
+    every shard of a partitioned filter — add_int_keys mixes the id."""
+    ray = ray_mod
+    from cuckoofilter_ray.functions.keys import add_int_keys
+    ids = pa.table({"id": pa.array(np.arange(1, 8001, dtype=np.int64))})
+    keyed = ray.data.from_arrow(ids).map_batches(
+        add_int_keys, batch_format="pyarrow", fn_kwargs={"column": "id"})
+    rows = build_partitioned_filter(keyed, num_shards=8,
+                                    capacity_per_shard=4096,
+                                    seed=SEED).take_all()
+    per_shard = {r["_shard"]: r["num_items"] for r in rows}
+    assert len(per_shard) == 8
+    assert sum(per_shard.values()) == 8000
+    assert min(per_shard.values()) > 8000 / 8 * 0.7   # roughly uniform
