@@ -360,16 +360,31 @@ def run_scaling() -> dict:
     subsystem, which is the regime the 2 → 8 pair emulates."""
     lo = int(os.environ.get("SCALE_CPUS_LO", 2))
     hi = int(os.environ.get("SCALE_CPUS_HI", 8))
+    rounds = int(os.environ.get("SCALE_ROUNDS", 2))
     probes = os.environ.get("BENCH_PROBES", str(256_000_000))
     runs = {}
-    for cpus in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR,
-                   BENCH_PROBES=probes, BENCH_BUILD_KEYS="0")
-        proc = subprocess.run([sys.executable, __file__, "--headline"],
-                              capture_output=True, text=True, env=env,
-                              timeout=1800, cwd=os.path.dirname(os.path.abspath(__file__)))
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        runs[cpus] = json.loads(line)
+    # interleaved rounds, best time per cpu level: the shared host carries
+    # minute-scale background noise (repeated identical runs vary up to 2x),
+    # and a noise spike in either run corrupts the ratio in either direction;
+    # per-level minima estimate the machine's actual capability
+    for _ in range(rounds):
+        for cpus in (lo, hi):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
+                       GRAFT_SF_DIR=SF_DIR, BENCH_PROBES=probes,
+                       BENCH_BUILD_KEYS="0")
+            proc = subprocess.run([sys.executable, __file__, "--headline"],
+                                  capture_output=True, text=True, env=env,
+                                  timeout=1800,
+                                  cwd=os.path.dirname(os.path.abspath(__file__)))
+            line = [l for l in proc.stdout.splitlines()
+                    if l.startswith("{")][-1]
+            r = json.loads(line)
+            prev = runs.get(cpus)
+            if prev is None or (r["queries"]["build_lineitem"] +
+                                r["queries"]["probe_lineitem"]) < \
+                    (prev["queries"]["build_lineitem"] +
+                     prev["queries"]["probe_lineitem"]):
+                runs[cpus] = r
     thr = {c: (r["n_items"] + r["n_probes"]) /
               (r["queries"]["build_lineitem"] + r["queries"]["probe_lineitem"])
            for c, r in runs.items()}
