@@ -178,13 +178,15 @@ def q_hll_distinct(sf_dir: str):
     """Per-lang HyperLogLog distinct estimate vs exact: the estimate must sit
     inside the 3σ band (σ = 1.04/√m).  Ray side does the real comparison;
     the SQL oracle asserts the expected verdict."""
-    from cuckoofilter_ray.stages.aggregate import HllDistinct
+    from cuckoofilter_ray.stages.aggregate import (_sketch_from_bytes,
+                                                   build_grouped_sketches)
     keyed = _docs_keyed(sf_dir)
-    est = keyed.groupby("lang").aggregate(
-        HllDistinct(on="key_hi64", p=12, seed=SEED, alias_name="hll_est"))
+    params = {"p": 12, "seed": SEED}
+    est = build_grouped_sketches(keyed, "lang", "key_hi64", "hll", params)
     exact = keyed.groupby("lang").aggregate(
         ExactDistinct(on="key_hi64", alias_name="n_exact"))
-    e = {r["lang"]: r["hll_est"] for r in est.take_all()}
+    e = {r["lang"]: _sketch_from_bytes("hll", r["sketch"], params).estimate()
+         for r in est.take_all()}
     x = {r["lang"]: r["n_exact"] for r in exact.take_all()}
     bound = 3 * 1.04 / (1 << 12) ** 0.5
     return pd.DataFrame(sorted(

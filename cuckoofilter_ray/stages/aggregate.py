@@ -409,6 +409,105 @@ class QuantileSketchAgg(AggregateFnV2):
         return accumulator
 
 
+# ---------------------------------------------------------------- sketches
+# generic map-side-combine for the non-filter sketches (HLL / Count-Min /
+# bottom-k): same pattern as the filter build — vectorized per-block
+# grouping, accumulator rows shuffled, associative merge per group — so the
+# scale path never pays ray's sort-aggregate row walk.
+
+def make_sketch(kind: str, params: dict):
+    from ..kernels.sketches import BottomKQuantile, CountMin, HyperLogLog
+    if kind == "hll":
+        return HyperLogLog(p=params.get("p", 12), seed=params.get("seed", DEFAULT_SEED))
+    if kind == "countmin":
+        return CountMin(depth=params.get("depth", 5),
+                        width=params.get("width", 2048),
+                        seed=params.get("seed", DEFAULT_SEED))
+    if kind == "bottomk":
+        return BottomKQuantile(k=params.get("k", 4096),
+                               seed=params.get("seed", DEFAULT_SEED))
+    raise ValueError(f"unknown sketch kind {kind!r}")
+
+
+def _sketch_to_bytes(kind: str, s) -> bytes:
+    if kind == "countmin":
+        return int(s.total).to_bytes(8, "little") + s.to_bytes()
+    return s.to_bytes()
+
+
+def _sketch_from_bytes(kind: str, data: bytes, params: dict):
+    from ..kernels.sketches import BottomKQuantile, CountMin, HyperLogLog
+    if kind == "hll":
+        return HyperLogLog.from_bytes(data, params.get("p", 12),
+                                      params.get("seed", DEFAULT_SEED))
+    if kind == "countmin":
+        total = int.from_bytes(data[:8], "little")
+        return CountMin.from_bytes(data[8:], params.get("depth", 5),
+                                   params.get("width", 2048),
+                                   params.get("seed", DEFAULT_SEED), total=total)
+    if kind == "bottomk":
+        return BottomKQuantile.from_bytes(data, params.get("k", 4096),
+                                          params.get("seed", DEFAULT_SEED))
+    raise ValueError(f"unknown sketch kind {kind!r}")
+
+
+def sketch_partial_rows(batch: pa.Table, *, group_cols: list, key_col: str,
+                        kind: str, params: dict,
+                        value_col: Optional[str] = None,
+                        acc_col: str = "acc") -> pa.Table:
+    """Map-side combiner for sketches: one accumulator row per group per
+    block (bottomk also reads ``value_col``; others sketch the key stream)."""
+    import pandas as pd
+
+    keys = batch.column(key_col).to_numpy(zero_copy_only=False) \
+        .astype(np.uint64, copy=False)
+    vals = None
+    if value_col is not None:
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64, copy=False)
+    codes, uniques = pd.factorize(
+        batch.column(group_cols[0]).to_numpy(zero_copy_only=False))
+    order = np.argsort(codes, kind="stable")
+    bounds = np.searchsorted(codes[order], np.arange(len(uniques) + 1))
+    accs = []
+    for g in range(len(uniques)):
+        sel = order[bounds[g]:bounds[g + 1]]
+        s = make_sketch(kind, params)
+        if kind == "bottomk":
+            s.add_batch(keys[sel], vals[sel])
+        else:
+            s.add_batch(keys[sel])
+        accs.append(_sketch_to_bytes(kind, s))
+    return pa.table({group_cols[0]: pa.array(uniques),
+                     acc_col: pa.array(accs, pa.large_binary())})
+
+
+def build_grouped_sketches(ds, group_key: str, key_col: str, kind: str,
+                           params: Optional[dict] = None,
+                           value_col: Optional[str] = None):
+    """ds → Dataset[(group_key, sketch: binary)] via map-side combine."""
+    params = params or {}
+
+    partials = ds.map_batches(
+        sketch_partial_rows, batch_format="pyarrow", batch_size=None,
+        fn_kwargs={"group_cols": [group_key], "key_col": key_col,
+                   "kind": kind, "params": params, "value_col": value_col})
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        blobs = group.column("acc").to_pylist()
+        acc = _sketch_from_bytes(kind, blobs[0], params)
+        for b in blobs[1:]:
+            acc.merge(_sketch_from_bytes(kind, b, params))
+        return pa.table({
+            group_key: pa.array([group.column(group_key)[0].as_py()]),
+            "sketch": pa.array([_sketch_to_bytes(kind, acc)],
+                               pa.large_binary()),
+        })
+
+    return partials.groupby(group_key).map_groups(merge_group,
+                                                  batch_format="pyarrow")
+
+
 class ExactDistinct(AggregateFnV2):
     """Exact per-group distinct count of a uint64 key column.
 

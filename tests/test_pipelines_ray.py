@@ -386,3 +386,31 @@ def test_int_key_shard_routing_uniform(ray_mod):
     assert len(per_shard) == 8
     assert sum(per_shard.values()) == 8000
     assert min(per_shard.values()) > 8000 / 8 * 0.7   # roughly uniform
+
+
+def test_grouped_sketches_combine_path(ray_mod):
+    """Map-side-combine sketch builds match direct kernel results per group."""
+    ray = ray_mod
+    from cuckoofilter_ray.stages.aggregate import (_sketch_from_bytes,
+                                                   build_grouped_sketches,
+                                                   make_sketch)
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+    keyed = derive_keys(docs, content_col="text")
+    rows = keyed.select_columns(["lang", "key_hi64"]).take_all()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["key_hi64"])
+    for kind, params in [("hll", {"p": 12, "seed": 5}),
+                         ("countmin", {"width": 1024, "seed": 5})]:
+        out = {r["lang"]: r["sketch"] for r in build_grouped_sketches(
+            keyed, "lang", "key_hi64", kind, params).take_all()}
+        assert set(out) == set(by_lang)
+        for lang, ks in by_lang.items():
+            direct = make_sketch(kind, params)
+            direct.add_batch(np.array(ks, dtype=np.uint64))
+            got = _sketch_from_bytes(kind, out[lang], params)
+            if kind == "hll":
+                assert (got.registers == direct.registers).all()
+            else:
+                assert (got.counts == direct.counts).all()
+                assert got.total == direct.total
