@@ -198,6 +198,10 @@ def partial_filter_rows(batch: pa.Table, *, group_cols: list, key_col: str,
     """
     import pandas as pd
 
+    if len(batch) == 0:   # empty blocks must keep a typed schema (a python
+        return pa.table(  # [] column would infer null and break the union)
+            {c: batch.column(c) for c in group_cols} |
+            {acc_col: pa.array([], pa.large_binary())})
     keys = batch.column(key_col).to_numpy(zero_copy_only=False) \
         .astype(np.uint64, copy=False)
     if len(group_cols) == 1:
@@ -459,6 +463,9 @@ def sketch_partial_rows(batch: pa.Table, *, group_cols: list, key_col: str,
     block (bottomk also reads ``value_col``; others sketch the key stream)."""
     import pandas as pd
 
+    if len(batch) == 0:
+        return pa.table({group_cols[0]: batch.column(group_cols[0]),
+                         acc_col: pa.array([], pa.large_binary())})
     keys = batch.column(key_col).to_numpy(zero_copy_only=False) \
         .astype(np.uint64, copy=False)
     vals = None
