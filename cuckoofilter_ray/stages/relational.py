@@ -87,6 +87,11 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
     def tag(side: str, key_col: str):
         def fn(batch: pa.Table) -> pa.Table:
+            # inner-join semantics: null keys never match — drop them here
+            # (they would also poison the uint64 bucket hash)
+            valid = pa.compute.is_valid(batch.column(key_col))
+            if not pa.compute.all(valid).as_py():
+                batch = batch.filter(valid)
             keys = batch.column(key_col).to_numpy(zero_copy_only=False) \
                 .astype(np.uint64, copy=False)
             bucket = (mix_split(keys, 0xB0C4) % np.uint64(num_buckets)) \
