@@ -100,6 +100,50 @@ def missing_groups(root: str, planned_groups: Iterable[str],
     return [g for g in planned_groups if f"{group_col}={g}" not in done]
 
 
+def resumable_write_partitioned(ds: "ray.data.Dataset", root: str,
+                                partition_col: str) -> dict:
+    """General resumable sink: one Parquet partition dir per distinct
+    ``partition_col`` value, written atomically BY THE WORKERS (one
+    ``map_groups`` task per partition — the driver only updates the
+    manifest), with completed partitions skipped on re-run.
+
+    This is the prompt's "resumable output" contract for arbitrary result
+    datasets (dedup winners, probe outputs): a failed run re-executes only
+    missing partitions; never one giant file.
+    """
+    import numpy as np
+
+    os.makedirs(root, exist_ok=True)
+    manifest = read_manifest(root)
+    done_vals = {p.split("=", 1)[1] for p in manifest["partitions"]}
+
+    def keep_missing(t: pa.Table) -> pa.Table:
+        vals = np.array([str(v) for v in t.column(partition_col).to_pylist()])
+        return t.filter(pa.array(~np.isin(vals, np.array(sorted(done_vals))
+                                          if done_vals else np.array([], str))))
+
+    todo = ds.map_batches(keep_missing, batch_format="pyarrow",
+                          batch_size=None)
+
+    def write_group(group: pa.Table) -> pa.Table:
+        gv = str(group.column(partition_col)[0].as_py())
+        pdir = os.path.join(root, f"{partition_col}={gv}")
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, ".part-0.parquet.tmp")
+        pq.write_table(group, tmp)
+        os.replace(tmp, os.path.join(pdir, "part-0.parquet"))
+        return pa.table({partition_col: pa.array([gv]),
+                         "rows": pa.array([len(group)], pa.int64())})
+
+    written = todo.groupby(partition_col).map_groups(write_group,
+                                                     batch_format="pyarrow")
+    for r in written.take_all():
+        manifest["partitions"][f"{partition_col}={r[partition_col]}"] = {
+            "rows": int(r["rows"]), "written_at": time.time()}
+    _write_manifest(root, manifest)
+    return manifest
+
+
 def resumable_build(ds: "ray.data.Dataset", root: str, group_key: str,
                     build_fn, config: Optional[dict] = None) -> "ray.data.Dataset":
     """Build filters only for groups missing from the checkpoint, merge with

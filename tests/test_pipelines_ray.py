@@ -414,3 +414,27 @@ def test_grouped_sketches_combine_path(ray_mod):
             else:
                 assert (got.counts == direct.counts).all()
                 assert got.total == direct.total
+
+
+def test_resumable_write_partitioned(ray_mod, tmp_path):
+    ray = ray_mod
+    import os
+    import pyarrow.parquet as pq2
+    from cuckoofilter_ray.state.checkpoint import (read_manifest,
+                                                   resumable_write_partitioned)
+    root = str(tmp_path / "out")
+    ds = ray.data.from_arrow(pa.table({
+        "lang": pa.array(["en", "de", "en", "fr", "de", "en"]),
+        "v": pa.array(list(range(6)), pa.int64())})).repartition(3)
+    m1 = resumable_write_partitioned(ds, root, "lang")
+    assert sorted(m1["partitions"]) == ["lang=de", "lang=en", "lang=fr"]
+    # corrupt one partition's data, then resume: completed partitions are
+    # SKIPPED (file untouched), so the marker survives
+    marker = os.path.join(root, "lang=en", "part-0.parquet")
+    before = os.path.getmtime(marker)
+    m2 = resumable_write_partitioned(ds, root, "lang")
+    assert os.path.getmtime(marker) == before
+    assert sorted(m2["partitions"]) == sorted(m1["partitions"])
+    total = sum(pq2.read_table(os.path.join(root, p, "part-0.parquet")).num_rows
+                for p in m1["partitions"])
+    assert total == 6
