@@ -289,19 +289,32 @@ class CuckooFilter:
             overflow += r.overflow
         return BulkResult(ok=ok, overflow=overflow)
 
+    _LANES = np.uint64(0x0001000100010001)
+    _HIGHS = np.uint64(0x8000800080008000)
+
     def contain_batch(self, keys) -> np.ndarray:
-        """Vectorized Contain (src/cuckoofilter.h:183-204). Returns bool array."""
+        """Vectorized Contain (src/cuckoofilter.h:183-204). Returns bool array.
+
+        Each 4×uint16 bucket row is gathered as ONE uint64 and probed with
+        the reference's SWAR ``hasvalue16`` (src/singletable.h:148-173,
+        src/bitsutil.h:8-19) — two 8-byte gathers per key instead of two
+        (n, 4) comparisons.
+        """
         keys = np.asarray(keys, dtype=np.uint64)
         n = len(keys)
         if n == 0:
             return np.zeros(0, dtype=bool)
+        tags64 = self.tags.view(np.uint64).reshape(-1)
         found = np.empty(n, dtype=bool)
         for s in range(0, n, self._PROBE_CHUNK):
             chunk = keys[s:s + self._PROBE_CHUNK]
             i1, tag = self._index_tag(chunk)
             i2 = self.alt_index(i1, tag)
-            t = tag[:, None]
-            hit = (self.tags[i1] == t).any(axis=1) | (self.tags[i2] == t).any(axis=1)
+            pat = tag.astype(np.uint64) * self._LANES
+            w1 = tags64[i1] ^ pat
+            w2 = tags64[i2] ^ pat
+            hit = (((w1 - self._LANES) & ~w1 & self._HIGHS) != 0) | \
+                  (((w2 - self._LANES) & ~w2 & self._HIGHS) != 0)
             if self.victim_used:
                 hit |= (tag == self.victim_tag) & (
                     (i1 == self.victim_index) | (i2 == self.victim_index))
