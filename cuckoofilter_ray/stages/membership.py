@@ -128,7 +128,8 @@ class PartitionedFilterProbe:
         self._proto = flist[0]
         self._nb = self._proto.num_buckets
         self._num_shards = len(flist)
-        self._tags = np.vstack([f.tags for f in flist])
+        self._tags = np.ascontiguousarray(np.vstack([f.tags for f in flist]))
+        self._tags64 = self._tags.view(np.uint64).reshape(-1)
         self._vic_used = np.array([f.victim_used for f in flist])
         self._vic_index = np.array([f.victim_index for f in flist], dtype=np.int64)
         self._vic_tag = np.array([f.victim_tag for f in flist], dtype=np.uint16)
@@ -143,6 +144,8 @@ class PartitionedFilterProbe:
         keys = np.asarray(keys, dtype=np.uint64)
         if shard is None:
             shard = shard_for_keys(keys, self._num_shards)
+        from ..kernels.cuckoo import CuckooFilter
+        LANES, HIGHS = CuckooFilter._LANES, CuckooFilter._HIGHS
         base = shard.astype(np.int64) * self._nb
         found = np.empty(len(keys), dtype=bool)
         step = 65536
@@ -151,9 +154,13 @@ class PartitionedFilterProbe:
             i1, tag = self._proto._index_tag(keys[sl])
             i2 = self._proto.alt_index(i1, tag)
             b = base[sl]
-            t = tag[:, None]
-            hit = (self._tags[b + i1] == t).any(axis=1) | \
-                  (self._tags[b + i2] == t).any(axis=1)
+            # SWAR bucket probe (one uint64 gather per bucket; see
+            # CuckooFilter.contain_batch)
+            pat = tag.astype(np.uint64) * LANES
+            w1 = self._tags64[b + i1] ^ pat
+            w2 = self._tags64[b + i2] ^ pat
+            hit = (((w1 - LANES) & ~w1 & HIGHS) != 0) | \
+                  (((w2 - LANES) & ~w2 & HIGHS) != 0)
             if self._any_victim:
                 sh = shard[sl]
                 hit |= self._vic_used[sh] & (tag == self._vic_tag[sh]) & \
