@@ -438,3 +438,27 @@ def test_resumable_write_partitioned(ray_mod, tmp_path):
     total = sum(pq2.read_table(os.path.join(root, p, "part-0.parquet")).num_rows
                 for p in m1["partitions"])
     assert total == 6
+
+
+def test_partitioned_filter_checkpoint_roundtrip(ray_mod, tmp_path):
+    """Partitioned shard rows persist through the checkpoint layer and answer
+    identically after a fresh read (example/test1.cc round-trip, sharded)."""
+    ray = ray_mod
+    from cuckoofilter_ray.state.checkpoint import (read_filter_shards,
+                                                   write_filter_shards)
+    keys = splitmix64(15_000, seed=91)
+    ds = _keys_ds(ray, keys)
+    filters = build_partitioned_filter(ds, num_shards=8,
+                                       capacity_per_shard=4096, seed=SEED)
+    root = str(tmp_path / "shards")
+    write_filter_shards(filters, root, group_col="_shard",
+                        config={"seed": SEED, "shards": 8})
+    back = read_filter_shards(root).take_all()
+    assert len(back) == 8
+    fref = filters_to_ref(back, group_col="_shard")
+    view = PartitionedFilterProbe(fref)
+    assert view.contain_batch(keys).all()
+    probes = splitmix64(100_000, seed=92)
+    orig = PartitionedFilterProbe(
+        filters_to_ref(filters.take_all(), group_col="_shard"))
+    assert (view.contain_batch(probes) == orig.contain_batch(probes)).all()
