@@ -462,3 +462,17 @@ def test_partitioned_filter_checkpoint_roundtrip(ray_mod, tmp_path):
     orig = PartitionedFilterProbe(
         filters_to_ref(filters.take_all(), group_col="_shard"))
     assert (view.contain_batch(probes) == orig.contain_batch(probes)).all()
+
+
+def test_cli_sweep_subprocess():
+    """CLI contract smoke (own Ray session, so a subprocess)."""
+    import subprocess, sys, os
+    env = dict(os.environ)
+    proc = subprocess.run(
+        [sys.executable, "-m", "cuckoofilter_ray", "--num-cpus", "4",
+         "sweep", "50000", "cuckoo12"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr[-800:]
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("cuckoo")]
+    assert len(lines) == 1 and "cuckoo" in lines[0]
