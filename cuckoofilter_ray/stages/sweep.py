@@ -60,10 +60,10 @@ class SweepProber:
         self._keys = ray.get(inserted_ref)
         view = PartitionedFilterProbe(filters_ref)
         proto = view._proto
-        if proto.variant != "pow2":
-            raise ValueError("sweep kernel supports the pow2 variant")
+        self._variant = proto.variant
         self._nb = U64(proto.num_buckets)
-        self._nb_mask = U64(proto.num_buckets - 1)
+        self._nb_mask = U64(proto.num_buckets - 1) if proto.variant == "pow2" \
+            else U64(0)
         self._tag_mask = U64((1 << proto.bits_per_tag) - 1)
         self._seed = U64(seed & 0xFFFFFFFFFFFFFFFF)
         self._filter_seed = U64(proto.seed)
@@ -124,14 +124,34 @@ class SweepProber:
             # ---- probe (cuckoofilter.h:183-204, SWAR per singletable.h:148)
             np.add(keys, self._filter_seed, out=u)
             _murmur64_into(u, tmp)                   # item hash
-            np.right_shift(u, U64(32), out=i1)
-            np.bitwise_and(i1, self._nb_mask, out=i1)
-            np.bitwise_and(u, self._tag_mask, out=v)  # tag
-            np.add(v, v == 0, out=v)                  # 0 → 1 remap
-            np.multiply(v, _MURMUR_C, out=i2)
-            np.bitwise_xor(i1, i2, out=i2)
-            np.bitwise_and(i2, U64(0xFFFFFFFF), out=i2)
-            np.bitwise_and(i2, self._nb_mask, out=i2)
+            if self._variant == "pow2":
+                np.right_shift(u, U64(32), out=i1)
+                np.bitwise_and(i1, self._nb_mask, out=i1)
+                np.bitwise_and(u, self._tag_mask, out=v)  # tag
+                np.add(v, v == 0, out=v)                  # 0 → 1 remap
+                np.multiply(v, _MURMUR_C, out=i2)
+                np.bitwise_xor(i1, i2, out=i2)
+                np.bitwise_and(i2, U64(0xFFFFFFFF), out=i2)
+                np.bitwise_and(i2, self._nb_mask, out=i2)
+            else:
+                # stable variant (cuckoofilter_stable.h:60-102): i1 from LOW
+                # 32 bits via Lemire reduce, tag from HIGH bits, involution
+                # i2 = (nb - i1 - r) mod nb with odd r
+                np.bitwise_and(u, U64(0xFFFFFFFF), out=i1)
+                np.multiply(i1, self._nb, out=i1)
+                np.right_shift(i1, U64(32), out=i1)
+                np.right_shift(u, U64(32), out=v)
+                np.bitwise_and(v, self._tag_mask, out=v)  # tag
+                np.add(v, v == 0, out=v)
+                np.multiply(v, U64(0xC4CEB9FE1A85EC53), out=i2)
+                np.bitwise_and(i2, U64(0xFFFFFFFF), out=i2)
+                np.multiply(i2, self._nb >> U64(1), out=i2)
+                np.right_shift(i2, U64(32), out=i2)       # reduce32(h2, nb/2)
+                np.left_shift(i2, U64(1), out=i2)
+                np.add(i2, U64(1), out=i2)                # odd r
+                np.add(i2, i1, out=i2)
+                np.subtract(self._nb, i2, out=i2)         # nb - i1 - r (mod)
+                np.add(i2, np.where(i2 > self._nb, self._nb, U64(0)), out=i2)
             np.right_shift(keys, self._shard_shift, out=tmp)  # shard
             np.multiply(tmp, self._nb, out=tmp)               # base row
             np.add(i1, tmp, out=i1)

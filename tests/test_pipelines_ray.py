@@ -476,3 +476,25 @@ def test_cli_sweep_subprocess():
     assert proc.returncode == 0, proc.stderr[-800:]
     lines = [l for l in proc.stdout.splitlines() if l.startswith("cuckoo")]
     assert len(lines) == 1 and "cuckoo" in lines[0]
+
+
+def test_sweep_kernel_stable_variant(ray_mod):
+    """Fused sweep over a cuckoo-STABLE partitioned filter (Lemire indexing,
+    odd-r involution): recall must stay 1.0 at every p."""
+    ray = ray_mod
+    keys = splitmix64(20_000, seed=14)
+    ds = _keys_ds(ray, keys)
+    filters = build_partitioned_filter(ds, num_shards=8,
+                                       capacity_per_shard=4096,
+                                       kind="cuckoo-stable", seed=SEED)
+    rows = filters.take_all()
+    assert sum(r["num_items"] for r in rows) == len(keys)
+    fref = filters_to_ref(rows, group_col="_shard")
+    iref = ray.put(keys)
+    m = run_sweep(iref, fref, 200_000, seed=8, num_shards=8, num_blocks=4)
+    assert m["recall"] == 1.0
+    for p, d in m["per_p"].items():
+        assert d["recall"] == 1.0, f"stable sweep false negatives at p={p}"
+    assert m["fpr"] <= 1.25 * 2 * 4 / (1 << 12)
+    m2 = run_sweep(iref, fref, 200_000, seed=8, num_shards=8, num_blocks=8)
+    assert m == m2
