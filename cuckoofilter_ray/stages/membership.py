@@ -178,6 +178,67 @@ class PartitionedFilterProbe:
         return batch.append_column(self._out_col, pa.array(out, type=pa.bool_()))
 
 
+class PartitionedXorProbe:
+    """Vectorized probe of a sharded XOR filter — the static-corpus analog of
+    :class:`PartitionedFilterProbe` at ~9.8 bits/key.
+
+    Shards share geometry (same capacity ⇒ same block_length) but each has
+    its OWN build seed (xor construction retries per shard,
+    src/xorfilter.h:246-251), so the per-key hash uses a seed gathered by
+    shard; fingerprints stack into one array with a ``3·block_length·shard``
+    offset."""
+
+    def __init__(self, filters_ref, key_col: str = "key_hi64",
+                 out_col: str = "is_member", shard_col: Optional[str] = None):
+        from ..kernels.xor import XorFilter
+        table = ray.get(filters_ref)
+        filters = _rows_to_filters(table)
+        shards = sorted(int(k) for k in filters)
+        if shards != list(range(len(shards))):
+            raise ValueError(f"expected contiguous shard ids, got {shards}")
+        flist = [filters[s] for s in shards]
+        if not all(isinstance(f, XorFilter) for f in flist):
+            raise TypeError("PartitionedXorProbe needs xor-filter shards")
+        if len({(f.block_length, f.bits_per_tag) for f in flist}) != 1:
+            raise ValueError("xor shards disagree on geometry")
+        self._bl = flist[0].block_length
+        self._bits = flist[0].bits_per_tag
+        self._num_shards = len(flist)
+        self._seeds = np.array([f.build_seed for f in flist], dtype=np.uint64)
+        self._fps = np.concatenate([f.fingerprints for f in flist])
+        self._key_col, self._out_col, self._shard_col = key_col, out_col, shard_col
+
+    def contain_batch(self, keys: np.ndarray,
+                      shard: Optional[np.ndarray] = None) -> np.ndarray:
+        from ..kernels.hashing import murmur64
+        from ..pipelines.build import shard_for_keys
+        U = np.uint64
+        keys = np.asarray(keys, dtype=np.uint64)
+        if shard is None:
+            shard = shard_for_keys(keys, self._num_shards)
+        h = murmur64(keys + self._seeds[shard])
+        bl = U(self._bl)
+        r1 = np.bitwise_or(h << U(21), h >> U(43))
+        r2 = np.bitwise_or(h << U(42), h >> U(22))
+        base = shard.astype(np.int64) * (3 * self._bl)
+        h0 = (((h >> U(32)) * bl) >> U(32)).astype(np.int64) + base
+        h1 = (((r1 >> U(32)) * bl) >> U(32)).astype(np.int64) + self._bl + base
+        h2 = (((r2 >> U(32)) * bl) >> U(32)).astype(np.int64) + 2 * self._bl + base
+        f = ((h ^ (h >> U(32))) & U((1 << self._bits) - 1)) \
+            .astype(self._fps.dtype)
+        B = self._fps
+        return (f ^ B[h0] ^ B[h1] ^ B[h2]) == 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self._key_col).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64, copy=False)
+        shard = None
+        if self._shard_col and self._shard_col in batch.column_names:
+            shard = batch.column(self._shard_col).to_numpy(zero_copy_only=False)
+        out = self.contain_batch(keys, shard)
+        return batch.append_column(self._out_col, pa.array(out, pa.bool_()))
+
+
 class FilterDelete:
     """Actor ``map_batches`` callable applying Delete to an owned filter copy
     and reporting per-key status (src/cuckoofilter.h:206-238 semantics,

@@ -498,3 +498,30 @@ def test_sweep_kernel_stable_variant(ray_mod):
     assert m["fpr"] <= 1.25 * 2 * 4 / (1 << 12)
     m2 = run_sweep(iref, fref, 200_000, seed=8, num_shards=8, num_blocks=8)
     assert m == m2
+
+
+def test_partitioned_xor_probe(ray_mod):
+    """Stacked xor probe == per-shard kernel answers, zero false negatives."""
+    ray = ray_mod
+    from cuckoofilter_ray.stages.membership import PartitionedXorProbe
+    keys = splitmix64(20_000, seed=15)
+    ds = _keys_ds(ray, keys)
+    filters = build_partitioned_filter(ds, num_shards=8,
+                                       capacity_per_shard=4096,
+                                       kind="xor", bits_per_tag=8, seed=SEED)
+    rows = filters.take_all()
+    assert sum(r["num_items"] for r in rows) == len(keys)
+    fref = filters_to_ref(rows, group_col="_shard")
+    view = PartitionedXorProbe(fref)
+    probes = np.concatenate([keys, splitmix64(50_000, seed=16)])
+    got = view.contain_batch(probes)
+    assert got[:len(keys)].all(), "xor partitioned probe false negative"
+    shard = shard_for_keys(probes, 8)
+    per_shard = {r["_shard"]: deserialize(r[SKETCH_COL]) for r in rows}
+    expect = np.zeros(len(probes), dtype=bool)
+    for s in range(8):
+        m = shard == s
+        expect[m] = per_shard[s].contain_batch(probes[m])
+    assert (got == expect).all()
+    # fpr in the 2^-8 regime
+    assert got[len(keys):].mean() <= 2 / 256
