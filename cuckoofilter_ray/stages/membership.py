@@ -46,6 +46,47 @@ def filters_to_ref(filters_ds_or_rows, group_col: str = "group_key") -> "ray.Obj
     return ray.put(table)
 
 
+def filters_to_stacked_ref(filters_ds_or_rows, group_col: str = "_shard"
+                           ) -> "ray.ObjectRef":
+    """Broadcast a partitioned CUCKOO filter as ONE pre-stacked zero-copy
+    blob: the driver stacks the shard tables once and ``ray.put``s the numpy
+    arrays; every worker reads the SAME plasma buffer (per node, not per
+    worker) with no deserialization or copying in ``__init__``.
+
+    This is the right probe topology once shard tables are big: with the
+    row-dict broadcast each worker rebuilds a private copy (N_workers × table
+    RAM + seconds of unpack per worker); here the mapping is shared.
+    """
+    from ..kernels import deserialize, row_to_filter
+
+    if hasattr(filters_ds_or_rows, "take_all"):
+        rows = filters_ds_or_rows.take_all()
+    else:
+        rows = list(filters_ds_or_rows)
+    by_shard = {}
+    for r in rows:
+        f = deserialize(r["sketch"]) if "sketch" in r else row_to_filter(r)
+        by_shard[int(r[group_col])] = f
+    shards = sorted(by_shard)
+    if shards != list(range(len(shards))):
+        raise ValueError(f"expected contiguous shard ids, got {shards}")
+    flist = [by_shard[s] for s in shards]
+    cfg = {(f.seed, f.num_buckets, f.bits_per_tag, f.variant) for f in flist}
+    if len(cfg) != 1:
+        raise ValueError(f"shards disagree on filter config: {cfg}")
+    seed, nb, bits, variant = next(iter(cfg))
+    return ray.put({
+        "stacked": "cuckoo",
+        "seed": seed, "num_buckets": nb, "bits_per_tag": bits,
+        "variant": variant, "num_shards": len(flist),
+        "tags64": np.ascontiguousarray(
+            np.vstack([f.tags for f in flist])).view(np.uint64).reshape(-1),
+        "vic_used": np.array([f.victim_used for f in flist]),
+        "vic_index": np.array([f.victim_index for f in flist], dtype=np.int64),
+        "vic_tag": np.array([f.victim_tag for f in flist], dtype=np.uint16),
+    })
+
+
 def _rows_to_filters(table: dict, sketch_col=None) -> dict:
     """Deserialize shard rows: explicit sketch column, else the expanded
     filter-row schema (serde.filter_to_row), else a default "sketch" blob."""
@@ -116,23 +157,43 @@ class PartitionedFilterProbe:
 
     def __init__(self, filters_ref, key_col: str = "key_hi64",
                  out_col: str = "is_member", shard_col: Optional[str] = None):
+        from ..kernels.cuckoo import CuckooFilter
         table = ray.get(filters_ref)
-        filters = _rows_to_filters(table)
-        shards = sorted(int(k) for k in filters)
-        if shards != list(range(len(shards))):
-            raise ValueError(f"expected contiguous shard ids 0..n-1, got {shards}")
-        flist = [filters[s] for s in shards]
-        cfg = {(f.seed, f.num_buckets, f.bits_per_tag, f.variant) for f in flist}
-        if len(cfg) != 1:
-            raise ValueError(f"shards disagree on filter config: {cfg}")
-        self._proto = flist[0]
-        self._nb = self._proto.num_buckets
-        self._num_shards = len(flist)
-        self._tags = np.ascontiguousarray(np.vstack([f.tags for f in flist]))
-        self._tags64 = self._tags.view(np.uint64).reshape(-1)
-        self._vic_used = np.array([f.victim_used for f in flist])
-        self._vic_index = np.array([f.victim_index for f in flist], dtype=np.int64)
-        self._vic_tag = np.array([f.victim_tag for f in flist], dtype=np.uint16)
+        if isinstance(table, dict) and table.get("stacked") == "cuckoo":
+            # zero-copy path (filters_to_stacked_ref): the stacked table is a
+            # shared plasma buffer — no per-worker deserialize/copy
+            self._proto = CuckooFilter(table["num_buckets"],
+                                       table["bits_per_tag"],
+                                       seed=table["seed"],
+                                       variant=table["variant"])
+            self._nb = table["num_buckets"]
+            self._num_shards = table["num_shards"]
+            self._tags = None
+            self._tags64 = table["tags64"]
+            self._vic_used = table["vic_used"]
+            self._vic_index = table["vic_index"]
+            self._vic_tag = table["vic_tag"]
+        else:
+            filters = _rows_to_filters(table)
+            shards = sorted(int(k) for k in filters)
+            if shards != list(range(len(shards))):
+                raise ValueError(
+                    f"expected contiguous shard ids 0..n-1, got {shards}")
+            flist = [filters[s] for s in shards]
+            cfg = {(f.seed, f.num_buckets, f.bits_per_tag, f.variant)
+                   for f in flist}
+            if len(cfg) != 1:
+                raise ValueError(f"shards disagree on filter config: {cfg}")
+            self._proto = flist[0]
+            self._nb = self._proto.num_buckets
+            self._num_shards = len(flist)
+            self._tags = np.ascontiguousarray(np.vstack([f.tags for f in flist]))
+            self._tags64 = self._tags.view(np.uint64).reshape(-1)
+            self._vic_used = np.array([f.victim_used for f in flist])
+            self._vic_index = np.array([f.victim_index for f in flist],
+                                       dtype=np.int64)
+            self._vic_tag = np.array([f.victim_tag for f in flist],
+                                     dtype=np.uint16)
         self._any_victim = bool(self._vic_used.any())
         self._key_col = key_col
         self._out_col = out_col

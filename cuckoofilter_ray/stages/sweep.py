@@ -70,7 +70,8 @@ class SweepProber:
         self._num_shards = num_shards
         self._shard_shift = U64(64 - int(num_shards).bit_length() + 1)
         # stacked (num_shards*nb) buckets, one uint64 per 4-tag bucket row
-        self._tags64 = np.ascontiguousarray(view._tags).view(np.uint64).reshape(-1)
+        self._tags64 = view._tags64   # shared zero-copy when the broadcast
+                                      # came from filters_to_stacked_ref
         self._any_victim = view._any_victim
         self._view = view
         # positive-probability thresholds, indexed by id % 5

@@ -525,3 +525,23 @@ def test_partitioned_xor_probe(ray_mod):
     assert (got == expect).all()
     # fpr in the 2^-8 regime
     assert got[len(keys):].mean() <= 2 / 256
+
+
+def test_stacked_broadcast_probe_equivalence(ray_mod):
+    """Zero-copy stacked broadcast answers == row-dict broadcast answers."""
+    ray = ray_mod
+    from cuckoofilter_ray.stages.membership import filters_to_stacked_ref
+    keys = splitmix64(20_000, seed=17)
+    rows = build_partitioned_filter(_keys_ds(ray, keys), num_shards=8,
+                                    capacity_per_shard=4096,
+                                    seed=SEED).take_all()
+    a = PartitionedFilterProbe(filters_to_ref(rows, group_col="_shard"))
+    b = PartitionedFilterProbe(filters_to_stacked_ref(rows, group_col="_shard"))
+    probes = np.concatenate([keys, splitmix64(100_000, seed=18)])
+    assert (a.contain_batch(probes) == b.contain_batch(probes)).all()
+    assert b.contain_batch(keys).all()
+    # sweep kernel over the stacked ref
+    iref = ray.put(keys)
+    m = run_sweep(iref, filters_to_stacked_ref(rows, group_col="_shard"),
+                  100_000, seed=9, num_shards=8, num_blocks=4)
+    assert m["recall"] == 1.0
