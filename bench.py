@@ -52,7 +52,7 @@ def bench_headline(ray, results: dict, extras: dict) -> None:
     """Bulk insert (partitioned build) + mixed-probability lookup sweep."""
     import ray.data
     from cuckoofilter_ray.pipelines.build import build_partitioned_filter
-    from cuckoofilter_ray.stages.membership import filters_to_ref
+    from cuckoofilter_ray.stages.membership import filters_to_stacked_ref
 
     li = ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet",
                                columns=["l_orderkey", "l_linenumber"],
@@ -82,7 +82,7 @@ def bench_headline(ray, results: dict, extras: dict) -> None:
          for b in keyed.iter_batches(batch_size=1 << 20,
                                      batch_format="pyarrow")]).astype(np.uint64)
     inserted_ref = ray.put(key_arr)
-    fref = filters_to_ref(rows, group_col="_shard")
+    fref = filters_to_stacked_ref(rows, group_col="_shard")
 
     from cuckoofilter_ray.stages.sweep import run_sweep
     num_blocks = max(NUM_CPUS * 2, PROBE_N // 2_000_000)
@@ -200,7 +200,7 @@ def bench_at_capacity(ray, results: dict, extras: dict) -> None:
     import ray.data as rd
     from cuckoofilter_ray.pipelines.build import build_partitioned_filter
     from cuckoofilter_ray.pipelines.membership import workload_gen_fn
-    from cuckoofilter_ray.stages.membership import filters_to_ref
+    from cuckoofilter_ray.stages.membership import filters_to_stacked_ref
     from cuckoofilter_ray.stages.sweep import run_sweep
     from cuckoofilter_ray.kernels.hashing import splitmix64
 
@@ -220,7 +220,7 @@ def bench_at_capacity(ray, results: dict, extras: dict) -> None:
     rows = filters.take_all()
     from cuckoofilter_ray.kernels import deserialize
     slots = sum(deserialize(r["sketch"]).num_buckets * 4 for r in rows)
-    fref = filters_to_ref(rows, group_col="_shard")
+    fref = filters_to_stacked_ref(rows, group_col="_shard")
     n_probes = 16_000_000
     best = float("inf")
     for _ in range(2):
