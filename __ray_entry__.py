@@ -558,16 +558,16 @@ def q_knn_lsh(sf_dir: str):
 
 def q_neardup_verified(sf_dir: str):
     """MinHash-LSH candidates + exact n-gram-Jaccard verification (the
-    two-stage near-dup pipeline; rows-only)."""
+    two-stage near-dup pipeline; rows-only).  Texts are JOINED to the
+    candidate pairs (bucketed hash joins) — the corpus is never broadcast or
+    materialized on the driver (VERDICT r1 #2)."""
     from cuckoofilter_ray.stages.dedup import (minhash_lsh_pairs,
-                                               ngram_jaccard_verify)
+                                               ngram_jaccard_verify_joined)
     docs = _docs(sf_dir)
     pairs = minhash_lsh_pairs(docs, column="text", id_col="doc_id",
                               num_perm=64, bands=16, threshold=0.4,
                               num_blocks=8)
-    id_text = {r["doc_id"]: r["text"]
-               for r in docs.select_columns(["doc_id", "text"]).take_all()}
-    verified = ngram_jaccard_verify(pairs, ray.put(id_text), threshold=0.4)
+    verified = ngram_jaccard_verify_joined(pairs, docs, threshold=0.4)
     return verified.select_columns(["lo_id", "hi_id"])
 
 

@@ -381,9 +381,19 @@ def neardup_clusters(pairs: "ray.data.Dataset", id_col: str = "doc_id",
                 t.column("lo_id").combine_chunks().cast(pa.int64())]),
         }), batch_format="pyarrow", batch_size=None)
 
+    import ray as _ray
+
     def _arrow(ds):
-        return ds.map_batches(lambda t: t, batch_format="pyarrow",
-                              batch_size=None)
+        """Materialize and drop the schema-less empty blocks Ray's sort-based
+        groupby emits for empty partitions — they break the hash-shuffle
+        join's Arrow key resolution.  Label sets are tiny (pair-graph nodes
+        only), so the materialize is cheap and happens anyway per round."""
+        tbls = [t for t in _ray.get(ds.to_arrow_refs()) if t.num_columns]
+        if not tbls:
+            return ray.data.from_arrow(pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "label": pa.array([], pa.int64())}))
+        return ray.data.from_arrow(pa.concat_tables(tbls))
 
     labels = _arrow(edges.map_batches(
         lambda t: pa.table({"node": t.column("src"),
@@ -400,7 +410,7 @@ def neardup_clusters(pairs: "ray.data.Dataset", id_col: str = "doc_id",
                                 "label": t.column("label")}),
             batch_format="pyarrow", batch_size=None).union(labels)
         new_labels = _arrow(cand.groupby("node").aggregate(
-            Min("label", alias_name="label"))).materialize()
+            Min("label", alias_name="label")))
         changed = hash_join(new_labels, labels, left_key="node",
                             right_key="node", suffixes=("_new", "_old"),
                             num_buckets=8).map_batches(
@@ -424,9 +434,11 @@ def neardup_clusters(pairs: "ray.data.Dataset", id_col: str = "doc_id",
 def ngram_jaccard_verify(pairs: "ray.data.Dataset", docs_ref,
                          id_col: str = "doc_id", shingle_k: int = 5,
                          seed: int = 777, threshold: float = 0.5) -> "ray.data.Dataset":
-    """Exact n-gram Jaccard for candidate pairs against a broadcast id→text
-    map (``ray.put`` once).  For corpora too big to broadcast, join texts in
-    by bucketed id instead — candidates are rare, so either works."""
+    """Small-corpus convenience: exact n-gram Jaccard for candidate pairs
+    against a broadcast id→text map (``ray.put`` once).  NOT the scale path —
+    it ships the whole corpus text to every verify worker; production
+    pipelines use :func:`ngram_jaccard_verify_joined` (texts joined to the
+    pairs, corpus never broadcast), which is pinned equal by test."""
     import ray as _ray
 
     class Verify:

@@ -545,3 +545,63 @@ def test_stacked_broadcast_probe_equivalence(ray_mod):
     m = run_sweep(iref, filters_to_stacked_ref(rows, group_col="_shard"),
                   100_000, seed=9, num_shards=8, num_blocks=4)
     assert m["recall"] == 1.0
+
+
+def test_hash_join_preserves_int64_dtypes(ray_mod):
+    """VERDICT r1 #1: the null-padded union must not round-trip int64 payload
+    columns through float64 — every output column keeps its input Arrow type,
+    and values match a pandas merge exactly."""
+    ray = ray_mod
+    import ray.data
+    from cuckoofilter_ray.stages.relational import hash_join
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 50, 400).astype(np.int64),
+        "lv": np.arange(400, dtype=np.int64),
+        "ls": [f"l{i}" for i in range(400)],
+    })
+    right = pd.DataFrame({
+        "k2": np.arange(0, 60, dtype=np.int64),
+        "rv": (np.arange(60) * 10).astype(np.int32),
+    })
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right).repartition(3)
+    out = hash_join(lds, rds, left_key="k", right_key="k2", num_buckets=8)
+    tbl = pa.concat_tables(
+        [ray.get(r) for r in out.to_arrow_refs()],
+        promote_options="none")
+    # dtype preservation (the r1 bug emitted float64 here)
+    types = {f.name: f.type for f in tbl.schema}
+    assert types["_k"] == pa.int64()
+    assert types["lv"] == pa.int64()
+    assert types["rv"] == pa.int32()
+    assert types["ls"] == pa.string()
+    # exact value parity with pandas merge
+    exp = pd.merge(left.rename(columns={"k": "_k"}),
+                   right.rename(columns={"k2": "_k"}), on="_k")
+    got = tbl.to_pandas().sort_values(["_k", "lv"]).reset_index(drop=True)
+    exp = exp.sort_values(["_k", "lv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  exp[sorted(exp.columns)])
+
+
+def test_neardup_cluster_labels_are_int64(ray_mod):
+    """ADVICE r1: label propagation must emit int64 doc_id/cluster_id (the
+    pandas empty-frame unions used to promote them to float64)."""
+    ray = ray_mod
+    import ray.data
+    from cuckoofilter_ray.stages.dedup import neardup_clusters
+
+    pairs = ray.data.from_arrow(pa.table({
+        "lo_id": pa.array([1, 2, 10], pa.int64()),
+        "hi_id": pa.array([2, 3, 11], pa.int64()),
+    }))
+    out = neardup_clusters(pairs)
+    tbl = pa.concat_tables([ray.get(r) for r in out.to_arrow_refs()],
+                           promote_options="none")
+    types = {f.name: f.type for f in tbl.schema}
+    assert types["doc_id"] == pa.int64()
+    assert types["cluster_id"] == pa.int64()
+    got = {r["doc_id"]: r["cluster_id"] for r in tbl.to_pylist()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
