@@ -185,12 +185,11 @@ def build_partitioned_filter(ds: "ray.data.Dataset", key_col: str = "key_hi64",
     """
     if num_shards & (num_shards - 1):
         raise ValueError("num_shards must be a power of two")
-    shift = np.uint64(64 - int(num_shards).bit_length() + 1)
 
     def add_shard(batch: pa.Table) -> pa.Table:
         keys = batch.column(key_col).to_numpy(zero_copy_only=False) \
             .astype(np.uint64, copy=False)
-        shard = (keys >> shift).astype(np.int32)
+        shard = shard_for_keys(keys, num_shards)
         return batch.append_column("_shard", pa.array(shard, type=pa.int32()))
 
     return _combine_build(
@@ -200,6 +199,12 @@ def build_partitioned_filter(ds: "ray.data.Dataset", key_col: str = "key_hi64",
 
 
 def shard_for_keys(keys: np.ndarray, num_shards: int) -> np.ndarray:
-    """Shard routing used by probes of a partitioned filter."""
+    """Shard routing used by probes of a partitioned filter.
+
+    num_shards == 1 is special-cased: the general formula would shift by
+    64, which is undefined for uint64 in NumPy (ADVICE r1)."""
+    keys = np.asarray(keys, dtype=np.uint64)
+    if num_shards <= 1:
+        return np.zeros(len(keys), dtype=np.int32)
     shift = np.uint64(64 - int(num_shards).bit_length() + 1)
-    return (np.asarray(keys, dtype=np.uint64) >> shift).astype(np.int32)
+    return (keys >> shift).astype(np.int32)

@@ -368,8 +368,11 @@ class SemiJoinProbe:
             # exact verify only the AMQ-positive candidates (the whole point:
             # the sorted-array binary search touches candidates, not the stream)
             cand = np.flatnonzero(member)
-            pos = np.searchsorted(self._exact, keys[cand])
-            pos = np.minimum(pos, len(self._exact) - 1)
-            member[cand] = self._exact[pos] == keys[cand]
+            if len(self._exact) == 0:
+                member[cand] = False        # ADVICE r1: avoid index -1
+            else:
+                pos = np.searchsorted(self._exact, keys[cand])
+                pos = np.minimum(pos, len(self._exact) - 1)
+                member[cand] = self._exact[pos] == keys[cand]
         keep = ~member if self._anti else member
         return batch.filter(pa.array(keep))

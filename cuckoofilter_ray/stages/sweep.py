@@ -115,6 +115,10 @@ class SweepProber:
             np.add(ch, self._seed, out=u)
             _murmur64_into(u, tmp)                   # decision stream
             np.less_equal(u, self._thresh_lut[pidx], out=ispos)
+            if len(self._keys) == 0:
+                # mirror _WorkloadGen's empty-keys guard: with nothing
+                # inserted every probe is a negative (ADVICE r1)
+                ispos[:] = False
             np.multiply(u, _M1, out=v)               # derived key stream
             _murmur64_into(v, tmp)
             keys[:] = v                              # negatives: random key

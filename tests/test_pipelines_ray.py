@@ -13,7 +13,7 @@ import pytest
 
 from conftest import SF_DIR
 
-from cuckoofilter_ray.kernels import deserialize
+from cuckoofilter_ray.kernels import deserialize, serialize
 from cuckoofilter_ray.kernels.hashing import splitmix64
 from cuckoofilter_ray.pipelines.build import (SKETCH_COL, build_grouped_filters,
                                               build_grouped_filters_salted,
@@ -660,3 +660,61 @@ def test_degenerate_identical_bucket_is_linear(ray_mod):
     assert (zero["lo_id"] == 0).all()
     assert set(range(1, n)) <= set(zero["hi_id"])
     assert t_sh < 60, f"simhash degenerate bucket took {t_sh:.1f}s"
+
+
+def test_single_shard_and_empty_guards(ray_mod):
+    """ADVICE r1 edge cases: num_shards=1 routing, empty exact-verify set."""
+    ray = ray_mod
+    keys = splitmix64(5_000, seed=21)
+    # num_shards == 1 must route everything to shard 0 (no 64-bit shift UB)
+    assert (shard_for_keys(keys, 1) == 0).all()
+    ds = _keys_ds(ray, keys)
+    filters = build_partitioned_filter(ds, num_shards=1,
+                                       capacity_per_shard=8192, seed=SEED)
+    rows = filters.take_all()
+    assert [r["_shard"] for r in rows] == [0]
+    view = PartitionedFilterProbe(filters_to_ref(rows, group_col="_shard"))
+    assert view.contain_batch(keys).all()
+    # SemiJoinProbe with an EMPTY exact set: every filter positive must
+    # verify to False, not IndexError
+    from cuckoofilter_ray.stages.membership import SemiJoinProbe
+    from cuckoofilter_ray.kernels.cuckoo import CuckooFilter
+    f = CuckooFilter(1024, bits_per_tag=12, seed=SEED)
+    f.add_batch(keys[:100])
+    probe = SemiJoinProbe(ray.put(serialize(f)),
+                          exact_ref=ray.put(np.empty(0, dtype=np.uint64)))
+    out = probe(pa.table({"key_hi64": pa.array(keys[:100], pa.uint64())}))
+    assert out.num_rows == 0
+
+
+def test_langid_vectorized_matches_reference_loop():
+    """Vectorized LangId == the per-row reference semantics, value-exact."""
+    import re
+    from cuckoofilter_ray.functions.text import LangId, _LANG_MARKERS
+    texts = [
+        "the cat and the dog went to the market and it was good",
+        "der Hund und die Katze sind nicht auf dem Tisch mit einem Ball",
+        "el perro y la casa que es de un amigo en la calle",
+        "le chien est dans la maison et les chats pour une fois",
+        "这是一个中文文档的例子 完全没有拉丁字母",
+        "mixed 中文 with latin 但是 mostly latin words the and of",
+        "", "   ", None, "12345 67890 !!!", "zzz qqq xxx",
+    ]
+    got = LangId()(pa.table({"text": pa.array(texts, pa.string())}))
+    word = re.compile(r"[a-zàâçéèêëîïôùûüäöüß]+")
+    cjk_re = re.compile(r"[一-鿿]")
+    for i, t in enumerate(texts):
+        t = t or ""
+        cjk = len(cjk_re.findall(t))
+        if cjk >= 3 or (len(t) and cjk / max(1, len(t)) > 0.05):
+            exp_pred, exp_conf = "zh", min(1.0, cjk / 20)
+        else:
+            words = word.findall(t.lower())
+            exp_pred, best = "en", -1
+            for lang, markers in _LANG_MARKERS.items():
+                hits = sum(w in markers for w in words)
+                if hits > best:
+                    exp_pred, best = lang, hits
+            exp_conf = best / max(1, len(words))
+        assert got.column("lang_pred")[i].as_py() == exp_pred, (i, t)
+        assert abs(got.column("lang_conf")[i].as_py() - exp_conf) < 1e-12
