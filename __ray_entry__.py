@@ -169,13 +169,14 @@ def q_membership_recall(sf_dir: str):
         .aggregate(Count(alias_name="n_probed"), Sum("found", alias_name="n_found"))
 
 
-def _membership_recall_for_kind(sf_dir: str, kind: str):
+def _membership_recall_for_kind(sf_dir: str, kind: str,
+                                hash_family: str = "mix"):
     """Shared body: per-lang filters of ``kind`` (exact-size map_groups
     build, src/cuckoofilter_stable.h:115 sizing / xorfilter.h AddAll), probe
     every inserted key; no-false-negative invariant ⇒ exact SQL oracle."""
     keyed = _docs_keyed(sf_dir)
     filters = build_grouped_filters(keyed, "lang", capacity=None, kind=kind,
-                                    seed=SEED)
+                                    seed=SEED, hash_family=hash_family)
     fref = filters_to_ref(filters.take_all(), group_col="lang")
     probed = probe_dataset(keyed, fref, group_col="lang", sketch_col=SKETCH_COL,
                            concurrency=2)
@@ -200,6 +201,14 @@ def q_stable_membership(sf_dir: str):
     """Per-lang CuckooFilterStable (exact-capacity Lemire-reduce variant,
     src/cuckoofilter_stable.h): zero false negatives on inserted keys."""
     return _membership_recall_for_kind(sf_dir, "cuckoo-stable")
+
+
+def q_tims_membership(sf_dir: str):
+    """Per-lang cuckoo filters under the TwoIndependentMultiplyShift hash
+    family — the reference filters' template default (src/cuckoofilter.h:
+    32-35, src/hashutil.h:57-99) with seed-derived 128-bit parameters:
+    zero false negatives ⇒ exact COUNT(*) oracle."""
+    return _membership_recall_for_kind(sf_dir, "cuckoo", hash_family="tims")
 
 
 def q_filter_stats(sf_dir: str):
@@ -278,6 +287,42 @@ def q_countmin_events(sf_dir: str):
     ests = cm.estimate_batch(tkeys)
     return pd.DataFrame({"event_type": types,
                          "n_events": [int(v) for v in ests]})
+
+
+def q_countfilter_events(sf_dir: str):
+    """Counting-quotient-filter multiset counts per event_type
+    (src/gqf_cpp.h:93-123 Add/Count over src/gqf.h qf_insert/qf_count
+    semantics), built as the mergeable FilterSketch UDAF (merge contract
+    qf_merge, src/gqf.h:307).
+
+    Exact oracle: counts in the CQF are exact per masked hash; with 5
+    distinct event-type keys in a 2^21 hash domain the masked hashes are
+    (deterministically, seed-fixed) collision-free, so Count == COUNT(*)."""
+    from cuckoofilter_ray.kernels.hashing import sha256_u64
+    from cuckoofilter_ray.stages.aggregate import FilterSketch
+
+    def keyify(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        codes, uniques = pd.factorize(et)
+        ukeys = sha256_u64([str(u) for u in uniques])
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "key_hi64": pa.array(ukeys[codes], pa.uint64()),
+        })
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type"])
+    keyed = ev.map_batches(keyify, batch_format="pyarrow", batch_size=None)
+    agg = FilterSketch(on="key_hi64", kind="counting", capacity=4096,
+                       seed=SEED, alias_name="cqf")
+    row = keyed.aggregate(agg)
+    cqf = deserialize(row["cqf"])
+    types = sorted(set(
+        keyed.select_columns(["event_type"]).unique("event_type")))
+    tkeys = sha256_u64([str(t) for t in types])
+    counts = cqf.count_batch(tkeys)
+    return pd.DataFrame({"event_type": types,
+                         "n_events": [int(v) for v in counts]})
 
 
 def q_quantile_prices(sf_dir: str):
@@ -698,10 +743,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "membership_recall": q_membership_recall,
         "xor_membership": q_xor_membership,
         "stable_membership": q_stable_membership,
+        "tims_membership": q_tims_membership,
         "filter_stats": q_filter_stats,
         "distinct_texts": q_distinct_texts,
         "hll_distinct": q_hll_distinct,
         "countmin_events": q_countmin_events,
+        "countfilter_events": q_countfilter_events,
         "quantile_prices": q_quantile_prices,
         "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,
@@ -744,6 +791,9 @@ def oracle_sql() -> dict[str, str]:
         "stable_membership":
             "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
             "FROM documents GROUP BY lang",
+        "tims_membership":
+            "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
+            "FROM documents GROUP BY lang",
         # capacity 8192 ⇒ upperpower2(2048) buckets, doubled by the >0.94
         # load rule (src/cuckoofilter.h:93-97) ⇒ 4096 buckets / 16384 slots
         "filter_stats":
@@ -756,6 +806,9 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct":
             "SELECT lang, true AS within_bound FROM documents GROUP BY lang",
         "countmin_events":
+            "SELECT event_type, count(*) AS n_events FROM events "
+            "GROUP BY event_type",
+        "countfilter_events":
             "SELECT event_type, count(*) AS n_events FROM events "
             "GROUP BY event_type",
         "quantile_prices":

@@ -1,21 +1,23 @@
 """Pure NumPy/PyArrow kernels — no Ray imports; unit-testable in isolation."""
 
 from .bloom import BlockedBloomFilter, BloomFilter, next_prime
+from .counting import CountingQuotientFilter, NotEnoughSpaceError
 from .cuckoo import (MAX_KICKS, NOT_ENOUGH_SPACE, NOT_FOUND, OK, TAGS_PER_BUCKET,
                      BulkResult, CuckooFilter, upperpower2)
-from .hashing import (DEFAULT_SEED, mix_split, murmur64, sha256_bytes,
-                      sha256_hex, sha256_u64, splitmix64,
-                      two_independent_multiply_shift)
+from .hashing import (DEFAULT_SEED, hash_key64, mix_split, murmur64,
+                      sha256_bytes, sha256_hex, sha256_u64, splitmix64,
+                      tims_params, two_independent_multiply_shift)
 from .xor import XorFilter
 from .serde import (deserialize, filter_to_row, make_filter, pack_bits,
                     row_to_filter, serialize, unpack_bits)
 
 __all__ = [
-    "BlockedBloomFilter", "BloomFilter", "BulkResult", "CuckooFilter",
-    "DEFAULT_SEED", "MAX_KICKS", "NOT_ENOUGH_SPACE", "NOT_FOUND", "OK",
-    "TAGS_PER_BUCKET", "deserialize", "filter_to_row", "make_filter",
-    "mix_split", "murmur64", "next_prime", "pack_bits", "row_to_filter",
-    "serialize", "sha256_bytes", "sha256_hex", "sha256_u64", "splitmix64",
-    "two_independent_multiply_shift", "unpack_bits", "upperpower2",
-    "XorFilter",
+    "BlockedBloomFilter", "BloomFilter", "BulkResult", "CountingQuotientFilter",
+    "CuckooFilter", "DEFAULT_SEED", "MAX_KICKS", "NOT_ENOUGH_SPACE",
+    "NOT_FOUND", "NotEnoughSpaceError", "OK",
+    "TAGS_PER_BUCKET", "deserialize", "filter_to_row", "hash_key64",
+    "make_filter", "mix_split", "murmur64", "next_prime", "pack_bits",
+    "row_to_filter", "serialize", "sha256_bytes", "sha256_hex", "sha256_u64",
+    "splitmix64", "tims_params", "two_independent_multiply_shift",
+    "unpack_bits", "upperpower2", "XorFilter",
 ]

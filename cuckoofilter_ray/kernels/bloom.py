@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .hashing import DEFAULT_SEED, mix_split
+from .hashing import DEFAULT_SEED, hash_key64, mix_split
 
 U64 = np.uint64
 U32 = np.uint32
@@ -54,10 +54,11 @@ class BloomFilter:
     KIND = "bloom"
 
     __slots__ = ("bits_per_item", "k", "bit_count", "array_length", "words",
-                 "seed", "num_items")
+                 "seed", "num_items", "hash_family")
 
     def __init__(self, capacity: int, bits_per_item: int = 8,
-                 seed: int = DEFAULT_SEED, *, array_length: int | None = None):
+                 seed: int = DEFAULT_SEED, *, array_length: int | None = None,
+                 hash_family: str = "mix"):
         self.bits_per_item = int(bits_per_item)
         self.k = max(1, round(bits_per_item * np.log(2)))
         if array_length is None:
@@ -69,15 +70,18 @@ class BloomFilter:
         self.words = np.zeros(self.array_length, dtype=np.uint64)
         self.seed = int(seed) & 0xFFFFFFFFFFFFFFFF
         self.num_items = 0
+        self.hash_family = hash_family
 
     @classmethod
     def create(cls, capacity: int, bits_per_item: int = 8,
-               seed: int = DEFAULT_SEED) -> "BloomFilter":
-        return cls(capacity, bits_per_item=bits_per_item, seed=seed)
+               seed: int = DEFAULT_SEED,
+               hash_family: str = "mix") -> "BloomFilter":
+        return cls(capacity, bits_per_item=bits_per_item, seed=seed,
+                   hash_family=hash_family)
 
     def _probes(self, keys) -> tuple[np.ndarray, np.ndarray]:
         """(word_index, bit_mask) arrays of shape (n, k) — bloom.h:103-115."""
-        h = mix_split(keys, self.seed)
+        h = hash_key64(keys, self.seed, self.hash_family)
         a = (h >> U64(32)).astype(np.uint64)
         b = (h & U64(0xFFFFFFFF)).astype(np.uint64)
         steps = np.arange(self.k, dtype=np.uint64)
@@ -111,8 +115,10 @@ class BloomFilter:
 
     def merge(self, other: "BloomFilter") -> None:
         """OR-merge; requires identical (seed, array_length, bits_per_item)."""
-        if (self.seed, self.array_length, self.bits_per_item) != \
-                (other.seed, other.array_length, other.bits_per_item):
+        if (self.seed, self.array_length, self.bits_per_item,
+                self.hash_family) != \
+                (other.seed, other.array_length, other.bits_per_item,
+                 other.hash_family):
             raise ValueError("bloom merge requires identical parameters")
         np.bitwise_or(self.words, other.words, out=self.words)
         self.num_items += other.num_items

@@ -1,0 +1,225 @@
+"""Counting quotient filter (CQF) — multiset membership with exact counts.
+
+Value-level re-expression of the reference's GQF wrapper
+(/root/reference/src/gqf_cpp.h:44-137 over src/gqf.h):
+
+- sizing (gqf_cpp.h:44-52): smallest ``qbits`` with ``2^qbits * 0.9 >= n``;
+  ``nhashbits = qbits + 8`` (8-bit remainder), keys hashed then masked to
+  ``nhashbits`` bits — false positives come ONLY from 64->nhashbits masking
+  collisions, exactly as in the reference (QF_HASH_NONE over hasher(key)).
+- ``qf_insert(count)`` (gqf.h:144): adds ``count`` to the key's tally.
+- ``qf_count_key_value`` (gqf.h:200): exact stored count for the masked
+  hash (an overcount for a colliding foreign key — never an undercount).
+- ``qf_remove``/``qf_delete_key_value`` (gqf.h:162-166): counted /
+  full removal.
+- ``qf_merge`` (gqf.h:307): union with summed counts.
+
+The CQF's rank-select slot encoding is a single-machine memory-layout
+device; the engine keeps the same *value domain* (masked hashes with exact
+counts) in a sorted columnar pair (hashes uint64, counts int64), which makes
+every operation a vectorized merge/searchsorted and the structure trivially
+mergeable for the distributed UDAF path.  Answers are value-identical to the
+reference for every Add/Count/Remove/Merge sequence.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import DEFAULT_SEED, hash_key64
+
+U64 = np.uint64
+
+
+class NotEnoughSpaceError(RuntimeError):
+    """QF_NO_SPACE (gqf.h:133): distinct masked hashes exceeded capacity."""
+
+
+class CountingQuotientFilter:
+    """One counting-filter shard (exact counts per masked hash)."""
+
+    KIND = "counting"
+
+    __slots__ = ("qbits", "nslots", "nhashbits", "mask", "seed",
+                 "hash_family", "hashes", "counts", "num_items")
+
+    #: the CQF refuses inserts past ~95% slot occupancy (gqf.c NO_SPACE)
+    MAX_LOAD = 0.95
+
+    def __init__(self, qbits: int, seed: int = DEFAULT_SEED,
+                 hash_family: str = "mix"):
+        self.qbits = int(qbits)
+        self.nslots = 1 << self.qbits
+        self.nhashbits = self.qbits + 8          # gqf_cpp.h:51
+        self.mask = (1 << self.nhashbits) - 1    # gqf_cpp.h:52
+        self.seed = int(seed) & 0xFFFFFFFFFFFFFFFF
+        self.hash_family = hash_family
+        self.hashes = np.empty(0, dtype=np.uint64)   # sorted, unique
+        self.counts = np.empty(0, dtype=np.int64)    # > 0, aligned
+        self.num_items = 0                           # total count added
+
+    # ------------------------------------------------------------------ sizing
+
+    @classmethod
+    def create(cls, capacity: int, seed: int = DEFAULT_SEED,
+               hash_family: str = "mix") -> "CountingQuotientFilter":
+        """qbits loop per gqf_cpp.h:44-50: grow until nslots*0.9 >= n."""
+        n = max(1, int(capacity))
+        qbits, nslots = 0, 1
+        while nslots * 0.9 < n:
+            qbits += 1
+            nslots = 1 << qbits
+        return cls(qbits, seed=seed, hash_family=hash_family)
+
+    # ------------------------------------------------------------------- hash
+
+    def _hash(self, keys) -> np.ndarray:
+        h = hash_key64(keys, self.seed, self.hash_family)
+        return h & U64(self.mask)
+
+    # ----------------------------------------------------------------- mutate
+
+    def _merge_sorted(self, add_h: np.ndarray, add_c: np.ndarray) -> None:
+        """Union-sum (add_h unique+sorted) into the stored table."""
+        if len(self.hashes) == 0:
+            uh, uc = add_h, add_c
+        else:
+            all_h = np.concatenate([self.hashes, add_h])
+            all_c = np.concatenate([self.counts, add_c])
+            uh, inv = np.unique(all_h, return_inverse=True)
+            uc = np.bincount(inv, weights=all_c).astype(np.int64)
+        keep = uc > 0
+        if not keep.all():
+            uh, uc = uh[keep], uc[keep]
+        if len(uh) > self.MAX_LOAD * self.nslots:
+            raise NotEnoughSpaceError(
+                f"CQF full: {len(uh)} distinct > {self.MAX_LOAD} * "
+                f"{self.nslots} slots")
+        self.hashes, self.counts = uh, uc
+
+    def add_batch(self, keys, counts=None) -> None:
+        """qf_insert(key, count) for a key vector (gqf.h:144)."""
+        keys = np.asarray(keys)
+        if len(keys) == 0:
+            return
+        h = self._hash(keys)
+        if counts is None:
+            uh, uc = np.unique(h, return_counts=True)
+            uc = uc.astype(np.int64)
+        else:
+            c = np.asarray(counts, dtype=np.int64)
+            if (c < 0).any():
+                raise ValueError("counts must be non-negative")
+            uh, inv = np.unique(h, return_inverse=True)
+            uc = np.bincount(inv, weights=c).astype(np.int64)
+        self._merge_sorted(uh, uc)
+        self.num_items += int(uc.sum())
+
+    def remove_batch(self, keys, counts=None) -> np.ndarray:
+        """qf_remove(key, count) (gqf.h:162): subtract up to ``count``
+        (saturating at zero, like removing more than present); ``counts=None``
+        removes ONE occurrence per row.  Returns the number actually removed
+        per input row."""
+        keys = np.asarray(keys)
+        if len(keys) == 0:
+            return np.empty(0, dtype=np.int64)
+        h = self._hash(keys)
+        want = np.ones(len(keys), dtype=np.int64) if counts is None \
+            else np.asarray(counts, dtype=np.int64)
+        # resolve per-row removable amounts against current counts, honoring
+        # duplicates within the batch (sequential semantics per masked hash)
+        removed = np.zeros(len(keys), dtype=np.int64)
+        uh, inv = np.unique(h, return_inverse=True)
+        pos = np.searchsorted(self.hashes, uh)
+        pos_ok = np.minimum(pos, max(0, len(self.hashes) - 1))
+        present = np.zeros(len(uh), dtype=np.int64)
+        if len(self.hashes):
+            hit = self.hashes[pos_ok] == uh
+            present[hit] = self.counts[pos_ok[hit]]
+        # within-batch order: rows sharing a masked hash drain the available
+        # count in index order
+        order = np.argsort(inv, kind="stable")
+        inv_s = inv[order]
+        w_sorted = want[order]
+        grp_start = np.searchsorted(inv_s, np.arange(len(uh)))
+        excl = np.cumsum(w_sorted) - w_sorted      # global demand before row
+        prior = excl - excl[grp_start][inv_s]      # within-group demand
+        avail = present[inv_s]
+        take = np.clip(avail - prior, 0, w_sorted)
+        removed[order] = take
+        dec = np.zeros(len(uh), dtype=np.int64)
+        np.subtract.at(dec, inv_s, take)
+        self._merge_sorted(uh, dec)
+        self.num_items -= int(take.sum())
+        return removed
+
+    def delete_batch(self, keys) -> np.ndarray:
+        """qf_delete_key_value (gqf.h:166): remove the key entirely.
+        Returns the count that was removed per row."""
+        keys = np.asarray(keys)
+        if len(keys) == 0:
+            return np.empty(0, dtype=np.int64)
+        h = self._hash(keys)
+        uh = np.unique(h)
+        pos = np.searchsorted(self.hashes, uh)
+        pos_ok = np.minimum(pos, max(0, len(self.hashes) - 1))
+        dec = np.zeros(len(uh), dtype=np.int64)
+        if len(self.hashes):
+            hit = self.hashes[pos_ok] == uh
+            dec[hit] = -self.counts[pos_ok[hit]]
+        before = self.count_batch(keys)
+        self._merge_sorted(uh, dec)
+        self.num_items += int(dec.sum())
+        return before
+
+    # ------------------------------------------------------------------ query
+
+    def count_batch(self, keys) -> np.ndarray:
+        """qf_count_key_value per row (gqf.h:200)."""
+        keys = np.asarray(keys)
+        out = np.zeros(len(keys), dtype=np.int64)
+        if len(keys) == 0 or len(self.hashes) == 0:
+            return out
+        h = self._hash(keys)
+        pos = np.searchsorted(self.hashes, h)
+        pos_ok = np.minimum(pos, len(self.hashes) - 1)
+        hit = self.hashes[pos_ok] == h
+        out[hit] = self.counts[pos_ok[hit]]
+        return out
+
+    def contain_batch(self, keys) -> np.ndarray:
+        """Contain == count > 0 (gqf_cpp.h:117-123)."""
+        return self.count_batch(keys) > 0
+
+    # ------------------------------------------------------------------ merge
+
+    def merge(self, other: "CountingQuotientFilter") -> "CountingQuotientFilter":
+        """qf_merge (gqf.h:307): union with summed counts.  Requires matching
+        geometry + hash parameters (the distributed-merge precondition)."""
+        if (other.qbits, other.seed, other.hash_family) != \
+                (self.qbits, self.seed, self.hash_family):
+            raise ValueError("CQF merge requires identical qbits/seed/family")
+        self._merge_sorted(other.hashes, other.counts)
+        self.num_items += other.num_items
+        return self
+
+    # ------------------------------------------------------------------ stats
+
+    @property
+    def n_distinct(self) -> int:
+        return len(self.hashes)
+
+    def size(self) -> int:
+        return self.num_items
+
+    def size_in_bytes(self) -> int:
+        return int(self.hashes.nbytes + self.counts.nbytes)
+
+    def load_factor(self) -> float:
+        return len(self.hashes) / self.nslots
+
+    def info(self) -> str:
+        return (f"CountingQuotientFilter(qbits={self.qbits}, "
+                f"nslots={self.nslots}, nhashbits={self.nhashbits}, "
+                f"distinct={self.n_distinct}, total={self.num_items}, "
+                f"load={self.load_factor():.4f})")

@@ -44,7 +44,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .hashing import DEFAULT_SEED, mix_split
+from .hashing import DEFAULT_SEED, hash_key64, mix_split
 
 U64 = np.uint64
 _MURMUR_C = 0x5BD1E995
@@ -83,10 +83,11 @@ class CuckooFilter:
 
     __slots__ = ("num_buckets", "bits_per_tag", "seed", "variant", "tags",
                  "num_items", "victim_index", "victim_tag", "victim_used",
-                 "_rng", "_kick_counter", "occ", "_scratch")
+                 "_rng", "_kick_counter", "occ", "_scratch", "hash_family")
 
     def __init__(self, num_buckets: int, bits_per_tag: int = 12,
-                 seed: int = DEFAULT_SEED, variant: str = "pow2"):
+                 seed: int = DEFAULT_SEED, variant: str = "pow2",
+                 hash_family: str = "mix"):
         if bits_per_tag > 16:
             raise ValueError("kernel stores tags as uint16; bits_per_tag <= 16")
         if variant == "pow2" and num_buckets & (num_buckets - 1):
@@ -97,6 +98,9 @@ class CuckooFilter:
         self.bits_per_tag = int(bits_per_tag)
         self.seed = int(seed) & 0xFFFFFFFFFFFFFFFF
         self.variant = variant
+        # selectable item-hash family (src/cuckoofilter.h:32-35 templates on
+        # HashFamily, default TwoIndependentMultiplyShift): "mix" | "tims"
+        self.hash_family = hash_family
         self.tags = np.zeros((self.num_buckets, TAGS_PER_BUCKET), dtype=np.uint16)
         # Compact-slot invariant: the nonzero tags of bucket b are exactly
         # tags[b, :occ[b]].  Contain doesn't care about slot order (the
@@ -117,7 +121,8 @@ class CuckooFilter:
 
     @classmethod
     def create(cls, capacity: int, bits_per_tag: int = 12,
-               seed: int = DEFAULT_SEED, variant: str = "pow2") -> "CuckooFilter":
+               seed: int = DEFAULT_SEED, variant: str = "pow2",
+               hash_family: str = "mix") -> "CuckooFilter":
         """Size per the reference constructors.
 
         pow2:   num_buckets = upperpower2(max(1, n/4)), doubled if the load
@@ -134,13 +139,14 @@ class CuckooFilter:
             nb = int((10 + capacity / 0.94 / TAGS_PER_BUCKET) / 2) * 2
         else:
             raise ValueError(f"unknown variant {variant!r}")
-        return cls(nb, bits_per_tag=bits_per_tag, seed=seed, variant=variant)
+        return cls(nb, bits_per_tag=bits_per_tag, seed=seed, variant=variant,
+                   hash_family=hash_family)
 
     # ------------------------------------------------------------- hash stages
 
     def _index_tag(self, keys) -> tuple[np.ndarray, np.ndarray]:
         """(i1, tag) per key — src/cuckoofilter.h:66-73 / cuckoofilter_stable.h:60-65."""
-        h = mix_split(keys, self.seed)
+        h = hash_key64(keys, self.seed, self.hash_family)
         mask = U64((1 << self.bits_per_tag) - 1)
         if self.variant == "pow2":
             i1 = (h >> U64(32)) & U64(self.num_buckets - 1)
@@ -436,9 +442,12 @@ class CuckooFilter:
     def merge(self, other: "CuckooFilter") -> BulkResult:
         """Associative merge by fingerprint re-insertion (SURVEY.md §4.3.2;
         contract modeled on qf_merge, src/gqf.h:307-310)."""
-        if (self.seed, self.num_buckets, self.bits_per_tag, self.variant) != \
-                (other.seed, other.num_buckets, other.bits_per_tag, other.variant):
-            raise ValueError("merge requires identical (seed, num_buckets, bits_per_tag, variant)")
+        if (self.seed, self.num_buckets, self.bits_per_tag, self.variant,
+                self.hash_family) != \
+                (other.seed, other.num_buckets, other.bits_per_tag,
+                 other.variant, other.hash_family):
+            raise ValueError("merge requires identical (seed, num_buckets, "
+                             "bits_per_tag, variant, hash_family)")
         bs, ss = np.nonzero(other.tags)
         res = self._insert_pairs(bs.astype(np.int64), other.tags[bs, ss])
         if other.victim_used:

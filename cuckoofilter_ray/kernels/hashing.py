@@ -90,6 +90,34 @@ def two_independent_multiply_shift(keys, mul: int, add: int) -> np.ndarray:
     return (lo(col3) << U64(32)) | lo(col2)
 
 
+def tims_params(seed: int) -> tuple[int, int]:
+    """Deterministic 128-bit (multiply, add) for TwoIndependentMultiplyShift.
+
+    The reference draws them from ``std::random_device`` per instance
+    (hashutil.h:62-71); the engine derives them from the filter seed via
+    splitmix64 so distributed partials share parameters (SURVEY.md §4.3.1).
+    """
+    w = splitmix64(4, seed=seed ^ 0x7F4A7C15)
+    mul = (int(w[0]) << 64) | int(w[1])
+    add = (int(w[2]) << 64) | int(w[3])
+    return mul, add
+
+
+def hash_key64(keys, seed: int = DEFAULT_SEED, family: str = "mix") -> np.ndarray:
+    """Seeded 64-bit item hash under a selectable family.
+
+    ``mix``  — SimpleMixSplit (the reference benchmarks' default).
+    ``tims`` — TwoIndependentMultiplyShift (the filter templates' default,
+               src/cuckoofilter.h:32-35), parameters derived from ``seed``.
+    """
+    if family == "mix":
+        return mix_split(keys, seed)
+    if family == "tims":
+        mul, add = tims_params(seed)
+        return two_independent_multiply_shift(keys, mul, add)
+    raise ValueError(f"unknown hash family {family!r}")
+
+
 def splitmix64(n: int, seed: int = 1) -> np.ndarray:
     """First ``n`` outputs of splitmix64(seed) (benchmarks/random.h:28-41)."""
     state = (U64(seed & 0xFFFFFFFFFFFFFFFF)

@@ -23,6 +23,7 @@ from typing import Any
 import numpy as np
 
 from .bloom import BlockedBloomFilter, BloomFilter
+from .counting import CountingQuotientFilter
 from .cuckoo import CuckooFilter
 from .xor import XorFilter
 from . import semisort
@@ -78,6 +79,7 @@ def filter_to_row(filt: Any, group_key: str = "", shard_id: int = 0,
             "num_buckets": filt.num_buckets, "num_items": filt.num_items,
             "victim_index": int(filt.victim_index), "victim_tag": int(filt.victim_tag),
             "victim_used": bool(filt.victim_used), "seed": int(filt.seed),
+            "hash_family": filt.hash_family,
             "table_bytes": table_bytes,
         }
     if isinstance(filt, BloomFilter):
@@ -86,7 +88,8 @@ def filter_to_row(filt: Any, group_key: str = "", shard_id: int = 0,
             "variant": "", "bits_per_tag": filt.bits_per_item,
             "num_buckets": filt.array_length, "num_items": filt.num_items,
             "victim_index": 0, "victim_tag": 0, "victim_used": False,
-            "seed": int(filt.seed), "table_bytes": filt.words.tobytes(),
+            "seed": int(filt.seed), "hash_family": filt.hash_family,
+            "table_bytes": filt.words.tobytes(),
         }
     if isinstance(filt, BlockedBloomFilter):
         return {
@@ -95,6 +98,17 @@ def filter_to_row(filt: Any, group_key: str = "", shard_id: int = 0,
             "num_buckets": filt.num_blocks, "num_items": filt.num_items,
             "victim_index": 0, "victim_tag": 0, "victim_used": False,
             "seed": int(filt.seed), "table_bytes": filt.lanes.tobytes(),
+        }
+    if isinstance(filt, CountingQuotientFilter):
+        # variant carries the hash family; bits_per_tag the qbits;
+        # table_bytes = sorted masked hashes (uint64 LE) ++ counts (int64 LE)
+        return {
+            "group_key": group_key, "shard_id": shard_id, "kind": "counting",
+            "variant": filt.hash_family, "bits_per_tag": filt.qbits,
+            "num_buckets": filt.nslots, "num_items": filt.num_items,
+            "victim_index": 0, "victim_tag": 0, "victim_used": False,
+            "seed": int(filt.seed),
+            "table_bytes": filt.hashes.tobytes() + filt.counts.tobytes(),
         }
     if isinstance(filt, XorFilter):
         # seed column carries the successful build seed; num_buckets the
@@ -115,7 +129,8 @@ def row_to_filter(row: dict) -> Any:
     kind = row["kind"]
     if kind in ("cuckoo", "semisort"):
         f = CuckooFilter(int(row["num_buckets"]), int(row["bits_per_tag"]),
-                         seed=int(row["seed"]), variant=row["variant"] or "pow2")
+                         seed=int(row["seed"]), variant=row["variant"] or "pow2",
+                         hash_family=row.get("hash_family", "mix"))
         nb = f.num_buckets
         if row.get("codec", "pack") == "raw16":
             # raw16 rows come from live filters, whose tags are always
@@ -137,7 +152,8 @@ def row_to_filter(row: dict) -> Any:
         return f
     if kind == "bloom":
         f = BloomFilter(0, bits_per_item=int(row["bits_per_tag"]),
-                        seed=int(row["seed"]), array_length=int(row["num_buckets"]))
+                        seed=int(row["seed"]), array_length=int(row["num_buckets"]),
+                        hash_family=row.get("hash_family", "mix"))
         f.words = np.frombuffer(row["table_bytes"], dtype=np.uint64).copy()
         f.num_items = int(row["num_items"])
         return f
@@ -145,6 +161,16 @@ def row_to_filter(row: dict) -> Any:
         f = BlockedBloomFilter(int(row["num_buckets"]), seed=int(row["seed"]),
                                bits_per_item=int(row["bits_per_tag"]))
         f.lanes = np.frombuffer(row["table_bytes"], dtype=np.uint32).reshape(-1, 8).copy()
+        f.num_items = int(row["num_items"])
+        return f
+    if kind == "counting":
+        f = CountingQuotientFilter(int(row["bits_per_tag"]),
+                                   seed=int(row["seed"]),
+                                   hash_family=row["variant"] or "mix")
+        buf = row["table_bytes"]
+        n = len(buf) // 16
+        f.hashes = np.frombuffer(buf[:8 * n], dtype=np.uint64).copy()
+        f.counts = np.frombuffer(buf[8 * n:], dtype=np.int64).copy()
         f.num_items = int(row["num_items"])
         return f
     if kind == "xor":
@@ -169,21 +195,31 @@ def deserialize(data: bytes) -> Any:
     return row_to_filter(pickle.loads(data))
 
 
-def make_filter(kind: str, capacity: int, seed: int, bits_per_tag: int = 12) -> Any:
+def make_filter(kind: str, capacity: int, seed: int, bits_per_tag: int = 12,
+                hash_family: str = "mix") -> Any:
     """Factory used by aggregates/pipelines. ``kind`` ∈ cuckoo | cuckoo-stable |
-    semisort | bloom | blockedbloom."""
+    semisort | bloom | blockedbloom | xor | counting.  ``hash_family``
+    selects the item hash for the kinds that template on it (cuckoo/bloom/
+    counting — src/cuckoofilter.h:32-35); blockedbloom/xor stay on mix
+    (their stacked probes inline the mix hash)."""
     if kind == "cuckoo":
-        return CuckooFilter.create(capacity, bits_per_tag=bits_per_tag, seed=seed)
+        return CuckooFilter.create(capacity, bits_per_tag=bits_per_tag, seed=seed,
+                                   hash_family=hash_family)
     if kind == "cuckoo-stable":
         return CuckooFilter.create(capacity, bits_per_tag=bits_per_tag, seed=seed,
-                                   variant="stable")
+                                   variant="stable", hash_family=hash_family)
     if kind == "semisort":
-        return CuckooFilter.create(capacity, bits_per_tag=13, seed=seed)
+        return CuckooFilter.create(capacity, bits_per_tag=13, seed=seed,
+                                   hash_family=hash_family)
     if kind == "bloom":
-        return BloomFilter.create(capacity, bits_per_item=bits_per_tag, seed=seed)
+        return BloomFilter.create(capacity, bits_per_item=bits_per_tag, seed=seed,
+                                  hash_family=hash_family)
     if kind == "blockedbloom":
         return BlockedBloomFilter.create(capacity, bits_per_item=bits_per_tag, seed=seed)
     if kind == "xor":
         return XorFilter(capacity, bits_per_tag=bits_per_tag if bits_per_tag
                          in (8, 16) else 8, seed=seed)
+    if kind == "counting":
+        return CountingQuotientFilter.create(capacity, seed=seed,
+                                             hash_family=hash_family)
     raise ValueError(f"unknown filter kind {kind!r}")

@@ -50,7 +50,8 @@ def derive_keys(ds: "ray.data.Dataset", content_col: str = "content",
 def _combine_build(ds: "ray.data.Dataset", group_cols: list,
                    key_col: str = "key_hi64", kind: str = "cuckoo",
                    capacity: int = 1 << 16, bits_per_tag: int = 12,
-                   seed: int = DEFAULT_SEED) -> "ray.data.Dataset":
+                   seed: int = DEFAULT_SEED,
+                   hash_family: str = "mix") -> "ray.data.Dataset":
     """Map-side-combine build: vectorized per-block partial accumulators
     (stages.aggregate.partial_filter_rows), then a groupby shuffle over ONLY
     the partial rows (blocks × groups, each ≤ one filter) and a final
@@ -67,11 +68,11 @@ def _combine_build(ds: "ray.data.Dataset", group_cols: list,
         partial_filter_rows, batch_format="pyarrow", batch_size=None,
         fn_kwargs={"group_cols": group_cols, "key_col": key_col, "kind": kind,
                    "capacity": capacity, "bits_per_tag": bits_per_tag,
-                   "seed": seed})
+                   "seed": seed, "hash_family": hash_family})
 
     def merge_group(group: pa.Table) -> pa.Table:
         filt = merge_accs(group.column("acc").to_pylist(), kind, capacity,
-                          seed, bits_per_tag)
+                          seed, bits_per_tag, hash_family=hash_family)
         cols = {c: pa.array([group.column(c)[0].as_py()])
                 for c in group_cols}
         cols[SKETCH_COL] = pa.array([serialize(filt)], type=pa.large_binary())
@@ -87,7 +88,8 @@ def build_grouped_filters(ds: "ray.data.Dataset", group_key: str,
                           key_col: str = "key_hi64", kind: str = "cuckoo",
                           capacity: Optional[int] = None, bits_per_tag: int = 12,
                           seed: int = DEFAULT_SEED,
-                          load_target: float = 0.94) -> "ray.data.Dataset":
+                          load_target: float = 0.94,
+                          hash_family: str = "mix") -> "ray.data.Dataset":
     """Per-group filter build → Dataset[(group_key, sketch: binary, num_items…)].
 
     ``capacity`` given → mergeable-UDAF aggregate path.
@@ -96,13 +98,14 @@ def build_grouped_filters(ds: "ray.data.Dataset", group_key: str,
     if capacity is not None:
         return _combine_build(ds, [group_key], key_col=key_col, kind=kind,
                               capacity=capacity, bits_per_tag=bits_per_tag,
-                              seed=seed)
+                              seed=seed, hash_family=hash_family)
 
     def build_group(group: pa.Table) -> pa.Table:
         keys = group.column(key_col).to_numpy(zero_copy_only=False) \
             .astype(np.uint64, copy=False)
         gk = group.column(group_key)[0].as_py()
-        filt = make_filter(kind, len(keys), seed, bits_per_tag)
+        filt = make_filter(kind, len(keys), seed, bits_per_tag,
+                           hash_family=hash_family)
         res = filt.add_batch(keys)
         row = filter_to_row(filt, group_key=str(gk))
         return pa.table({
@@ -162,12 +165,14 @@ def build_grouped_filters_salted(ds: "ray.data.Dataset", group_key: str,
 
 def build_single_filter(ds: "ray.data.Dataset", key_col: str = "key_hi64",
                         kind: str = "cuckoo", capacity: int = 1 << 16,
-                        bits_per_tag: int = 12, seed: int = DEFAULT_SEED):
+                        bits_per_tag: int = 12, seed: int = DEFAULT_SEED,
+                        hash_family: str = "mix"):
     """Whole-dataset filter via the mergeable UDAF; returns the live kernel
     object on the driver (small: ~2 bytes/key)."""
     agg = FilterSketch(on=key_col, kind=kind, capacity=capacity,
                        bits_per_tag=bits_per_tag, seed=seed,
-                       alias_name=SKETCH_COL, pack_final=False)
+                       alias_name=SKETCH_COL, pack_final=False,
+                       hash_family=hash_family)
     out = ds.aggregate(agg)
     from ..kernels import deserialize
     return deserialize(out[SKETCH_COL])
@@ -177,7 +182,8 @@ def build_partitioned_filter(ds: "ray.data.Dataset", key_col: str = "key_hi64",
                              num_shards: int = 16, kind: str = "cuckoo",
                              capacity_per_shard: int = 1 << 16,
                              bits_per_tag: int = 12,
-                             seed: int = DEFAULT_SEED) -> "ray.data.Dataset":
+                             seed: int = DEFAULT_SEED,
+                             hash_family: str = "mix") -> "ray.data.Dataset":
     """Sharded filter for groups too big for one blob (SURVEY.md §4.3.3):
     shard by high key bits, one mergeable filter per shard.  Probing routes
     each key to ``shard = key >> (64 - log2(num_shards))`` — the distributed
@@ -195,7 +201,7 @@ def build_partitioned_filter(ds: "ray.data.Dataset", key_col: str = "key_hi64",
     return _combine_build(
         ds.map_batches(add_shard, batch_format="pyarrow", batch_size=None),
         ["_shard"], key_col=key_col, kind=kind, capacity=capacity_per_shard,
-        bits_per_tag=bits_per_tag, seed=seed)
+        bits_per_tag=bits_per_tag, seed=seed, hash_family=hash_family)
 
 
 def shard_for_keys(keys: np.ndarray, num_shards: int) -> np.ndarray:

@@ -62,11 +62,13 @@ class FilterSketch(AggregateFnV2):
 
     def __init__(self, on: str, kind: str = "cuckoo", capacity: int = 1 << 16,
                  bits_per_tag: int = 12, seed: int = DEFAULT_SEED,
-                 alias_name: Optional[str] = None, pack_final: bool = True):
+                 alias_name: Optional[str] = None, pack_final: bool = True,
+                 hash_family: str = "mix"):
         self._kind = kind
         self._capacity = int(capacity)
         self._bits = int(bits_per_tag)
         self._seed = int(seed)
+        self._family = hash_family
         # pack_final=False skips the bit-pack codec in finalize — right when
         # the result is immediately deserialized (broadcast probe state)
         # rather than written at rest
@@ -87,7 +89,8 @@ class FilterSketch(AggregateFnV2):
 
     def _densify(self, d: dict):
         if d.get("codec") == "sparse":
-            filt = make_filter(self._kind, self._capacity, self._seed, self._bits)
+            filt = make_filter(self._kind, self._capacity, self._seed, self._bits,
+                               hash_family=self._family)
             filt.add_batch(np.frombuffer(d["keys"], dtype=np.uint64))
             return filt
         return row_to_filter(d)
@@ -98,7 +101,8 @@ class FilterSketch(AggregateFnV2):
             return pickle.dumps(
                 {"codec": "sparse", "keys": np.ascontiguousarray(keys).tobytes()},
                 protocol=pickle.HIGHEST_PROTOCOL)
-        filt = make_filter(self._kind, self._capacity, self._seed, self._bits)
+        filt = make_filter(self._kind, self._capacity, self._seed, self._bits,
+                               hash_family=self._family)
         filt.add_batch(keys)
         return serialize(filt, packed=False)
 
@@ -114,7 +118,8 @@ class FilterSketch(AggregateFnV2):
             if len(keys) <= self._sparse_limit() * 8:
                 return pickle.dumps({"codec": "sparse", "keys": keys},
                                     protocol=pickle.HIGHEST_PROTOCOL)
-            filt = make_filter(self._kind, self._capacity, self._seed, self._bits)
+            filt = make_filter(self._kind, self._capacity, self._seed, self._bits,
+                               hash_family=self._family)
             filt.add_batch(np.frombuffer(keys, dtype=np.uint64))
             return serialize(filt, packed=False)
         if b_sp:          # dense ⊕ sparse: bulk-add the keys
@@ -131,7 +136,8 @@ class FilterSketch(AggregateFnV2):
 
     def finalize(self, accumulator: Optional[bytes]) -> bytes:
         if accumulator is None:
-            filt = make_filter(self._kind, self._capacity, self._seed, self._bits)
+            filt = make_filter(self._kind, self._capacity, self._seed, self._bits,
+                               hash_family=self._family)
             return serialize(filt, packed=self._pack_final)
         return serialize(self._densify(pickle.loads(accumulator)),
                          packed=self._pack_final)
@@ -155,16 +161,17 @@ def make_sparse_acc(keys: np.ndarray) -> bytes:
 
 
 def build_acc(keys: np.ndarray, kind: str, capacity: int, seed: int,
-              bits: int, sparse_limit: int) -> bytes:
+              bits: int, sparse_limit: int, hash_family: str = "mix") -> bytes:
     """keys → accumulator bytes (sparse below the densify threshold)."""
     if len(keys) <= sparse_limit:
         return make_sparse_acc(keys)
-    filt = make_filter(kind, capacity, seed, bits)
+    filt = make_filter(kind, capacity, seed, bits, hash_family=hash_family)
     filt.add_batch(keys)
     return serialize(filt, packed=False)
 
 
-def merge_accs(accs, kind: str, capacity: int, seed: int, bits: int):
+def merge_accs(accs, kind: str, capacity: int, seed: int, bits: int,
+               hash_family: str = "mix"):
     """Merge accumulator blobs (sparse key lists and/or raw16 filter rows)
     into one live filter.  Used by the final per-group merge task."""
     sparse_keys = []
@@ -178,7 +185,7 @@ def merge_accs(accs, kind: str, capacity: int, seed: int, bits: int):
         else:
             filt.merge(row_to_filter(d))
     if filt is None:
-        filt = make_filter(kind, capacity, seed, bits)
+        filt = make_filter(kind, capacity, seed, bits, hash_family=hash_family)
     if sparse_keys:
         filt.add_batch(np.concatenate(sparse_keys))
     return filt
@@ -187,7 +194,8 @@ def merge_accs(accs, kind: str, capacity: int, seed: int, bits: int):
 def partial_filter_rows(batch: pa.Table, *, group_cols: list, key_col: str,
                         kind: str = "cuckoo", capacity: int = 1 << 16,
                         bits_per_tag: int = 12, seed: int = DEFAULT_SEED,
-                        acc_col: str = "acc") -> pa.Table:
+                        acc_col: str = "acc",
+                        hash_family: str = "mix") -> pa.Table:
     """Map-side combiner: one accumulator row per group per block.
 
     Vectorized grouping (factorize + stable argsort + searchsorted slices) —
@@ -223,7 +231,7 @@ def partial_filter_rows(batch: pa.Table, *, group_cols: list, key_col: str,
     for g in range(n_groups):
         gk = keys[order[bounds[g]:bounds[g + 1]]]
         accs.append(build_acc(gk, kind, capacity, seed, bits_per_tag,
-                              sparse_limit))
+                              sparse_limit, hash_family=hash_family))
     cols = {c: pa.array(v) for c, v in unique_cols.items()}
     cols[acc_col] = pa.array(accs, type=pa.large_binary())
     return pa.table(cols)

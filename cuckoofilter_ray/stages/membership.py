@@ -71,14 +71,15 @@ def filters_to_stacked_ref(filters_ds_or_rows, group_col: str = "_shard"
     if shards != list(range(len(shards))):
         raise ValueError(f"expected contiguous shard ids, got {shards}")
     flist = [by_shard[s] for s in shards]
-    cfg = {(f.seed, f.num_buckets, f.bits_per_tag, f.variant) for f in flist}
+    cfg = {(f.seed, f.num_buckets, f.bits_per_tag, f.variant, f.hash_family)
+           for f in flist}
     if len(cfg) != 1:
         raise ValueError(f"shards disagree on filter config: {cfg}")
-    seed, nb, bits, variant = next(iter(cfg))
+    seed, nb, bits, variant, family = next(iter(cfg))
     return ray.put({
         "stacked": "cuckoo",
         "seed": seed, "num_buckets": nb, "bits_per_tag": bits,
-        "variant": variant, "num_shards": len(flist),
+        "variant": variant, "hash_family": family, "num_shards": len(flist),
         "tags64": np.ascontiguousarray(
             np.vstack([f.tags for f in flist])).view(np.uint64).reshape(-1),
         "vic_used": np.array([f.victim_used for f in flist]),
@@ -165,7 +166,9 @@ class PartitionedFilterProbe:
             self._proto = CuckooFilter(table["num_buckets"],
                                        table["bits_per_tag"],
                                        seed=table["seed"],
-                                       variant=table["variant"])
+                                       variant=table["variant"],
+                                       hash_family=table.get("hash_family",
+                                                             "mix"))
             self._nb = table["num_buckets"]
             self._num_shards = table["num_shards"]
             self._tags = None
@@ -180,8 +183,8 @@ class PartitionedFilterProbe:
                 raise ValueError(
                     f"expected contiguous shard ids 0..n-1, got {shards}")
             flist = [filters[s] for s in shards]
-            cfg = {(f.seed, f.num_buckets, f.bits_per_tag, f.variant)
-                   for f in flist}
+            cfg = {(f.seed, f.num_buckets, f.bits_per_tag, f.variant,
+                    f.hash_family) for f in flist}
             if len(cfg) != 1:
                 raise ValueError(f"shards disagree on filter config: {cfg}")
             self._proto = flist[0]

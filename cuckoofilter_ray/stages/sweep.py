@@ -60,6 +60,10 @@ class SweepProber:
         self._keys = ray.get(inserted_ref)
         view = PartitionedFilterProbe(filters_ref)
         proto = view._proto
+        if getattr(proto, "hash_family", "mix") != "mix":
+            # the fused sweep inlines the mix_split hash pipeline; other
+            # families must go through the generic probe path
+            raise ValueError("SweepProber supports hash_family='mix' only")
         self._variant = proto.variant
         self._nb = U64(proto.num_buckets)
         self._nb_mask = U64(proto.num_buckets - 1) if proto.variant == "pow2" \

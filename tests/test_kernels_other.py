@@ -264,3 +264,111 @@ def test_bottomk_quantile_rank_error_and_merge():
     assert (a.prio[oa] == s.prio[ob]).all() and (a.vals[oa] == s.vals[ob]).all()
     # KMV distinct estimate within 10%
     assert abs(s.distinct_estimate() - n) / n < 0.1
+
+
+# ---------------------------------------------------------------- counting
+
+def test_counting_filter_matches_dict_model():
+    """Counts are value-identical to an exact masked-hash multiset model
+    (the reference CQF's value domain, src/gqf_cpp.h:93-123)."""
+    from cuckoofilter_ray.kernels import CountingQuotientFilter
+    from cuckoofilter_ray.kernels.hashing import hash_key64
+    rng = np.random.default_rng(7)
+    base = splitmix64(3000, seed=41)
+    keys = rng.choice(base, size=20_000, replace=True)   # heavy duplicates
+    f = CountingQuotientFilter.create(5000, seed=9)
+    for chunk in np.array_split(keys, 7):                # incremental adds
+        f.add_batch(chunk)
+    model = {}
+    for h in hash_key64(keys, 9) & np.uint64(f.mask):
+        model[int(h)] = model.get(int(h), 0) + 1
+    got = f.count_batch(base)
+    hb = hash_key64(base, 9) & np.uint64(f.mask)
+    exp = np.array([model.get(int(h), 0) for h in hb])
+    assert (got == exp).all()
+    assert f.num_items == len(keys)
+    assert (f.contain_batch(base) == (exp > 0)).all()
+    miss = splitmix64(5000, seed=77)
+    fpr = f.contain_batch(miss).mean()
+    assert fpr < 0.02, f"masked-collision FPR too high: {fpr}"
+
+
+def test_counting_sizing_matches_reference_loop():
+    """qbits per gqf_cpp.h:44-50: smallest with nslots*0.9 >= n."""
+    from cuckoofilter_ray.kernels import CountingQuotientFilter
+    for n, nslots in [(1, 2), (7, 8), (8, 16), (230, 256), (231, 512),
+                      (100_000, 1 << 17)]:
+        f = CountingQuotientFilter.create(n)
+        assert f.nslots == nslots, (n, f.nslots)
+        assert f.nhashbits == f.qbits + 8
+        assert f.mask == (1 << f.nhashbits) - 1
+
+
+def test_counting_merge_associative_and_commutative():
+    from cuckoofilter_ray.kernels import CountingQuotientFilter
+    keys = splitmix64(9000, seed=5)
+    parts = np.array_split(keys, 3)
+
+    def build(chunks):
+        f = CountingQuotientFilter.create(10_000, seed=3)
+        for c in chunks:
+            f.add_batch(c)
+        return f
+
+    def merged(order):
+        fs = [build([parts[i]]) for i in order]
+        acc = fs[0]
+        for f in fs[1:]:
+            acc.merge(f)
+        return acc
+
+    bulk = build(parts)
+    for order in [(0, 1, 2), (2, 0, 1), (1, 2, 0)]:
+        m = merged(order)
+        assert (m.hashes == bulk.hashes).all()
+        assert (m.counts == bulk.counts).all()
+        assert m.num_items == bulk.num_items
+    # (a+b)+c == a+(b+c)
+    ab_c = merged((0, 1, 2))
+    bc = build([parts[1]]); bc.merge(build([parts[2]]))
+    a_bc = build([parts[0]]); a_bc.merge(bc)
+    assert (ab_c.hashes == a_bc.hashes).all()
+    assert (ab_c.counts == a_bc.counts).all()
+
+
+def test_counting_remove_delete_semantics():
+    from cuckoofilter_ray.kernels import CountingQuotientFilter
+    f = CountingQuotientFilter.create(100, seed=2)
+    keys = np.array([10, 10, 10, 20, 30], dtype=np.uint64)
+    f.add_batch(keys)
+    assert list(f.count_batch(np.array([10, 20, 30, 40], dtype=np.uint64))) \
+        == [3, 1, 1, 0]
+    # counted remove, saturating; duplicates drain in order
+    removed = f.remove_batch(np.array([10, 10, 40], dtype=np.uint64),
+                             np.array([2, 5, 1]))
+    assert list(removed) == [2, 1, 0]
+    assert f.count_batch(np.array([10], dtype=np.uint64))[0] == 0
+    assert f.num_items == 2
+    # delete removes the key entirely
+    f.add_batch(np.array([20, 20], dtype=np.uint64))
+    got = f.delete_batch(np.array([20, 99], dtype=np.uint64))
+    assert list(got) == [3, 0]
+    assert f.count_batch(np.array([20], dtype=np.uint64))[0] == 0
+
+
+def test_counting_serde_roundtrip_and_capacity():
+    from cuckoofilter_ray.kernels import (CountingQuotientFilter,
+                                          NotEnoughSpaceError, deserialize,
+                                          serialize)
+    f = CountingQuotientFilter.create(2000, seed=4, hash_family="tims")
+    keys = splitmix64(1500, seed=8)
+    f.add_batch(keys, counts=np.arange(1, 1501))
+    g = deserialize(serialize(f))
+    assert (g.hashes == f.hashes).all() and (g.counts == f.counts).all()
+    assert (g.qbits, g.seed, g.hash_family, g.num_items) == \
+        (f.qbits, f.seed, f.hash_family, f.num_items)
+    assert (g.count_batch(keys) == f.count_batch(keys)).all()
+    # overfilling distinct slots raises QF_NO_SPACE
+    small = CountingQuotientFilter.create(10, seed=1)   # nslots=16
+    with pytest.raises(NotEnoughSpaceError):
+        small.add_batch(splitmix64(200, seed=6))

@@ -718,3 +718,76 @@ def test_langid_vectorized_matches_reference_loop():
             exp_conf = best / max(1, len(words))
         assert got.column("lang_pred")[i].as_py() == exp_pred, (i, t)
         assert abs(got.column("lang_conf")[i].as_py() - exp_conf) < 1e-12
+
+
+def test_counting_filter_udaf_matches_exact_counts(ray_mod):
+    """FilterSketch(kind='counting') per-group aggregate: distributed
+    partial-merge counts == exact COUNT(*) per key (qf_merge contract,
+    src/gqf.h:307)."""
+    ray = ray_mod
+    from cuckoofilter_ray.stages.aggregate import FilterSketch
+    rng = np.random.default_rng(17)
+    base = splitmix64(400, seed=91)
+    rows = 30_000
+    keys = rng.choice(base, size=rows, replace=True)
+    grp = rng.integers(0, 3, size=rows)
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(grp, pa.int64()),
+        "key_hi64": pa.array(keys, pa.uint64()),
+    })).repartition(8)
+    agg = ds.groupby("g").aggregate(
+        FilterSketch(on="key_hi64", kind="counting", capacity=1000,
+                     seed=SEED, alias_name="cqf"))
+    got = {r["g"]: deserialize(r["cqf"]) for r in agg.take_all()}
+    for g in range(3):
+        mask = grp == g
+        exact = {}
+        for k in keys[mask]:
+            exact[int(k)] = exact.get(int(k), 0) + 1
+        counts = got[g].count_batch(base)
+        exp = np.array([exact.get(int(k), 0) for k in base])
+        assert (counts == exp).all(), f"group {g} count mismatch"
+        assert got[g].num_items == int(mask.sum())
+
+
+def test_hash_family_tims_build_probe_parity(ray_mod):
+    """HashFamily pluggability (src/cuckoofilter.h:32-35): a distributed
+    build+probe under TwoIndependentMultiplyShift answers identically to the
+    single-kernel filter, with zero false negatives and the serde row
+    carrying the family."""
+    ray = ray_mod
+    from cuckoofilter_ray.kernels import CuckooFilter, deserialize
+    keys = splitmix64(20_000, seed=31)
+    ds = _keys_ds(ray, keys)
+    filters = build_partitioned_filter(ds, num_shards=4,
+                                       capacity_per_shard=8192, seed=SEED,
+                                       hash_family="tims")
+    rows = filters.take_all()
+    assert sum(r["num_items"] for r in rows) == len(keys)
+    view = PartitionedFilterProbe(filters_to_ref(rows, group_col="_shard"))
+    assert view._proto.hash_family == "tims"
+    probes = np.concatenate([keys, splitmix64(20_000, seed=87)])
+    got = view.contain_batch(probes)
+    assert got[:len(keys)].all(), "false negative under tims"
+    # per-shard kernel equivalence
+    per_shard = {r["_shard"]: deserialize(r[SKETCH_COL]) for r in rows}
+    assert all(f.hash_family == "tims" for f in per_shard.values())
+    shard = shard_for_keys(probes, 4)
+    expect = np.zeros(len(probes), dtype=bool)
+    for s in range(4):
+        m = shard == s
+        expect[m] = per_shard[s].contain_batch(probes[m])
+    assert (got == expect).all()
+    # mix and tims disagree on placement (different hash family really used)
+    fm = CuckooFilter.create(8192, seed=SEED, hash_family="mix")
+    ft = CuckooFilter.create(8192, seed=SEED, hash_family="tims")
+    fm.add_batch(keys[:4000]); ft.add_batch(keys[:4000])
+    assert (fm.tags != ft.tags).any()
+    # fpr still in the 12-bit regime
+    neg = splitmix64(50_000, seed=55)
+    assert ft.contain_batch(neg).mean() < 4 * 2 * 4 / (1 << 12)
+    # the fused sweep refuses non-mix families loudly
+    from cuckoofilter_ray.stages.sweep import SweepProber
+    with pytest.raises(ValueError, match="mix"):
+        SweepProber(ray.put(keys), filters_to_ref(rows, group_col="_shard"),
+                    seed=1, num_shards=4)
