@@ -303,6 +303,132 @@ class PartitionedXorProbe:
         return batch.append_column(self._out_col, pa.array(out, pa.bool_()))
 
 
+def filters_to_packed_ref(filters_ds_or_rows, group_col: str = "_shard"
+                          ) -> "ray.ObjectRef":
+    """Broadcast a partitioned SEMISORT (13-bit) filter in its packed at-rest
+    form: one stacked ``(num_shards * num_buckets, 6)`` uint8 matrix —
+    6 bytes/bucket in worker memory (src/packedtable.h:19), not the 8 of the
+    unpacked uint16 tag table.  Probes decode only the buckets they touch
+    (:class:`PackedSemisortProbe`), the analog of the reference probing the
+    packed 48-bit bucket directly (src/packedtable.h:312-353)."""
+    from ..kernels import deserialize, row_to_filter, semisort
+
+    if hasattr(filters_ds_or_rows, "take_all"):
+        rows = filters_ds_or_rows.take_all()
+    else:
+        rows = list(filters_ds_or_rows)
+    by_shard = {}
+    for r in rows:
+        f = deserialize(r["sketch"]) if "sketch" in r else row_to_filter(r)
+        by_shard[int(r[group_col])] = f
+    shards = sorted(by_shard)
+    if shards != list(range(len(shards))):
+        raise ValueError(f"expected contiguous shard ids, got {shards}")
+    flist = [by_shard[s] for s in shards]
+    cfg = {(f.seed, f.num_buckets, f.bits_per_tag, f.variant, f.hash_family)
+           for f in flist}
+    if len(cfg) != 1:
+        raise ValueError(f"shards disagree on filter config: {cfg}")
+    seed, nb, bits, variant, family = next(iter(cfg))
+    if bits != semisort.BITS_PER_TAG:
+        raise ValueError("packed broadcast is defined for 13-bit tags")
+    packed = np.vstack([
+        np.frombuffer(semisort.pack_buckets(f.tags), dtype=np.uint8)
+        .reshape(nb, semisort.BYTES_PER_BUCKET) for f in flist])
+    return ray.put({
+        "stacked": "semisort-packed",
+        "seed": seed, "num_buckets": nb, "bits_per_tag": bits,
+        "variant": variant, "hash_family": family, "num_shards": len(flist),
+        "packed6": np.ascontiguousarray(packed),
+        "vic_used": np.array([f.victim_used for f in flist]),
+        "vic_index": np.array([f.victim_index for f in flist], dtype=np.int64),
+        "vic_tag": np.array([f.victim_tag for f in flist], dtype=np.uint16),
+    })
+
+
+class PackedSemisortProbe:
+    """Probe a packed semisort broadcast WITHOUT unpacking the table.
+
+    Per batch: route keys to shards, gather the 6 packed bytes of the two
+    candidate buckets only, rebuild their 48-bit words, decode the 12-bit
+    codeword through the 3876-entry table (src/permencoding.h:47-50) and
+    compare the four reconstructed 13-bit tags — the vectorized analog of
+    ``PackedTable::FindTagInBuckets`` (src/packedtable.h:312-353).  Worker
+    memory stays at 6 bytes/bucket."""
+
+    def __init__(self, filters_ref, key_col: str = "key_hi64",
+                 out_col: str = "is_member", shard_col: Optional[str] = None):
+        from ..kernels import semisort
+        from ..kernels.cuckoo import CuckooFilter
+        table = ray.get(filters_ref)
+        if not (isinstance(table, dict)
+                and table.get("stacked") == "semisort-packed"):
+            raise ValueError("PackedSemisortProbe needs a "
+                             "filters_to_packed_ref broadcast")
+        self._proto = CuckooFilter(table["num_buckets"],
+                                   table["bits_per_tag"],
+                                   seed=table["seed"],
+                                   variant=table["variant"],
+                                   hash_family=table.get("hash_family", "mix"))
+        self._nb = table["num_buckets"]
+        self._num_shards = table["num_shards"]
+        self._packed6 = table["packed6"]          # (num_shards*nb, 6) uint8
+        self._vic_used = table["vic_used"]
+        self._vic_index = table["vic_index"]
+        self._vic_tag = table["vic_tag"]
+        self._any_victim = bool(self._vic_used.any())
+        self._decode = semisort.DECODE_TABLE      # (3876, 4) uint8 nibbles
+        self._key_col, self._out_col, self._shard_col = key_col, out_col, shard_col
+
+    def _bucket_tags(self, rows: np.ndarray) -> np.ndarray:
+        """Decode the packed buckets at ``rows`` → (n, 4) uint16 tags."""
+        U = np.uint64
+        b6 = self._packed6[rows]                   # (n, 6) gather-copy
+        pad = np.zeros((len(rows), 8), dtype=np.uint8)
+        pad[:, :6] = b6
+        word = pad.view("<u8").ravel().astype(np.uint64)
+        lows = self._decode[(word & U(0xFFF)).astype(np.int64)].astype(np.uint16)
+        tags = np.empty((len(rows), 4), dtype=np.uint16)
+        for j in range(4):
+            high = ((word >> U(12 + 9 * j)) & U(0x1FF)).astype(np.uint16)
+            tags[:, j] = (high << 4) | lows[:, j]
+        return tags
+
+    def contain_batch(self, keys: np.ndarray,
+                      shard: Optional[np.ndarray] = None) -> np.ndarray:
+        from ..pipelines.build import shard_for_keys
+        keys = np.asarray(keys, dtype=np.uint64)
+        if shard is None:
+            shard = shard_for_keys(keys, self._num_shards)
+        base = shard.astype(np.int64) * self._nb
+        found = np.empty(len(keys), dtype=bool)
+        step = 65536
+        for s in range(0, max(1, len(keys)), step):
+            sl = slice(s, s + step)
+            i1, tag = self._proto._index_tag(keys[sl])
+            i2 = self._proto.alt_index(i1, tag)
+            b = base[sl]
+            t1 = self._bucket_tags(b + i1)
+            t2 = self._bucket_tags(b + i2)
+            hit = (t1 == tag[:, None]).any(axis=1) | \
+                  (t2 == tag[:, None]).any(axis=1)
+            if self._any_victim:
+                sh = shard[sl]
+                hit |= self._vic_used[sh] & (tag == self._vic_tag[sh]) & \
+                    ((i1 == self._vic_index[sh]) | (i2 == self._vic_index[sh]))
+            found[sl] = hit
+        return found
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self._key_col).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64, copy=False)
+        shard = None
+        if self._shard_col and self._shard_col in batch.column_names:
+            shard = batch.column(self._shard_col).to_numpy(zero_copy_only=False)
+        out = self.contain_batch(keys, shard)
+        return batch.append_column(self._out_col, pa.array(out, pa.bool_()))
+
+
 class FilterDelete:
     """Actor ``map_batches`` callable applying Delete to an owned filter copy
     and reporting per-key status (src/cuckoofilter.h:206-238 semantics,

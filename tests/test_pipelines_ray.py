@@ -791,3 +791,40 @@ def test_hash_family_tims_build_probe_parity(ray_mod):
     with pytest.raises(ValueError, match="mix"):
         SweepProber(ray.put(keys), filters_to_ref(rows, group_col="_shard"),
                     seed=1, num_shards=4)
+
+
+def test_packed_semisort_probe_matches_unpacked(ray_mod):
+    """Probe-on-packed path (src/packedtable.h:312-353 analog): the 6-byte-
+    per-bucket broadcast answers EXACTLY like the unpacked stacked probe,
+    at 0.75x the worker memory."""
+    ray = ray_mod
+    from cuckoofilter_ray.stages.membership import (PackedSemisortProbe,
+                                                    filters_to_packed_ref)
+    keys = splitmix64(30_000, seed=41)
+    ds = _keys_ds(ray, keys)
+    filters = build_partitioned_filter(ds, num_shards=4, kind="semisort",
+                                       capacity_per_shard=16384,
+                                       bits_per_tag=13, seed=SEED)
+    rows = filters.take_all()
+    unpacked = PartitionedFilterProbe(filters_to_ref(rows, group_col="_shard"))
+    packed = PackedSemisortProbe(filters_to_packed_ref(rows,
+                                                       group_col="_shard"))
+    probes = np.concatenate([keys, splitmix64(50_000, seed=43)])
+    a = unpacked.contain_batch(probes)
+    b = packed.contain_batch(probes)
+    assert (a == b).all()
+    assert b[:len(keys)].all(), "false negative on packed probe"
+    # memory: 6 bytes/bucket vs 8 for the uint16 tag table
+    nb_total = 4 * unpacked._nb
+    assert packed._packed6.nbytes == nb_total * 6
+    assert unpacked._tags64.nbytes == nb_total * 8
+    # works as a map_batches stage too
+    wl = ray.data.from_arrow(pa.table({"key_hi64": pa.array(probes,
+                                                            pa.uint64())}))
+    out = wl.map_batches(
+        PackedSemisortProbe, batch_format="pyarrow", batch_size=None,
+        concurrency=2,
+        fn_constructor_kwargs={
+            "filters_ref": filters_to_packed_ref(rows, group_col="_shard")}
+    ).to_pandas()
+    assert (out["is_member"].to_numpy() == a).all()
