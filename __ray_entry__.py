@@ -203,6 +203,13 @@ def q_stable_membership(sf_dir: str):
     return _membership_recall_for_kind(sf_dir, "cuckoo-stable")
 
 
+def q_shingle_membership(sf_dir: str):
+    """Per-lang Shingle filters (3.5-way overlapping-bucket cuckoo,
+    src/shingle.h — Lehman & Panigrahy ESA 2009): zero false negatives on
+    inserted keys ⇒ exact COUNT(*) oracle."""
+    return _membership_recall_for_kind(sf_dir, "shingle")
+
+
 def q_tims_membership(sf_dir: str):
     """Per-lang cuckoo filters under the TwoIndependentMultiplyShift hash
     family — the reference filters' template default (src/cuckoofilter.h:
@@ -744,6 +751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xor_membership": q_xor_membership,
         "stable_membership": q_stable_membership,
         "tims_membership": q_tims_membership,
+        "shingle_membership": q_shingle_membership,
         "filter_stats": q_filter_stats,
         "distinct_texts": q_distinct_texts,
         "hll_distinct": q_hll_distinct,
@@ -792,6 +800,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
             "FROM documents GROUP BY lang",
         "tims_membership":
+            "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
+            "FROM documents GROUP BY lang",
+        "shingle_membership":
             "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
             "FROM documents GROUP BY lang",
         # capacity 8192 ⇒ upperpower2(2048) buckets, doubled by the >0.94

@@ -24,6 +24,7 @@ import numpy as np
 
 from .bloom import BlockedBloomFilter, BloomFilter
 from .counting import CountingQuotientFilter
+from .shingle import ShingleFilter
 from .cuckoo import CuckooFilter
 from .xor import XorFilter
 from . import semisort
@@ -110,6 +111,19 @@ def filter_to_row(filt: Any, group_key: str = "", shard_id: int = 0,
             "seed": int(filt.seed),
             "table_bytes": filt.hashes.tobytes() + filt.counts.tobytes(),
         }
+    if isinstance(filt, ShingleFilter):
+        # A then B, bit-packed at 12 bits/slot (3 bytes per cell pair parity
+        # with shingle.h:170 SizeInBytes)
+        both = np.concatenate([filt.A, filt.B])
+        return {
+            "group_key": group_key, "shard_id": shard_id, "kind": "shingle",
+            "variant": "", "bits_per_tag": 12,
+            "num_buckets": filt.imask + 1, "num_items": filt.num_items,
+            "victim_index": filt.log2_slots, "victim_tag": 0,
+            "victim_used": False, "seed": int(filt.seed),
+            "hash_family": filt.hash_family,
+            "table_bytes": pack_bits(both, 12),
+        }
     if isinstance(filt, XorFilter):
         # seed column carries the successful build seed; num_buckets the
         # block length (capacity is recoverable only approximately — rows
@@ -173,6 +187,16 @@ def row_to_filter(row: dict) -> Any:
         f.counts = np.frombuffer(buf[8 * n:], dtype=np.int64).copy()
         f.num_items = int(row["num_items"])
         return f
+    if kind == "shingle":
+        f = ShingleFilter(int(row["victim_index"]), seed=int(row["seed"]),
+                          hash_family=row.get("hash_family", "tims"))
+        n = f.imask + 3
+        both = unpack_bits(row["table_bytes"], 12, 2 * n)
+        f.A = both[:n].copy()
+        f.B = both[n:].copy()
+        f.filled = int((f.A != 0).sum() + (f.B != 0).sum())
+        f.num_items = int(row["num_items"])
+        return f
     if kind == "xor":
         f = XorFilter(1, bits_per_tag=int(row["bits_per_tag"]),
                       seed=int(row["seed"]))
@@ -222,4 +246,7 @@ def make_filter(kind: str, capacity: int, seed: int, bits_per_tag: int = 12,
     if kind == "counting":
         return CountingQuotientFilter.create(capacity, seed=seed,
                                              hash_family=hash_family)
+    if kind == "shingle":
+        return ShingleFilter.create(capacity, seed=seed,
+                                    hash_family=hash_family)
     raise ValueError(f"unknown filter kind {kind!r}")

@@ -1,0 +1,259 @@
+"""Shingle — overlapping-bucket (3.5-way) cuckoo filter.
+
+Value-level re-expression of ``/root/reference/src/shingle.h`` (Lehman &
+Panigrahy, "3.5-way cuckoo hashing for the price of 2-and-a-bit", ESA 2009):
+
+- two arrays A and B, each with ``2^(log2_slots-1)`` base slots (+2 overflow
+  slots so ``idx+1..idx+3`` never run off the end — shingle.h:163-166);
+- a 12-bit slot = 11-bit fingerprint << 1 | offset bit (the slot is one past
+  the key's base index when the bit is set — shingle.h:26-37);
+- a key hashes to ``idx = (h >> 11) & imask``, ``fp = h & 0x7FF`` (0 remapped
+  to 1), occupying A[idx] / A[idx+1] or, via the delta-universal reindex
+  ``idx ^ ((fp_hash * fp) >> 11)``, B[idx2] / B[idx2+1] (shingle.h:77-79,
+  173-179);
+- Add refuses past load 12/12.75 (shingle.h:172-175), tries the two A slots,
+  then a robin-hood local shift (push the offsettable neighbor right,
+  shingle.h:112-128), then kicks a random resident and recurses on the other
+  array (shingle.h:130-136);
+- Contain checks exactly the four slots (shingle.h:181-200's SWAR probe);
+  Delete clears the first match in A-then-B precedence (shingle.h:139-151).
+
+The engine keeps A/B as uint16 arrays (bit-packed to 12 bits at rest,
+3 bytes/slot-pair parity with ``SizeInBytes`` — shingle.h:170).  ``add_batch``
+resolves the common empty-A-slot case with the vectorized scatter race used
+by the cuckoo kernel; chains that miss it (both slots full) run the faithful
+sequential robin-hood/kick path — the reference's own Add is sequential, and
+those chains are the minority until high load.
+
+Randomness is deterministic: ``fp_hash_`` derives from the seed (the
+reference draws it from ``std::random_device``, shingle.h:157-161) and the
+kick coin replaces ``std::rand() % 2`` (shingle.h:131) with a counted
+splitmix64 stream.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .cuckoo import BulkResult
+from .hashing import DEFAULT_SEED, hash_key64, splitmix64
+
+U64 = np.uint64
+
+FP_BITS = 11
+SLOT_BITS = 12
+#: Add() load ceiling (shingle.h:173)
+MAX_LOAD = 12.0 / 12.75
+
+
+class ShingleFilter:
+    KIND = "shingle"
+
+    __slots__ = ("log2_slots", "imask", "seed", "hash_family", "fp_hash",
+                 "A", "B", "filled", "num_items", "_coin_n", "_scratch")
+
+    def __init__(self, log2_slots: int, seed: int = DEFAULT_SEED,
+                 hash_family: str = "tims"):
+        if log2_slots < 1:
+            raise ValueError("log2_slots must be >= 1")
+        self.log2_slots = int(log2_slots)
+        self.imask = (1 << (log2_slots - 1)) - 1
+        self.seed = int(seed) & 0xFFFFFFFFFFFFFFFF
+        # the reference templates on HashFamily with TIMS default
+        # (shingle.h:15); "mix" is accepted for symmetry with the other kernels
+        self.hash_family = hash_family
+        self.fp_hash = int(splitmix64(1, seed=self.seed ^ 0x5417)[0])
+        n = self.imask + 3          # +2 overflow slots (shingle.h:163-166)
+        self.A = np.zeros(n, dtype=np.uint16)
+        self.B = np.zeros(n, dtype=np.uint16)
+        self.filled = 0
+        self.num_items = 0
+        self._coin_n = 0
+        self._scratch = None
+
+    # ------------------------------------------------------------------ sizing
+
+    @classmethod
+    def create(cls, capacity: int, seed: int = DEFAULT_SEED,
+               hash_family: str = "tims") -> "ShingleFilter":
+        """Smallest ``log2_slots`` whose load ceiling admits ``capacity``."""
+        capacity = max(1, int(capacity))
+        log2 = 1
+        while (1 << log2) * MAX_LOAD < capacity:
+            log2 += 1
+        return cls(log2, seed=seed, hash_family=hash_family)
+
+    # ------------------------------------------------------------------- hash
+
+    def _idx_fp(self, keys) -> tuple[np.ndarray, np.ndarray]:
+        h = hash_key64(keys, self.seed, self.hash_family)
+        idx = ((h >> U64(FP_BITS)) & U64(self.imask)).astype(np.int64)
+        fp = (h & U64((1 << FP_BITS) - 1)).astype(np.uint16)
+        fp = fp + (fp == 0)         # 0 marks empty (shingle.h:177)
+        return idx, fp
+
+    def reindex(self, idx, fp) -> np.ndarray:
+        """Delta-universal partner index (shingle.h:77-79) — an involution."""
+        mix = (np.asarray(fp, dtype=np.uint64) * U64(self.fp_hash)) >> U64(FP_BITS)
+        return ((np.asarray(idx, dtype=np.uint64) ^ mix) & U64(self.imask)) \
+            .astype(np.int64)
+
+    # ------------------------------------------------------------------ insert
+
+    def _coin(self) -> int:
+        c = int(splitmix64(1, seed=(self.seed ^ 0xC01) + self._coin_n)[0]) & 1
+        self._coin_n += 1
+        return c
+
+    def _add_chain(self, isa: bool, idx: int, fp: int) -> None:
+        """Sequential AddHelp (shingle.h:99-137): empty slot, robin-hood
+        local shift, else random kick and recurse on the other array."""
+        for _ in range(100_000):    # unbounded in the reference; backstop
+            arr = self.A if isa else self.B
+            placed = False
+            for off in (0, 1):
+                if arr[idx + off] == 0:
+                    arr[idx + off] = off | (fp << 1)
+                    self.filled += 1
+                    placed = True
+                    break
+            if placed:
+                return
+            v1, v2 = int(arr[idx + 1]), int(arr[idx + 2])
+            if (v1 & 1) == 0:
+                if v2 == 0:
+                    arr[idx + 2] = 1 | v1
+                    arr[idx + 1] = 1 | (fp << 1)
+                    self.filled += 1
+                    return
+                if (v2 & 1) == 0 and arr[idx + 3] == 0:
+                    arr[idx + 3] = 1 | v2
+                    arr[idx + 2] = 1 | v1
+                    arr[idx + 1] = 1 | (fp << 1)
+                    self.filled += 1
+                    return
+            off = self._coin()
+            slot = idx + off
+            old = int(arr[slot])
+            arr[slot] = off | (fp << 1)
+            old_idx = slot - (old & 1)
+            old_fp = old >> 1
+            isa = not isa
+            idx = int(self.reindex(old_idx, old_fp))
+            fp = old_fp
+        raise RuntimeError("shingle insertion chain did not terminate")
+
+    def add_batch(self, keys) -> BulkResult:
+        """Vectorized fast path (scatter race on empty A slots), sequential
+        faithful slow path; refuses keys past the 12/12.75 load ceiling
+        (counted as overflow — the reference's Add() == false)."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        if len(keys) == 0:
+            return BulkResult(ok=0, overflow=0)
+        cap = 2 * (self.imask + 1)
+        budget = int(MAX_LOAD * cap) - self.filled
+        overflow = max(0, len(keys) - max(0, budget))
+        keys = keys[:max(0, budget)]
+        idx, fp = self._idx_fp(keys)
+        if self._scratch is None:
+            self._scratch = np.empty(len(self.A), dtype=np.int64)
+        pend = np.arange(len(keys))
+        for off in (0, 1):
+            if len(pend) == 0:
+                break
+            q = idx[pend] + off
+            empty = self.A[q] == 0
+            cand = pend[empty]
+            qe = q[empty]
+            self._scratch[qe] = cand
+            win = self._scratch[qe] == cand
+            w = cand[win]
+            self.A[qe[win]] = off | (fp[w] << 1)
+            self.filled += len(w)
+            keep = np.ones(len(pend), dtype=bool)
+            keep[np.searchsorted(pend, w)] = False
+            pend = pend[keep]
+        for i in pend:              # slow path: both A slots full / race lost
+            self._add_chain(True, int(idx[i]), int(fp[i]))
+        self.num_items += len(keys)
+        return BulkResult(ok=len(keys), overflow=overflow)
+
+    def add(self, key: int) -> bool:
+        res = self.add_batch(np.array([key], dtype=np.uint64))
+        return res.overflow == 0
+
+    # ------------------------------------------------------------------- query
+
+    def contain_batch(self, keys) -> np.ndarray:
+        """Vectorized 4-slot probe (shingle.h:181-200)."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        idx, fp = self._idx_fp(keys)
+        idx2 = self.reindex(idx, fp)
+        v0 = (fp.astype(np.uint16) << 1)
+        v1 = v0 | 1
+        return ((self.A[idx] == v0) | (self.A[idx + 1] == v1) |
+                (self.B[idx2] == v0) | (self.B[idx2 + 1] == v1))
+
+    def contain(self, key: int) -> bool:
+        return bool(self.contain_batch(np.array([key], dtype=np.uint64))[0])
+
+    # ------------------------------------------------------------------ delete
+
+    def delete(self, key: int) -> bool:
+        """DeleteHelp precedence: A[idx], A[idx+1], then B (shingle.h:139-151)."""
+        idx, fp = self._idx_fp(np.array([key], dtype=np.uint64))
+        idx, fp = int(idx[0]), int(fp[0])
+        for arr, base in ((self.A, idx), (self.B, int(self.reindex(idx, fp)))):
+            for off in (0, 1):
+                if arr[base + off] == (off | (fp << 1)):
+                    arr[base + off] = 0
+                    self.filled -= 1
+                    self.num_items -= 1
+                    return True
+        return False
+
+    def delete_batch(self, keys) -> np.ndarray:
+        """Per-key sequential deletes (duplicate keys must drain one slot
+        each, like the reference's repeated Delete calls)."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        return np.array([self.delete(int(k)) for k in keys], dtype=bool)
+
+    # ------------------------------------------------------------------- merge
+
+    def merge(self, other: "ShingleFilter") -> BulkResult:
+        """Re-insert the other's occupied slots (side-preserving chain
+        starts) — same associative-merge contract as the cuckoo kernel."""
+        if (self.log2_slots, self.seed, self.hash_family, self.fp_hash) != \
+                (other.log2_slots, other.seed, other.hash_family,
+                 other.fp_hash):
+            raise ValueError("shingle merge requires identical geometry/seed")
+        ok = 0
+        for arr, isa in ((other.A, True), (other.B, False)):
+            for slot in np.flatnonzero(arr):
+                v = int(arr[slot])
+                self._add_chain(isa, int(slot - (v & 1)), v >> 1)
+                ok += 1
+        self.num_items += other.num_items
+        return BulkResult(ok=ok, overflow=0)
+
+    # ------------------------------------------------------------------- stats
+
+    def size(self) -> int:
+        return self.num_items
+
+    def size_in_bytes(self) -> int:
+        """3 bytes per (A,B) cell pair (shingle.h:170)."""
+        return 3 * (self.imask + 3)
+
+    def load_factor(self) -> float:
+        return self.filled / (2 * (self.imask + 1))
+
+    def info(self) -> dict:
+        return {"kind": self.KIND, "log2_slots": self.log2_slots,
+                "num_items": self.num_items, "filled": self.filled,
+                "load_factor": self.load_factor(),
+                "size_in_bytes": self.size_in_bytes()}

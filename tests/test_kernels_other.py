@@ -145,7 +145,8 @@ def test_pack_bits_roundtrip():
 
 
 @pytest.mark.parametrize("kind", ["cuckoo", "cuckoo-stable", "semisort",
-                                  "bloom", "blockedbloom", "xor"])
+                                  "bloom", "blockedbloom", "xor", "shingle",
+                                  "counting"])
 def test_serde_roundtrip_every_kind(kind):
     # example/test1.cc:63-72: Serialize → Deserialize → identical answers
     keys = splitmix64(8_000, seed=20)
@@ -372,3 +373,79 @@ def test_counting_serde_roundtrip_and_capacity():
     small = CountingQuotientFilter.create(10, seed=1)   # nslots=16
     with pytest.raises(NotEnoughSpaceError):
         small.add_batch(splitmix64(200, seed=6))
+
+
+# ----------------------------------------------------------------- shingle
+
+def test_shingle_no_false_negatives_and_fpr():
+    from cuckoofilter_ray.kernels import ShingleFilter
+    f = ShingleFilter.create(60_000, seed=11)
+    keys = splitmix64(60_000, seed=12)
+    res = f.add_batch(keys)
+    assert res.ok == len(keys) and res.overflow == 0
+    assert f.contain_batch(keys).all(), "false negative"
+    assert f.load_factor() <= 12.0 / 12.75 + 1e-9
+    neg = splitmix64(200_000, seed=13)
+    fpr = f.contain_batch(neg).mean()
+    # 11-bit fp, 4 probed slots: expect ~ load * 4 / 2^11 ~ 0.18%
+    assert fpr < 0.006, f"shingle fpr {fpr}"
+
+
+def test_shingle_load_ceiling_and_overflow():
+    from cuckoofilter_ray.kernels import ShingleFilter
+    from cuckoofilter_ray.kernels.shingle import MAX_LOAD
+    f = ShingleFilter(10, seed=3)       # 1024 total slots
+    cap = int(MAX_LOAD * 1024)
+    keys = splitmix64(1200, seed=4)
+    res = f.add_batch(keys)
+    assert res.ok == cap and res.overflow == 1200 - cap
+    assert abs(f.load_factor() - MAX_LOAD) < 2 / 1024
+    assert f.contain_batch(keys[:cap]).all()
+
+
+def test_shingle_delete_and_merge_and_serde():
+    from cuckoofilter_ray.kernels import ShingleFilter, deserialize, serialize
+    keys = splitmix64(8000, seed=21)
+    f = ShingleFilter.create(10_000, seed=7)
+    f.add_batch(keys)
+    # delete half; survivors still found, deleted mostly gone (a deleted
+    # key may still read as present via another key's colliding slot)
+    dele = f.delete_batch(keys[:4000])
+    assert dele.all()
+    assert f.contain_batch(keys[4000:]).all()
+    resid = f.contain_batch(keys[:4000]).mean()
+    assert resid < 0.01, f"deleted keys still present at rate {resid}"
+    # duplicate inserts occupy one slot each and drain one delete each
+    g = ShingleFilter.create(1000, seed=9)
+    g.add_batch(np.array([42, 42, 42], dtype=np.uint64))
+    assert g.filled == 3
+    assert g.delete(42) and g.delete(42) and g.delete(42)
+    assert not g.delete(42)
+    # merge partials == membership of the union
+    a = ShingleFilter.create(10_000, seed=7)
+    b = ShingleFilter.create(10_000, seed=7)
+    a.add_batch(keys[:4000]); b.add_batch(keys[4000:])
+    a.merge(b)
+    assert a.contain_batch(keys).all()
+    # serde roundtrip answers identically
+    h = deserialize(serialize(a))
+    probes = np.concatenate([keys, splitmix64(20_000, seed=23)])
+    assert (h.contain_batch(probes) == a.contain_batch(probes)).all()
+    assert h.filled == a.filled and h.num_items == a.num_items
+    assert h.size_in_bytes() == a.size_in_bytes() == 3 * (a.imask + 3)
+
+
+def test_shingle_fast_path_matches_sequential():
+    """Vectorized add_batch == key-at-a-time adds (same slots, same table)."""
+    from cuckoofilter_ray.kernels import ShingleFilter
+    keys = splitmix64(3000, seed=31)
+    fa = ShingleFilter.create(4000, seed=5)
+    fa.add_batch(keys)
+    fb = ShingleFilter.create(4000, seed=5)
+    for k in keys:
+        fb.add(int(k))
+    # same multiset of occupied (slot, value) pairs is not guaranteed (race
+    # ordering differs) but membership must agree on inserted keys and the
+    # fill level must match exactly
+    assert fb.filled == fa.filled == 3000
+    assert fa.contain_batch(keys).all() and fb.contain_batch(keys).all()
