@@ -261,7 +261,8 @@ def bench_config_sweep(ray, results: dict, extras: dict) -> None:
     sweep_t0 = time.perf_counter()
     for kind, bits in [("cuckoo", 8), ("cuckoo", 12), ("cuckoo", 16),
                        ("semisort", 13), ("cuckoo-stable", 12),
-                       ("bloom", 12), ("blockedbloom", 8), ("xor", 8)]:
+                       ("bloom", 12), ("blockedbloom", 8), ("xor", 8),
+                       ("shingle", 12), ("counting", 8)]:
         t0 = time.perf_counter()
         filt = build_single_filter(keyed, capacity=n, kind=kind,
                                    bits_per_tag=bits, seed=SEED)
@@ -290,7 +291,7 @@ def bench_fill(extras: dict) -> None:
     its 0.94 load target, report construction rate, achieved load and FPR.
     Kernel-only single-core figure (the reference's number is also a single
     in-memory loop: 5.86 M keys/s, 95.2% load, 0.18% FPR)."""
-    from cuckoofilter_ray.kernels import CuckooFilter
+    from cuckoofilter_ray.kernels import CuckooFilter, NOT_ENOUGH_SPACE
     from cuckoofilter_ray.kernels.hashing import splitmix64
     nb = 1 << 18                       # 2^18 buckets × 4 = 1,048,576 slots
     n = int(nb * 4 * 0.94)
@@ -307,6 +308,30 @@ def bench_fill(extras: dict) -> None:
         "overflow": res.overflow,
         "fpr_pct": round(100 * fpr, 4),
         "bits_per_item": round(filt.size_in_bytes() * 8 / max(1, filt.num_items), 2),
+    }
+    # insert-until-FIRST-FAILURE (benchmarks/conext-table3.cc:40-42 inserts
+    # to the first failed Add and reports the achieved occupancy — the
+    # reference reaches ~95.2%).  The tail past 0.94 is key-at-a-time by
+    # definition (each Add must see the previous one's kicks), so it runs on
+    # a 2^14-bucket filter: the achieved-load statistic is size-insensitive
+    # and the sequential tail stays sub-second.
+    nb_ff = 1 << 14
+    ff = CuckooFilter(nb_ff, bits_per_tag=12, seed=81)
+    ff.add_batch(splitmix64(int(nb_ff * 4 * 0.94), seed=82))
+    extra = splitmix64(nb_ff, seed=83)
+    t0 = time.perf_counter()
+    added = 0
+    for k in extra:
+        if ff.add(int(k)) == NOT_ENOUGH_SPACE:
+            break
+        added += 1
+    first_fail_s = time.perf_counter() - t0
+    fpr_ff = float(ff.contain_batch(neg).mean())
+    extras["fill_first_failure"] = {
+        "load_at_first_failure": round(ff.load_factor(), 4),
+        "extra_keys_past_094": added,
+        "tail_keys_kps": round(added / max(first_fail_s, 1e-9) / 1e3, 1),
+        "fpr_pct": round(100 * fpr_ff, 4),
     }
 
 
@@ -361,7 +386,9 @@ def run_scaling() -> dict:
     lo = int(os.environ.get("SCALE_CPUS_LO", 2))
     hi = int(os.environ.get("SCALE_CPUS_HI", 8))
     rounds = int(os.environ.get("SCALE_ROUNDS", 2))
-    probes = os.environ.get("BENCH_PROBES", str(256_000_000))
+    # stretched probe count (VERDICT r1 #10): the low-cpu probe leg runs
+    # ~60 s so the efficiency ratio sits well above host timing noise
+    probes = os.environ.get("BENCH_PROBES", str(640_000_000))
     runs = {}
     # interleaved rounds, best time per cpu level: the shared host carries
     # minute-scale background noise (repeated identical runs vary up to 2x),

@@ -112,17 +112,20 @@ def filter_to_row(filt: Any, group_key: str = "", shard_id: int = 0,
             "table_bytes": filt.hashes.tobytes() + filt.counts.tobytes(),
         }
     if isinstance(filt, ShingleFilter):
-        # A then B, bit-packed at 12 bits/slot (3 bytes per cell pair parity
-        # with shingle.h:170 SizeInBytes)
+        # A then B: bit-packed at 12 bits/slot at rest (3 bytes per cell
+        # pair, parity with shingle.h:170 SizeInBytes); raw uint16 in the
+        # hot accumulator/broadcast form
         both = np.concatenate([filt.A, filt.B])
         return {
             "group_key": group_key, "shard_id": shard_id, "kind": "shingle",
+            "codec": ("pack" if packed else "raw16"),
             "variant": "", "bits_per_tag": 12,
             "num_buckets": filt.imask + 1, "num_items": filt.num_items,
             "victim_index": filt.log2_slots, "victim_tag": 0,
             "victim_used": False, "seed": int(filt.seed),
             "hash_family": filt.hash_family,
-            "table_bytes": pack_bits(both, 12),
+            "table_bytes": (pack_bits(both, 12) if packed
+                            else np.ascontiguousarray(both).tobytes()),
         }
     if isinstance(filt, XorFilter):
         # seed column carries the successful build seed; num_buckets the
@@ -191,7 +194,10 @@ def row_to_filter(row: dict) -> Any:
         f = ShingleFilter(int(row["victim_index"]), seed=int(row["seed"]),
                           hash_family=row.get("hash_family", "tims"))
         n = f.imask + 3
-        both = unpack_bits(row["table_bytes"], 12, 2 * n)
+        if row.get("codec", "pack") == "raw16":
+            both = np.frombuffer(row["table_bytes"], dtype=np.uint16)
+        else:
+            both = unpack_bits(row["table_bytes"], 12, 2 * n)
         f.A = both[:n].copy()
         f.B = both[n:].copy()
         f.filled = int((f.A != 0).sum() + (f.B != 0).sum())

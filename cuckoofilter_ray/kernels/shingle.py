@@ -159,24 +159,80 @@ class ShingleFilter:
         idx, fp = self._idx_fp(keys)
         if self._scratch is None:
             self._scratch = np.empty(len(self.A), dtype=np.int64)
-        pend = np.arange(len(keys))
-        for off in (0, 1):
+        # chain state: current side (True = A), current base index on that
+        # side, current fingerprint (changes when a kick evicts a resident)
+        n = len(keys)
+        on_a = np.ones(n, dtype=bool)
+        cur = idx.copy()
+        cfp = fp.astype(np.uint16).copy()
+        pend = np.arange(n)
+        # Vectorized rounds, mirroring the cuckoo kernel's scatter-race
+        # kickout: each round tries the chain's two slots on its current
+        # side (empty-slot placement, shingle.h:101-108), then kicks a
+        # coin-chosen resident and flips sides (shingle.h:130-136).  Same-
+        # slot contention within the batch resolves by scatter race; losers
+        # simply retry.  The rare stubborn tail falls back to the faithful
+        # sequential path (which also has the robin-hood local shift).
+        for _ in range(40):
             if len(pend) == 0:
                 break
-            q = idx[pend] + off
-            empty = self.A[q] == 0
-            cand = pend[empty]
-            qe = q[empty]
-            self._scratch[qe] = cand
-            win = self._scratch[qe] == cand
-            w = cand[win]
-            self.A[qe[win]] = off | (fp[w] << 1)
-            self.filled += len(w)
-            keep = np.ones(len(pend), dtype=bool)
-            keep[np.searchsorted(pend, w)] = False
-            pend = pend[keep]
-        for i in pend:              # slow path: both A slots full / race lost
-            self._add_chain(True, int(idx[i]), int(fp[i]))
+            # empty-slot placement on the chain's current side
+            for side, arr in ((True, self.A), (False, self.B)):
+                for off in (0, 1):
+                    sel = pend[on_a[pend] == side]
+                    if len(sel) == 0:
+                        continue
+                    q = cur[sel] + off
+                    empty = arr[q] == 0
+                    cand = sel[empty]
+                    qe = q[empty]
+                    self._scratch[qe] = cand
+                    win = self._scratch[qe] == cand
+                    w = cand[win]
+                    arr[qe[win]] = off | (cfp[w] << 1)
+                    self.filled += len(w)
+                    keep = np.ones(len(pend), dtype=bool)
+                    keep[np.searchsorted(pend, w)] = False
+                    pend = pend[keep]
+            if len(pend) == 0:
+                break
+            if len(pend) < 64:      # tiny tail: sequential is cheaper
+                break
+            # kick round per side
+            coins = (splitmix64(len(pend),
+                                seed=(self.seed ^ 0xC01) + self._coin_n)
+                     & np.uint64(1)).astype(np.int64)
+            self._coin_n += len(pend)
+            for side, arr in ((True, self.A), (False, self.B)):
+                mask = on_a[pend] == side
+                sel = pend[mask]
+                if len(sel) == 0:
+                    continue
+                off = coins[mask]
+                slot = cur[sel] + off
+                self._scratch[slot] = sel
+                win = self._scratch[slot] == sel
+                w, sw, ow = sel[win], slot[win], off[win]
+                old = arr[sw].astype(np.int64)
+                arr[sw] = (ow | (cfp[w] << 1)).astype(np.uint16)
+                # a chain that flipped sides this round may land on a slot
+                # the empty pass never saw: an empty "eviction" is really a
+                # placement (evicting fp=0 would plant a garbage entry)
+                was_empty = old == 0
+                done = w[was_empty]
+                if len(done):
+                    self.filled += len(done)
+                    keep = np.ones(len(pend), dtype=bool)
+                    keep[np.searchsorted(pend, done)] = False
+                    pend = pend[keep]
+                w, sw, old = w[~was_empty], sw[~was_empty], old[~was_empty]
+                old_base = sw - (old & 1)
+                old_fp = (old >> 1).astype(np.uint16)
+                cur[w] = self.reindex(old_base, old_fp)
+                cfp[w] = old_fp
+                on_a[w] = not side
+        for i in pend:              # faithful sequential tail
+            self._add_chain(bool(on_a[i]), int(cur[i]), int(cfp[i]))
         self.num_items += len(keys)
         return BulkResult(ok=len(keys), overflow=overflow)
 
