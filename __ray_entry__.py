@@ -203,6 +203,19 @@ def q_stable_membership(sf_dir: str):
     return _membership_recall_for_kind(sf_dir, "cuckoo-stable")
 
 
+def q_xorplus_membership(sf_dir: str):
+    """Per-lang xor+ filters (rank-compressed third segment,
+    src/xorfilter_plus.h): zero false negatives ⇒ exact COUNT(*) oracle."""
+    return _membership_recall_for_kind(sf_dir, "xorplus")
+
+
+def q_gcs_membership(sf_dir: str):
+    """Per-lang Golomb-coded-set filters (compressed static AMQ,
+    src/gcs.h): bulk-build per group, zero false negatives on inserted
+    keys ⇒ exact COUNT(*) oracle."""
+    return _membership_recall_for_kind(sf_dir, "gcs")
+
+
 def q_shingle_membership(sf_dir: str):
     """Per-lang Shingle filters (3.5-way overlapping-bucket cuckoo,
     src/shingle.h — Lehman & Panigrahy ESA 2009): zero false negatives on
@@ -752,6 +765,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stable_membership": q_stable_membership,
         "tims_membership": q_tims_membership,
         "shingle_membership": q_shingle_membership,
+        "gcs_membership": q_gcs_membership,
+        "xorplus_membership": q_xorplus_membership,
         "filter_stats": q_filter_stats,
         "distinct_texts": q_distinct_texts,
         "hll_distinct": q_hll_distinct,
@@ -803,6 +818,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
             "FROM documents GROUP BY lang",
         "shingle_membership":
+            "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
+            "FROM documents GROUP BY lang",
+        "gcs_membership":
+            "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
+            "FROM documents GROUP BY lang",
+        "xorplus_membership":
             "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
             "FROM documents GROUP BY lang",
         # capacity 8192 ⇒ upperpower2(2048) buckets, doubled by the >0.94

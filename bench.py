@@ -262,7 +262,8 @@ def bench_config_sweep(ray, results: dict, extras: dict) -> None:
     for kind, bits in [("cuckoo", 8), ("cuckoo", 12), ("cuckoo", 16),
                        ("semisort", 13), ("cuckoo-stable", 12),
                        ("bloom", 12), ("blockedbloom", 8), ("xor", 8),
-                       ("shingle", 12), ("counting", 8)]:
+                       ("shingle", 12), ("counting", 8), ("gcs", 8),
+                       ("xorplus", 8)]:
         t0 = time.perf_counter()
         filt = build_single_filter(keyed, capacity=n, kind=kind,
                                    bits_per_tag=bits, seed=SEED)

@@ -7,8 +7,10 @@ from .cuckoo import (MAX_KICKS, NOT_ENOUGH_SPACE, NOT_FOUND, OK, TAGS_PER_BUCKET
 from .hashing import (DEFAULT_SEED, hash_key64, mix_split, murmur64,
                       sha256_bytes, sha256_hex, sha256_u64, splitmix64,
                       tims_params, two_independent_multiply_shift)
+from .gcs import GcsFilter
 from .shingle import ShingleFilter
 from .xor import XorFilter
+from .xorplus import XorFilterPlus
 from .serde import (deserialize, filter_to_row, make_filter, pack_bits,
                     row_to_filter, serialize, unpack_bits)
 
@@ -19,6 +21,6 @@ __all__ = [
     "TAGS_PER_BUCKET", "deserialize", "filter_to_row", "hash_key64",
     "make_filter", "mix_split", "murmur64", "next_prime", "pack_bits",
     "row_to_filter", "serialize", "sha256_bytes", "sha256_hex", "sha256_u64",
-    "ShingleFilter", "splitmix64", "tims_params", "two_independent_multiply_shift",
-    "unpack_bits", "upperpower2", "XorFilter",
+    "GcsFilter", "ShingleFilter", "splitmix64", "tims_params", "two_independent_multiply_shift",
+    "unpack_bits", "upperpower2", "XorFilter", "XorFilterPlus",
 ]

@@ -1,0 +1,210 @@
+"""Golomb-coded-set (GCS) filter — the compressed static AMQ.
+
+Value-level re-expression of ``/root/reference/src/gcs.h`` (GcsFilter):
+
+- static build (gcs.h:290-339 AddAll): ``fingerprint_bits = bits_per_item
+  + 4`` (avg bucket size 16 pays 4 bits back), ``golomb_shift =
+  bits_per_item - 1``, ``bucket_count = ceil(n / 16)``; a key hashes to
+  ``bucket = reduce32(h >> 32, bucket_count)`` and ``fp = h &
+  fingerprint_mask``; per bucket the SORTED fingerprints are delta-encoded
+  (duplicates → delta 0) with Golomb-Rice codes (unary quotient ++ shift
+  remainder bits, gcs.h:102-109);
+- Contain (gcs.h:344-368): walk the bucket's code stream accumulating
+  deltas until the fingerprint is met (Ok) or passed (NotFound) — FPR ≈
+  2^-bits_per_item;
+- SizeInBytes = code stream + bucket index (gcs.h:279; the reference
+  compresses bucket starts with a MultiStageMonotoneList — the engine
+  stores plain uint32 bit offsets, ~2 bits/key at the 16-key bucket
+  average, and reports the honest total).
+
+Engine layout notes: the bitstream uses little-endian bit order
+(np.packbits/unpackbits ``bitorder="little"``) rather than the reference's
+MSB-first 64-bit words — answer-parity, not byte-parity.  Decoding is
+vectorized in **rounds**: every bucket consumes its k-th code in lockstep;
+unary runs terminate at the next zero bit (one ``searchsorted`` into the
+precomputed zero-position array), remainders gather as a fixed-width bit
+matrix.  Probes run against the decoded sorted (bucket, fp) array built
+once per worker at load — GCS is the at-rest/transport format (that is its
+entire point); the in-memory probe index costs 8 bytes/key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import DEFAULT_SEED, hash_key64
+
+U64 = np.uint64
+AVG_BUCKET = 16
+
+
+class GcsFilter:
+    KIND = "gcs"
+
+    __slots__ = ("capacity", "bits_per_item", "seed", "hash_family",
+                 "fingerprint_bits", "golomb_shift", "bucket_count",
+                 "stream", "stream_bits", "starts", "num_items", "_built",
+                 "_decoded")
+
+    def __init__(self, capacity: int, bits_per_item: int = 8,
+                 seed: int = DEFAULT_SEED, hash_family: str = "mix"):
+        self.capacity = max(1, int(capacity))
+        self.bits_per_item = int(bits_per_item)
+        self.seed = int(seed) & 0xFFFFFFFFFFFFFFFF
+        self.hash_family = hash_family
+        self.fingerprint_bits = self.bits_per_item + 4   # gcs.h:296-300
+        self.golomb_shift = self.bits_per_item - 1       # gcs.h:297
+        self.bucket_count = (self.capacity + AVG_BUCKET - 1) // AVG_BUCKET
+        self.stream = b""
+        self.stream_bits = 0
+        self.starts = np.zeros(self.bucket_count + 1, dtype=np.uint32)
+        self.num_items = 0
+        self._built = False
+        self._decoded = None
+
+    # ------------------------------------------------------------------- hash
+
+    def _bucket_fp(self, keys) -> tuple[np.ndarray, np.ndarray]:
+        h = hash_key64(keys, self.seed, self.hash_family)
+        b = (((h >> U64(32)) & U64(0xFFFFFFFF)) * U64(self.bucket_count)) \
+            >> U64(32)                                   # gcs.h:27-30 reduce
+        fp = h & U64((1 << self.fingerprint_bits) - 1)
+        return b.astype(np.int64), fp.astype(np.int64)
+
+    # ------------------------------------------------------------------ build
+
+    def add_all(self, keys) -> None:
+        """One-shot static build (gcs.h:290-339) — fully vectorized."""
+        if self._built:
+            raise RuntimeError("GcsFilter is immutable once built")
+        keys = np.asarray(keys, dtype=np.uint64)
+        n = len(keys)
+        if n > self.capacity:
+            raise ValueError(f"{n} keys exceed capacity {self.capacity}")
+        b, fp = self._bucket_fp(keys)
+        order = np.lexsort((fp, b))
+        b, fp = b[order], fp[order]
+        # delta within bucket; first entry's delta is its fp (last = 0 at
+        # each bucket start, gcs.h:318-325)
+        delta = np.diff(fp, prepend=0)
+        bucket_first = np.ones(n, dtype=bool)
+        bucket_first[1:] = b[1:] != b[:-1]
+        delta[bucket_first] = fp[bucket_first]
+        shift = self.golomb_shift
+        q = (delta >> shift).astype(np.int64)
+        if (q >= 63).any():                              # gcs.h:103 assert
+            raise ValueError("golomb quotient overflow (bad fp distribution)")
+        rem = delta & ((1 << shift) - 1)
+        code_len = q + 1 + shift
+        code_start = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(code_len, out=code_start[1:])
+        total = int(code_start[-1])
+        bits = np.zeros(total, dtype=np.uint8)
+        # unary 1-runs: positions start..start+q-1
+        ones_total = int(q.sum())
+        if ones_total:
+            reps = np.repeat(code_start[:-1], q)
+            within = np.arange(ones_total) - np.repeat(
+                np.cumsum(q) - q, q)
+            bits[reps + within] = 1
+        # remainder bits, MSB-first after the terminating zero
+        if shift:
+            rpos = (code_start[:-1] + q + 1)[:, None] + np.arange(shift)
+            rbits = (rem[:, None] >> np.arange(shift - 1, -1, -1)) & 1
+            bits[rpos.ravel()] = rbits.ravel().astype(np.uint8)
+        self.stream = np.packbits(bits, bitorder="little").tobytes()
+        self.stream_bits = total
+        # bucket start bit-offsets (uint32): starts[i] = first code start of
+        # bucket i (empty buckets share the next bucket's offset)
+        first_code = np.searchsorted(b, np.arange(self.bucket_count + 1))
+        self.starts = code_start[first_code].astype(np.uint32)
+        self.num_items = n
+        self._built = True
+        self._decoded = None
+
+    def add_batch(self, keys):
+        """Alias for the bulk-build pipelines (xor-filter convention)."""
+        from .cuckoo import BulkResult
+        self.add_all(keys)
+        return BulkResult(ok=self.num_items, overflow=0)
+
+    # ----------------------------------------------------------------- decode
+
+    def _decode(self) -> np.ndarray:
+        """Decode the full stream once → sorted int64 (bucket << fp_bits | fp)
+        probe index (cached).  Vectorized in rounds: every bucket reads its
+        k-th code in lockstep; unary runs end at the next zero bit."""
+        if self._decoded is not None:
+            return self._decoded
+        bits = np.unpackbits(np.frombuffer(self.stream, dtype=np.uint8),
+                             bitorder="little")[:self.stream_bits]
+        zpos = np.flatnonzero(bits == 0)
+        shift = self.golomb_shift
+        # walk rounds until every bucket's cursor reaches the next start
+        starts = self.starts.astype(np.int64)
+        cur = starts[:-1].copy()
+        end = starts[1:]
+        x = np.zeros(self.bucket_count, dtype=np.int64)
+        out_b, out_v = [], []
+        active = np.flatnonzero(cur < end)
+        pw = (1 << np.arange(shift - 1, -1, -1)).astype(np.int64) \
+            if shift else np.zeros(0, dtype=np.int64)
+        while len(active):
+            p = cur[active]
+            zi = np.searchsorted(zpos, p)
+            z = zpos[zi]
+            qv = z - p
+            if shift:
+                rmat = bits[(z + 1)[:, None] + np.arange(shift)]
+                rem = rmat.astype(np.int64) @ pw
+            else:
+                rem = np.zeros(len(active), dtype=np.int64)
+            x[active] += (qv << shift) | rem
+            out_b.append(active.copy())
+            out_v.append(x[active].copy())
+            cur[active] = z + 1 + shift
+            active = active[cur[active] < end[active]]
+        if out_b:
+            bb = np.concatenate(out_b)
+            vv = np.concatenate(out_v)
+        else:
+            bb = np.zeros(0, dtype=np.int64)
+            vv = np.zeros(0, dtype=np.int64)
+        self._decoded = np.sort((bb << self.fingerprint_bits) | vv)
+        return self._decoded
+
+    # ------------------------------------------------------------------ query
+
+    def contain_batch(self, keys) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.uint64)
+        if len(keys) == 0 or not self._built:
+            return np.zeros(len(keys), dtype=bool)
+        idx = self._decode()
+        if len(idx) == 0:
+            return np.zeros(len(keys), dtype=bool)
+        b, fp = self._bucket_fp(keys)
+        want = (b << self.fingerprint_bits) | fp
+        pos = np.minimum(np.searchsorted(idx, want), len(idx) - 1)
+        return idx[pos] == want
+
+    def contain(self, key: int) -> bool:
+        return bool(self.contain_batch(np.array([key], dtype=np.uint64))[0])
+
+    # ------------------------------------------------------------------ stats
+
+    def size(self) -> int:
+        return self.num_items
+
+    def size_in_bytes(self) -> int:
+        """Code stream + bucket index (gcs.h:279 analog)."""
+        return len(self.stream) + self.starts.nbytes
+
+    def merge(self, other):
+        raise NotImplementedError("GCS filters are static; rebuild instead")
+
+    def info(self) -> dict:
+        return {"kind": self.KIND, "num_items": self.num_items,
+                "bucket_count": self.bucket_count,
+                "fingerprint_bits": self.fingerprint_bits,
+                "golomb_shift": self.golomb_shift,
+                "size_in_bytes": self.size_in_bytes()}

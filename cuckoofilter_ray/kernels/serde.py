@@ -24,9 +24,11 @@ import numpy as np
 
 from .bloom import BlockedBloomFilter, BloomFilter
 from .counting import CountingQuotientFilter
+from .gcs import GcsFilter
 from .shingle import ShingleFilter
 from .cuckoo import CuckooFilter
 from .xor import XorFilter
+from .xorplus import XorFilterPlus
 from . import semisort
 
 _CHUNK = 1 << 20
@@ -127,6 +129,34 @@ def filter_to_row(filt: Any, group_key: str = "", shard_id: int = 0,
             "table_bytes": (pack_bits(both, 12) if packed
                             else np.ascontiguousarray(both).tobytes()),
         }
+    if isinstance(filt, GcsFilter):
+        # table_bytes = rice stream ++ uint32 bucket-start bit offsets;
+        # victim_index = stream byte length (split point), victim_tag =
+        # stream bit length
+        return {
+            "group_key": group_key, "shard_id": shard_id, "kind": "gcs",
+            "variant": "built" if filt._built else "",
+            "bits_per_tag": filt.bits_per_item,
+            "num_buckets": filt.bucket_count, "num_items": filt.num_items,
+            "victim_index": len(filt.stream), "victim_tag": filt.stream_bits,
+            "victim_used": False, "seed": int(filt.seed),
+            "hash_family": filt.hash_family,
+            "table_bytes": filt.stream + filt.starts.astype("<u4").tobytes(),
+        }
+    if isinstance(filt, XorFilterPlus):
+        # seg01 fingerprints ++ packed third-segment bitmap ++ dense third
+        # segment; victim_index/victim_tag carry the two split points
+        seg01 = filt.fingerprints.tobytes()
+        bmp = filt.bitmap_bits.tobytes()
+        return {
+            "group_key": group_key, "shard_id": shard_id, "kind": "xorplus",
+            "variant": "built" if filt._built else "",
+            "bits_per_tag": filt.bits_per_tag,
+            "num_buckets": filt.block_length, "num_items": filt.num_items,
+            "victim_index": len(seg01), "victim_tag": len(bmp),
+            "victim_used": False, "seed": int(filt.build_seed),
+            "table_bytes": seg01 + bmp + filt.dense3.tobytes(),
+        }
     if isinstance(filt, XorFilter):
         # seed column carries the successful build seed; num_buckets the
         # block length (capacity is recoverable only approximately — rows
@@ -190,6 +220,19 @@ def row_to_filter(row: dict) -> Any:
         f.counts = np.frombuffer(buf[8 * n:], dtype=np.int64).copy()
         f.num_items = int(row["num_items"])
         return f
+    if kind == "gcs":
+        f = GcsFilter(int(row["num_buckets"]) * 16,
+                      bits_per_item=int(row["bits_per_tag"]),
+                      seed=int(row["seed"]),
+                      hash_family=row.get("hash_family", "mix"))
+        split = int(row["victim_index"])
+        buf = row["table_bytes"]
+        f.stream = bytes(buf[:split])
+        f.stream_bits = int(row["victim_tag"])
+        f.starts = np.frombuffer(buf[split:], dtype="<u4").astype(np.uint32)
+        f.num_items = int(row["num_items"])
+        f._built = row.get("variant") == "built"
+        return f
     if kind == "shingle":
         f = ShingleFilter(int(row["victim_index"]), seed=int(row["seed"]),
                           hash_family=row.get("hash_family", "tims"))
@@ -202,6 +245,20 @@ def row_to_filter(row: dict) -> Any:
         f.B = both[n:].copy()
         f.filled = int((f.A != 0).sum() + (f.B != 0).sum())
         f.num_items = int(row["num_items"])
+        return f
+    if kind == "xorplus":
+        f = XorFilterPlus(1, bits_per_tag=int(row["bits_per_tag"]),
+                          seed=int(row["seed"]))
+        f.block_length = int(row["num_buckets"])
+        dtype = np.uint8 if f.bits_per_tag == 8 else np.uint16
+        buf = row["table_bytes"]
+        a, b = int(row["victim_index"]), int(row["victim_tag"])
+        f.fingerprints = np.frombuffer(buf[:a], dtype=dtype).copy()
+        f.bitmap_bits = np.frombuffer(buf[a:a + b], dtype=np.uint8).copy()
+        f.dense3 = np.frombuffer(buf[a + b:], dtype=dtype).copy()
+        f.build_seed = int(row["seed"])
+        f.num_items = int(row["num_items"])
+        f._built = row.get("variant") == "built"
         return f
     if kind == "xor":
         f = XorFilter(1, bits_per_tag=int(row["bits_per_tag"]),
@@ -255,4 +312,11 @@ def make_filter(kind: str, capacity: int, seed: int, bits_per_tag: int = 12,
     if kind == "shingle":
         return ShingleFilter.create(capacity, seed=seed,
                                     hash_family=hash_family)
+    if kind == "xorplus":
+        return XorFilterPlus(capacity, bits_per_tag=bits_per_tag
+                             if bits_per_tag in (8, 16) else 8, seed=seed)
+    if kind == "gcs":
+        return GcsFilter(capacity, bits_per_item=bits_per_tag
+                         if bits_per_tag <= 16 else 8, seed=seed,
+                         hash_family=hash_family)
     raise ValueError(f"unknown filter kind {kind!r}")

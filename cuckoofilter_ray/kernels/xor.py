@@ -105,7 +105,19 @@ class XorFilter:
             peel_rounds = []        # list of (key_hash_array, cell_array)
             remaining = n
             while remaining:
-                single = np.flatnonzero(counts == 1)
+                if getattr(self, "PEEL_SEGMENT_PRIORITY", False):
+                    # xor+ bias (xorfilter_plus.h:286-305): drain singles in
+                    # segment order so few keys get ASSIGNED to segment 2 —
+                    # that is what makes its rank-compression pay
+                    single = np.zeros(0, dtype=np.int64)
+                    for s in range(3):
+                        seg = counts[s * self.block_length:
+                                     (s + 1) * self.block_length]
+                        single = np.flatnonzero(seg == 1) + s * self.block_length
+                        if len(single):
+                            break
+                else:
+                    single = np.flatnonzero(counts == 1)
                 if len(single) == 0:
                     break
                 kh = xors[single]                      # the lone key per cell

@@ -146,7 +146,7 @@ def test_pack_bits_roundtrip():
 
 @pytest.mark.parametrize("kind", ["cuckoo", "cuckoo-stable", "semisort",
                                   "bloom", "blockedbloom", "xor", "shingle",
-                                  "counting"])
+                                  "counting", "gcs", "xorplus"])
 def test_serde_roundtrip_every_kind(kind):
     # example/test1.cc:63-72: Serialize → Deserialize → identical answers
     keys = splitmix64(8_000, seed=20)
@@ -449,3 +449,88 @@ def test_shingle_fast_path_matches_sequential():
     # fill level must match exactly
     assert fb.filled == fa.filled == 3000
     assert fa.contain_batch(keys).all() and fb.contain_batch(keys).all()
+
+
+# --------------------------------------------------------------------- gcs
+
+def test_gcs_membership_fpr_and_size():
+    """Golomb-coded set (src/gcs.h): zero false negatives, FPR ~= 2^-bits,
+    compressed at-rest size near bits+4.5 bits/key."""
+    from cuckoofilter_ray.kernels import GcsFilter
+    n = 50_000
+    keys = splitmix64(n, seed=50)
+    f = GcsFilter(n, bits_per_item=8, seed=51)
+    f.add_all(keys)
+    assert f.contain_batch(keys).all(), "gcs false negative"
+    neg = splitmix64(300_000, seed=52)
+    fpr = f.contain_batch(neg).mean()
+    assert fpr < 2.5 / 256, f"gcs fpr {fpr} vs 2^-8 target"
+    bpi = f.size_in_bytes() * 8 / n
+    assert bpi < 14.0, f"gcs at-rest {bpi} bits/item"  # stream ~10.5 + index 2
+
+
+def test_gcs_decode_matches_model():
+    """Decoded (bucket, fp) multiset == the direct hash computation."""
+    from cuckoofilter_ray.kernels import GcsFilter
+    n = 5_000
+    keys = splitmix64(n, seed=55)
+    f = GcsFilter(n, bits_per_item=8, seed=56)
+    f.add_all(keys)
+    idx = f._decode()
+    b, fp = f._bucket_fp(keys)
+    want = np.unique((b << f.fingerprint_bits) | fp)
+    assert (np.unique(idx) == want).all()
+    # duplicates in the fp domain are preserved as repeated codes (delta 0)
+    assert len(idx) == n
+
+
+def test_gcs_serde_and_immutability():
+    from cuckoofilter_ray.kernels import GcsFilter, deserialize, serialize
+    keys = splitmix64(10_000, seed=57)
+    f = GcsFilter(10_000, bits_per_item=8, seed=58, hash_family="tims")
+    f.add_all(keys)
+    g = deserialize(serialize(f))
+    probes = np.concatenate([keys, splitmix64(50_000, seed=59)])
+    assert (g.contain_batch(probes) == f.contain_batch(probes)).all()
+    assert g.size_in_bytes() == f.size_in_bytes()
+    with pytest.raises(RuntimeError):
+        f.add_all(keys)
+    with pytest.raises(NotImplementedError):
+        f.merge(g)
+    # empty filter answers all-negative
+    e = GcsFilter(100, seed=60)
+    assert not e.contain_batch(keys[:10]).any()
+
+
+# ------------------------------------------------------------------ xor+
+
+def test_xorplus_membership_fpr_and_compression():
+    """Xor+ (src/xorfilter_plus.h): rank-compressed third segment, zero
+    false negatives, FPR ~ 2^-8, smaller than the plain xor filter."""
+    from cuckoofilter_ray.kernels import XorFilter, XorFilterPlus
+    n = 50_000
+    keys = splitmix64(n, seed=70)
+    f = XorFilterPlus(n, bits_per_tag=8, seed=71)
+    f.add_all(keys)
+    assert f.contain_batch(keys).all(), "xor+ false negative"
+    neg = splitmix64(300_000, seed=72)
+    fpr = f.contain_batch(neg).mean()
+    assert fpr <= 2.5 / 256, f"xor+ fpr {fpr}"
+    x = XorFilter(n, bits_per_tag=8, seed=71)
+    x.add_all(keys)
+    assert f.size_in_bytes() < x.size_in_bytes(), "xor+ must be smaller"
+    assert f.bits_per_item() < 9.5   # ~8.6 vs xor's 9.84
+    # the dense third segment really dropped the zero cells
+    assert len(f.dense3) < f.block_length
+
+
+def test_xorplus_serde_roundtrip():
+    from cuckoofilter_ray.kernels import (XorFilterPlus, deserialize,
+                                          serialize)
+    keys = splitmix64(20_000, seed=73)
+    f = XorFilterPlus(20_000, bits_per_tag=16, seed=74)
+    f.add_all(keys)
+    g = deserialize(serialize(f))
+    probes = np.concatenate([keys, splitmix64(100_000, seed=75)])
+    assert (g.contain_batch(probes) == f.contain_batch(probes)).all()
+    assert g.size_in_bytes() == f.size_in_bytes()
