@@ -203,6 +203,13 @@ def q_stable_membership(sf_dir: str):
     return _membership_recall_for_kind(sf_dir, "cuckoo-stable")
 
 
+def q_growbloom_membership(sf_dir: str):
+    """Per-lang growable blocked-Bloom filters (Pagh et al. unknown-size
+    AMQ, src/growable-simd-block.h): zero false negatives ⇒ exact
+    COUNT(*) oracle."""
+    return _membership_recall_for_kind(sf_dir, "growbloom")
+
+
 def q_xorplus_membership(sf_dir: str):
     """Per-lang xor+ filters (rank-compressed third segment,
     src/xorfilter_plus.h): zero false negatives ⇒ exact COUNT(*) oracle."""
@@ -403,6 +410,20 @@ def q_doc_sha256(sf_dir: str):
     """Per-row sha256 hex — the content-equality invariant vs the reference."""
     keyed = derive_keys(_docs(sf_dir), content_col="text")
     return keyed.select_columns(["doc_id", "sha_hex"])
+
+
+def q_doc_md5(sf_dir: str):
+    """Per-row MD5 hex (HashUtil::MD5Hash, src/hashutil.cc:746) — exact
+    DuckDB md5() oracle."""
+    from cuckoofilter_ray.kernels.hashing import md5_hex
+
+    def add_md5(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "md5_hex": pa.array(md5_hex(texts), pa.string())})
+
+    return _docs(sf_dir).map_batches(add_md5, batch_format="pyarrow",
+                                     batch_size=None)
 
 
 def q_filter_semijoin(sf_dir: str):
@@ -767,6 +788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shingle_membership": q_shingle_membership,
         "gcs_membership": q_gcs_membership,
         "xorplus_membership": q_xorplus_membership,
+        "growbloom_membership": q_growbloom_membership,
         "filter_stats": q_filter_stats,
         "distinct_texts": q_distinct_texts,
         "hll_distinct": q_hll_distinct,
@@ -776,6 +798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,
         "doc_sha256": q_doc_sha256,
+        "doc_md5": q_doc_md5,
         "filter_semijoin": q_filter_semijoin,
         "filter_antijoin": q_filter_antijoin,
         "delete_partitioned": q_delete_partitioned,
@@ -826,6 +849,9 @@ def oracle_sql() -> dict[str, str]:
         "xorplus_membership":
             "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
             "FROM documents GROUP BY lang",
+        "growbloom_membership":
+            "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
+            "FROM documents GROUP BY lang",
         # capacity 8192 ⇒ upperpower2(2048) buckets, doubled by the >0.94
         # load rule (src/cuckoofilter.h:93-97) ⇒ 4096 buckets / 16384 slots
         "filter_stats":
@@ -855,6 +881,8 @@ def oracle_sql() -> dict[str, str]:
             "WHERE text NOT IN (SELECT text FROM prior) GROUP BY text",
         "doc_sha256":
             "SELECT doc_id, sha256(text) AS sha_hex FROM documents",
+        "doc_md5":
+            "SELECT doc_id, md5(text) AS md5_hex FROM documents",
         "filter_semijoin":
             f"SELECT o_orderkey, o_custkey FROM orders "
             f"WHERE o_custkey IN ({semijoin_filter})",

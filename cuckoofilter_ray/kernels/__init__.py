@@ -4,10 +4,13 @@ from .bloom import BlockedBloomFilter, BloomFilter, next_prime
 from .counting import CountingQuotientFilter, NotEnoughSpaceError
 from .cuckoo import (MAX_KICKS, NOT_ENOUGH_SPACE, NOT_FOUND, OK, TAGS_PER_BUCKET,
                      BulkResult, CuckooFilter, upperpower2)
-from .hashing import (DEFAULT_SEED, hash_key64, mix_split, murmur64,
-                      sha256_bytes, sha256_hex, sha256_u64, splitmix64,
-                      tims_params, two_independent_multiply_shift)
+from .hashing import (DEFAULT_SEED, hash_key64, md5_hex, mix_split, murmur64,
+                      sha1_hex, sha256_bytes, sha256_hex, sha256_u64,
+                      simple_tabulation, splitmix64, tabulation_tables,
+                      tims_params, two_independent_multiply_shift,
+                      universal_multiply_shift)
 from .gcs import GcsFilter
+from .growbloom import GrowBlockedBloomFilter
 from .shingle import ShingleFilter
 from .xor import XorFilter
 from .xorplus import XorFilterPlus
@@ -20,7 +23,9 @@ __all__ = [
     "NOT_FOUND", "NotEnoughSpaceError", "OK",
     "TAGS_PER_BUCKET", "deserialize", "filter_to_row", "hash_key64",
     "make_filter", "mix_split", "murmur64", "next_prime", "pack_bits",
-    "row_to_filter", "serialize", "sha256_bytes", "sha256_hex", "sha256_u64",
-    "GcsFilter", "ShingleFilter", "splitmix64", "tims_params", "two_independent_multiply_shift",
+    "md5_hex", "row_to_filter", "serialize", "sha1_hex", "sha256_bytes",
+    "sha256_hex", "sha256_u64", "simple_tabulation", "tabulation_tables",
+    "universal_multiply_shift",
+    "GcsFilter", "GrowBlockedBloomFilter", "ShingleFilter", "splitmix64", "tims_params", "two_independent_multiply_shift",
     "unpack_bits", "upperpower2", "XorFilter", "XorFilterPlus",
 ]

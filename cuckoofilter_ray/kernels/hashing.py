@@ -103,18 +103,57 @@ def tims_params(seed: int) -> tuple[int, int]:
     return mul, add
 
 
+def universal_multiply_shift(keys, mul: int) -> np.ndarray:
+    """h = mul * key with an odd 64-bit multiplier (hashutil.h:155-169).
+
+    Dietzfelbinger et al.: almost-universal, but only the HIGH-order bits
+    are good — restrict by shifting right, never by masking low bits."""
+    return _as_u64(keys) * U64(mul | 1)
+
+
+def tabulation_tables(seed: int) -> np.ndarray:
+    """(8, 256) uint64 tables for SimpleTabulation, derived from ``seed``
+    (the reference fills them from std::random_device, hashutil.h:173-187)."""
+    return splitmix64(8 * 256, seed=seed ^ 0x7AB1E5).reshape(8, 256)
+
+
+def simple_tabulation(keys, tables: np.ndarray) -> np.ndarray:
+    """XOR of one table lookup per key byte (hashutil.h:189-196),
+    vectorized as eight gathers."""
+    k = _as_u64(keys)
+    out = np.zeros(len(k), dtype=np.uint64)
+    for i in range(8):
+        byte = ((k >> U64(8 * i)) & U64(0xFF)).astype(np.int64)
+        out ^= tables[i][byte]
+    return out
+
+
+_TAB_CACHE: dict = {}
+
+
 def hash_key64(keys, seed: int = DEFAULT_SEED, family: str = "mix") -> np.ndarray:
     """Seeded 64-bit item hash under a selectable family.
 
     ``mix``  — SimpleMixSplit (the reference benchmarks' default).
     ``tims`` — TwoIndependentMultiplyShift (the filter templates' default,
                src/cuckoofilter.h:32-35), parameters derived from ``seed``.
+    ``ums``  — UniversalMultiplyShift (hashutil.h:155-169); almost-universal,
+               low bits are weak — fine for pow2-variant cuckoo (i1 from the
+               high half) but expect degraded tag quality.
+    ``tab``  — SimpleTabulation (hashutil.h:173-196), 3-independent.
     """
     if family == "mix":
         return mix_split(keys, seed)
     if family == "tims":
         mul, add = tims_params(seed)
         return two_independent_multiply_shift(keys, mul, add)
+    if family == "ums":
+        return universal_multiply_shift(keys, int(splitmix64(1, seed=seed ^ 0x0115)[0]))
+    if family == "tab":
+        t = _TAB_CACHE.get(seed)
+        if t is None:
+            t = _TAB_CACHE[seed] = tabulation_tables(seed)
+        return simple_tabulation(keys, t)
     raise ValueError(f"unknown hash family {family!r}")
 
 
@@ -151,6 +190,33 @@ def sha256_hex(values) -> list[str]:
         elif v is None:
             v = b""
         out.append(sha(v).hexdigest())
+    return out
+
+
+def md5_hex(values) -> list[str]:
+    """Per-row MD5 hex digests (HashUtil::MD5Hash, src/hashutil.cc:746;
+    matches DuckDB ``md5(text)``)."""
+    out = []
+    md5 = hashlib.md5
+    for v in values:
+        if isinstance(v, str):
+            v = v.encode("utf-8", "surrogatepass")
+        elif v is None:
+            v = b""
+        out.append(md5(v).hexdigest())
+    return out
+
+
+def sha1_hex(values) -> list[str]:
+    """Per-row SHA1 hex digests (HashUtil::SHA1Hash, src/hashutil.cc:760)."""
+    out = []
+    sha1 = hashlib.sha1
+    for v in values:
+        if isinstance(v, str):
+            v = v.encode("utf-8", "surrogatepass")
+        elif v is None:
+            v = b""
+        out.append(sha1(v).hexdigest())
     return out
 
 

@@ -25,6 +25,7 @@ import numpy as np
 from .bloom import BlockedBloomFilter, BloomFilter
 from .counting import CountingQuotientFilter
 from .gcs import GcsFilter
+from .growbloom import GrowBlockedBloomFilter
 from .shingle import ShingleFilter
 from .cuckoo import CuckooFilter
 from .xor import XorFilter
@@ -143,6 +144,23 @@ def filter_to_row(filt: Any, group_key: str = "", shard_id: int = 0,
             "hash_family": filt.hash_family,
             "table_bytes": filt.stream + filt.starts.astype("<u4").tobytes(),
         }
+    if isinstance(filt, GrowBlockedBloomFilter):
+        # levels are geometry-derivable from (initial_bytes, level index);
+        # table_bytes pickles the per-level lane arrays + the open TTL
+        payload = pickle.dumps({
+            "initial_bytes": filt.initial_bytes, "epsilon": filt.epsilon,
+            "ttl": filt.ttl,
+            "lanes": [f.lanes.tobytes() for f in filt.levels],
+            "level_items": [f.num_items for f in filt.levels],
+        }, protocol=pickle.HIGHEST_PROTOCOL)
+        return {
+            "group_key": group_key, "shard_id": shard_id, "kind": "growbloom",
+            "variant": "", "bits_per_tag": 8,
+            "num_buckets": filt.initial_bytes, "num_items": filt.num_items,
+            "victim_index": len(filt.levels), "victim_tag": 0,
+            "victim_used": False, "seed": int(filt.seed),
+            "table_bytes": payload,
+        }
     if isinstance(filt, XorFilterPlus):
         # seg01 fingerprints ++ packed third-segment bitmap ++ dense third
         # segment; victim_index/victim_tag carry the two split points
@@ -246,6 +264,20 @@ def row_to_filter(row: dict) -> Any:
         f.filled = int((f.A != 0).sum() + (f.B != 0).sum())
         f.num_items = int(row["num_items"])
         return f
+    if kind == "growbloom":
+        d = pickle.loads(row["table_bytes"])
+        f = GrowBlockedBloomFilter(d["initial_bytes"], seed=int(row["seed"]))
+        f.epsilon = d["epsilon"]
+        f.levels = []
+        for i, buf in enumerate(d["lanes"]):
+            nb = max(1, (d["initial_bytes"] << i) // 32)
+            lvl = BlockedBloomFilter(nb, seed=f.seed + 0x9E37 * (i + 1))
+            lvl.lanes = np.frombuffer(buf, dtype=np.uint32).reshape(nb, 8).copy()
+            lvl.num_items = int(d["level_items"][i])
+            f.levels.append(lvl)
+        f.ttl = int(d["ttl"])
+        f.num_items = int(row["num_items"])
+        return f
     if kind == "xorplus":
         f = XorFilterPlus(1, bits_per_tag=int(row["bits_per_tag"]),
                           seed=int(row["seed"]))
@@ -312,6 +344,8 @@ def make_filter(kind: str, capacity: int, seed: int, bits_per_tag: int = 12,
     if kind == "shingle":
         return ShingleFilter.create(capacity, seed=seed,
                                     hash_family=hash_family)
+    if kind == "growbloom":
+        return GrowBlockedBloomFilter(max(64, capacity), seed=seed)
     if kind == "xorplus":
         return XorFilterPlus(capacity, bits_per_tag=bits_per_tag
                              if bits_per_tag in (8, 16) else 8, seed=seed)

@@ -113,7 +113,8 @@ def build_grouped_filters(ds: "ray.data.Dataset", group_key: str,
             SKETCH_COL: pa.array([serialize(filt)], type=pa.large_binary()),
             "num_items": pa.array([row["num_items"]], type=pa.int64()),
             "num_buckets": pa.array([row["num_buckets"]], type=pa.int64()),
-            "overflow": pa.array([res.overflow], type=pa.int64()),
+            "overflow": pa.array([getattr(res, "overflow", 0)],
+                                 type=pa.int64()),
         })
 
     return ds.groupby(group_key).map_groups(build_group, batch_format="pyarrow")

@@ -534,3 +534,74 @@ def test_xorplus_serde_roundtrip():
     probes = np.concatenate([keys, splitmix64(100_000, seed=75)])
     assert (g.contain_batch(probes) == f.contain_batch(probes)).all()
     assert g.size_in_bytes() == f.size_in_bytes()
+
+
+# --------------------------------------------------------- more hash families
+
+def test_universal_multiply_shift_and_tabulation():
+    from cuckoofilter_ray.kernels import (CuckooFilter, simple_tabulation,
+                                          tabulation_tables,
+                                          universal_multiply_shift)
+    keys = splitmix64(200, seed=90)
+    # ums == 64-bit wrapping multiply by an odd constant
+    got = universal_multiply_shift(keys, 0x123456789ABCDEF0)
+    for k, g in zip(keys.tolist(), got.tolist()):
+        assert (0x123456789ABCDEF1 * k) & 0xFFFFFFFFFFFFFFFF == g
+    # tabulation == xor of per-byte table entries
+    t = tabulation_tables(7)
+    got = simple_tabulation(keys, t)
+    for k, g in zip(keys.tolist(), got.tolist()):
+        exp = 0
+        for i in range(8):
+            exp ^= int(t[i][(k >> (8 * i)) & 0xFF])
+        assert exp == g
+    # both families drive a cuckoo filter with zero false negatives
+    for fam in ("ums", "tab"):
+        f = CuckooFilter.create(4096, seed=13, hash_family=fam)
+        ks = splitmix64(3000, seed=91)
+        f.add_batch(ks)
+        assert f.contain_batch(ks).all(), f"false negative under {fam}"
+
+
+def test_md5_sha1_match_hashlib():
+    import hashlib
+    from cuckoofilter_ray.kernels import md5_hex, sha1_hex
+    texts = ["hello", "", "æøå ünïcode", None, "x" * 5000]
+    for t, m, s1 in zip(texts, md5_hex(texts), sha1_hex(texts)):
+        raw = (t or "").encode()
+        assert m == hashlib.md5(raw).hexdigest()
+        assert s1 == hashlib.sha1(raw).hexdigest()
+
+
+# ------------------------------------------------------------- grow bloom
+
+def test_growable_blocked_bloom():
+    """Pagh-et-al growable AMQ (src/growable-simd-block.h): grows by
+    doubling levels, zero false negatives, total FPR near the budget."""
+    from cuckoofilter_ray.kernels import (GrowBlockedBloomFilter, deserialize,
+                                          serialize)
+    f = GrowBlockedBloomFilter(initial_bytes=1 << 10, epsilon=0.01, seed=3)
+    keys = splitmix64(50_000, seed=95)     # far beyond the initial level
+    f.add_batch(keys)
+    assert len(f.levels) > 3, "filter must have grown"
+    assert f.contain_batch(keys).all(), "growable false negative"
+    neg = splitmix64(200_000, seed=96)
+    fpr = f.contain_batch(neg).mean()
+    # sum of level budgets <= epsilon; blocked-bloom levels are approximate,
+    # allow 4x
+    assert fpr < 0.04, f"growable fpr {fpr}"
+    # AddAny: second insertion of the same keys adds (almost) nothing
+    before = f.num_items
+    added = f.add_any_batch(keys[:1000])
+    assert added.sum() == 0
+    assert f.num_items == before
+    # serde roundtrip: identical answers, same level geometry
+    g = deserialize(serialize(f))
+    probes = np.concatenate([keys[:20_000], neg[:50_000]])
+    assert (g.contain_batch(probes) == f.contain_batch(probes)).all()
+    assert len(g.levels) == len(f.levels) and g.ttl == f.ttl
+    # keys added after the roundtrip land identically
+    more = splitmix64(5_000, seed=97)
+    f.add_batch(more); g.add_batch(more)
+    assert (g.contain_batch(more) == f.contain_batch(more)).all()
+    assert g.contain_batch(more).all()
