@@ -248,7 +248,9 @@ def bench_config_sweep(ray, results: dict, extras: dict) -> None:
     from cuckoofilter_ray.pipelines.build import build_single_filter
     from cuckoofilter_ray.pipelines.membership import measure_single_filter
 
-    n = int(os.environ.get("BENCH_SWEEP_KEYS", 2_000_000))
+    # 1M keys: enough FPR resolution (~1.7k hits at 0.17%) for the parity
+    # table across 12 configs without drowning the headline numbers
+    n = int(os.environ.get("BENCH_SWEEP_KEYS", 1_000_000))
     n_probes = n
     keys = splitmix64(n, seed=123)          # driver-side once; broadcast
     inserted_ref = ray.put(keys)

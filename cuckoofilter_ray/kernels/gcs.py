@@ -138,7 +138,7 @@ class GcsFilter:
             return self._decoded
         bits = np.unpackbits(np.frombuffer(self.stream, dtype=np.uint8),
                              bitorder="little")[:self.stream_bits]
-        zpos = np.flatnonzero(bits == 0)
+        zpos = np.flatnonzero(bits == 0).astype(np.int64, copy=False)
         shift = self.golomb_shift
         # walk rounds until every bucket's cursor reaches the next start
         starts = self.starts.astype(np.int64)

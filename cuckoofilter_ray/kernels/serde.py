@@ -105,15 +105,24 @@ def filter_to_row(filt: Any, group_key: str = "", shard_id: int = 0,
         }
     if isinstance(filt, CountingQuotientFilter):
         # variant carries the hash family; bits_per_tag the qbits;
-        # table_bytes = sorted masked hashes (uint64 LE) ++ counts (int64 LE)
-        return {
+        # table_bytes = sorted masked hashes (uint64 LE) ++ counts (int64 LE).
+        # The hot (packed=False) broadcast form ships the arrays as numpy —
+        # one plasma copy per node, zero-copy per worker (reads only; any
+        # mutation allocates fresh arrays in _merge_sorted).
+        row = {
             "group_key": group_key, "shard_id": shard_id, "kind": "counting",
             "variant": filt.hash_family, "bits_per_tag": filt.qbits,
             "num_buckets": filt.nslots, "num_items": filt.num_items,
             "victim_index": 0, "victim_tag": 0, "victim_used": False,
             "seed": int(filt.seed),
-            "table_bytes": filt.hashes.tobytes() + filt.counts.tobytes(),
+            "table_bytes": b"",
         }
+        if packed:
+            row["table_bytes"] = filt.hashes.tobytes() + filt.counts.tobytes()
+        else:
+            row["hashes_np"] = filt.hashes
+            row["counts_np"] = filt.counts
+        return row
     if isinstance(filt, ShingleFilter):
         # A then B: bit-packed at 12 bits/slot at rest (3 bytes per cell
         # pair, parity with shingle.h:170 SizeInBytes); raw uint16 in the
@@ -133,8 +142,12 @@ def filter_to_row(filt: Any, group_key: str = "", shard_id: int = 0,
     if isinstance(filt, GcsFilter):
         # table_bytes = rice stream ++ uint32 bucket-start bit offsets;
         # victim_index = stream byte length (split point), victim_tag =
-        # stream bit length
-        return {
+        # stream bit length.  The hot (packed=False) broadcast form ALSO
+        # carries the driver-decoded probe index as a numpy array — via
+        # ray.put it lands in plasma once per node and every worker maps it
+        # zero-copy instead of re-decoding the stream (the decode-per-worker
+        # cost is the whole reason to pre-share it).
+        row = {
             "group_key": group_key, "shard_id": shard_id, "kind": "gcs",
             "variant": "built" if filt._built else "",
             "bits_per_tag": filt.bits_per_item,
@@ -144,6 +157,9 @@ def filter_to_row(filt: Any, group_key: str = "", shard_id: int = 0,
             "hash_family": filt.hash_family,
             "table_bytes": filt.stream + filt.starts.astype("<u4").tobytes(),
         }
+        if not packed and filt._built:
+            row["decoded_index"] = filt._decode()
+        return row
     if isinstance(filt, GrowBlockedBloomFilter):
         # levels are geometry-derivable from (initial_bytes, level index);
         # table_bytes pickles the per-level lane arrays + the open TTL
@@ -232,10 +248,14 @@ def row_to_filter(row: dict) -> Any:
         f = CountingQuotientFilter(int(row["bits_per_tag"]),
                                    seed=int(row["seed"]),
                                    hash_family=row["variant"] or "mix")
-        buf = row["table_bytes"]
-        n = len(buf) // 16
-        f.hashes = np.frombuffer(buf[:8 * n], dtype=np.uint64).copy()
-        f.counts = np.frombuffer(buf[8 * n:], dtype=np.int64).copy()
+        if "hashes_np" in row:           # zero-copy plasma views
+            f.hashes = np.asarray(row["hashes_np"])
+            f.counts = np.asarray(row["counts_np"])
+        else:
+            buf = row["table_bytes"]
+            n = len(buf) // 16
+            f.hashes = np.frombuffer(buf[:8 * n], dtype=np.uint64).copy()
+            f.counts = np.frombuffer(buf[8 * n:], dtype=np.int64).copy()
         f.num_items = int(row["num_items"])
         return f
     if kind == "gcs":
@@ -250,6 +270,8 @@ def row_to_filter(row: dict) -> Any:
         f.starts = np.frombuffer(buf[split:], dtype="<u4").astype(np.uint32)
         f.num_items = int(row["num_items"])
         f._built = row.get("variant") == "built"
+        if "decoded_index" in row:       # zero-copy plasma view (see above)
+            f._decoded = np.asarray(row["decoded_index"])
         return f
     if kind == "shingle":
         f = ShingleFilter(int(row["victim_index"]), seed=int(row["seed"]),
