@@ -73,7 +73,7 @@ _LANG_MARKERS = {
 
 class LangId:
     """Actor-pool language-ID stage: compiled patterns once per actor
-    (ray_guide stateful-stage pattern), per-batch vectorized scoring.
+    (the Ray Data actor-pool stateful-stage pattern), per-batch vectorized scoring.
 
     CJK detection by char range; latin languages by stopword hit counts.
     Emits ``lang_pred: string`` and ``lang_conf: float64``.

@@ -218,6 +218,104 @@ class CountingQuotientFilter:
     def load_factor(self) -> float:
         return len(self.hashes) / self.nslots
 
+    # ------------------------------------------------------- at-rest codec
+
+    CHUNK = 64
+
+    def pack_payload(self) -> bytes:
+        """Compressed at-rest form: chunked Golomb-Rice.
+
+        The CQF's point is memory; the columnar (uint64, int64) pairs are a
+        probe format, not a storage format.  At rest:
+        - every CHUNK-th hash stored verbatim, bit-packed at ``nhashbits``;
+        - within-chunk hash DELTAS Rice-coded (shift ≈ log2(mean gap), raised
+          if any quotient would overflow);
+        - (count - 1) values Rice-coded the same chunked way (shift 1).
+        Decoding is the vectorized lane-lockstep of :func:`gcs.rice_unpack`
+        (lanes = chunks), so deserialize stays O(n) with ~CHUNK rounds.
+        ~12-14 bits/item at 8-bit-remainder sizing vs 128 for the raw pairs.
+        """
+        import pickle
+        from .gcs import pack_width64, rice_pack
+        n = len(self.hashes)
+        ch = self.CHUNK
+        firsts = self.hashes[::ch]
+        d = np.diff(self.hashes.astype(np.int64))
+        keep = np.ones(len(d), dtype=bool)
+        keep[ch - 1::ch] = False              # chunk-boundary gaps excluded
+        deltas = d[keep]
+        mean_gap = max(1, (1 << self.nhashbits) // max(1, n))
+        hshift = max(1, int(mean_gap).bit_length() - 1)
+        while len(deltas) and int(deltas.max()) >> hshift >= 63:
+            hshift += 1
+        hstream, hbits, hstart = rice_pack(deltas, hshift)
+        # lane bit-offsets: chunk c covers codes [c*(ch-1) - adjustments]...
+        # code i encodes the delta between hash i and its predecessor within
+        # the chunk; chunk c owns codes for global hash indices
+        # c*ch+1 .. min(n, (c+1)*ch)-1  →  kept-delta indices are contiguous
+        nchunks = (n + ch - 1) // ch if n else 0
+        counts_per_chunk = np.minimum(n - np.arange(nchunks) * ch, ch) - 1
+        code_idx = np.zeros(nchunks + 1, dtype=np.int64)
+        np.cumsum(counts_per_chunk, out=code_idx[1:])
+        h_lane_bits = hstart[code_idx]
+        cshift = 1
+        cvals = self.counts - 1
+        while len(cvals) and int(cvals.max()) >> cshift >= 63:
+            cshift += 1
+        cstream, cbits, cstart = rice_pack(cvals, cshift)
+        c_code_idx = np.minimum(np.arange(nchunks + 1) * ch, n)
+        return pickle.dumps({
+            "n": n, "hshift": hshift, "cshift": cshift,
+            "firsts": pack_width64(firsts, self.nhashbits),
+            "hstream": hstream, "hbits": hbits,
+            "hlanes": h_lane_bits.astype(np.int64),
+            "cstream": cstream, "cbits": cbits,
+            "clanes": cstart[c_code_idx].astype(np.int64),
+        }, protocol=pickle.HIGHEST_PROTOCOL)
+
+    def unpack_payload(self, payload: bytes) -> None:
+        import pickle
+        from .gcs import rice_unpack, unpack_width64
+        d = pickle.loads(payload)
+        n = d["n"]
+        ch = self.CHUNK
+        if n == 0:
+            self.hashes = np.empty(0, dtype=np.uint64)
+            self.counts = np.empty(0, dtype=np.int64)
+            return
+        nchunks = (n + ch - 1) // ch
+        firsts = unpack_width64(d["firsts"], self.nhashbits, nchunks) \
+            .astype(np.int64)
+        lane, delta = rice_unpack(d["hstream"], d["hbits"],
+                                  d["hlanes"][:-1], d["hlanes"][1:],
+                                  d["hshift"])
+        hashes = np.empty(n, dtype=np.int64)
+        hashes[::ch] = firsts
+        if len(lane):
+            cum = np.cumsum(delta)
+            seg = np.flatnonzero(np.concatenate(([True],
+                                                 lane[1:] != lane[:-1])))
+            base = np.zeros(len(lane), dtype=np.int64)
+            base[seg] = cum[seg] - delta[seg]
+            np.maximum.accumulate(base, out=base)
+            within = cum - base + firsts[lane]
+            # positions: lane c's k-th code → global index c*ch + 1 + k
+            k = np.arange(len(lane)) - seg[np.searchsorted(seg, np.arange(
+                len(lane)), side="right") - 1]
+            hashes[lane * ch + 1 + k] = within
+        self.hashes = hashes.astype(np.uint64)
+        clane, cval = rice_unpack(d["cstream"], d["cbits"],
+                                  d["clanes"][:-1], d["clanes"][1:],
+                                  d["cshift"])
+        counts = np.empty(n, dtype=np.int64)
+        if len(clane):
+            cseg = np.flatnonzero(np.concatenate(([True],
+                                                  clane[1:] != clane[:-1])))
+            ck = np.arange(len(clane)) - cseg[np.searchsorted(
+                cseg, np.arange(len(clane)), side="right") - 1]
+            counts[clane * ch + ck] = cval + 1
+        self.counts = counts
+
     def info(self) -> str:
         return (f"CountingQuotientFilter(qbits={self.qbits}, "
                 f"nslots={self.nslots}, nhashbits={self.nhashbits}, "

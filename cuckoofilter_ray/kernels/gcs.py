@@ -38,6 +38,96 @@ U64 = np.uint64
 AVG_BUCKET = 16
 
 
+def rice_pack(values: np.ndarray, shift: int
+              ) -> tuple[bytes, int, np.ndarray]:
+    """Golomb-Rice encode non-negative int64 ``values`` (quotient < 63,
+    gcs.h:102-109): unary quotient ++ ``shift`` remainder bits, little-endian
+    bit order.  Returns (packed bytes, total bits, code-start bit offsets of
+    length n+1)."""
+    v = np.asarray(values, dtype=np.int64)
+    n = len(v)
+    q = v >> shift
+    if n and int(q.max()) >= 63:
+        raise ValueError("golomb quotient overflow")
+    rem = v & ((1 << shift) - 1)
+    code_len = q + 1 + shift
+    code_start = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(code_len, out=code_start[1:])
+    total = int(code_start[-1])
+    bits = np.zeros(total, dtype=np.uint8)
+    ones_total = int(q.sum())
+    if ones_total:
+        reps = np.repeat(code_start[:-1], q)
+        within = np.arange(ones_total) - np.repeat(np.cumsum(q) - q, q)
+        bits[reps + within] = 1
+    if shift:
+        rpos = (code_start[:-1] + q + 1)[:, None] + np.arange(shift)
+        rbits = (rem[:, None] >> np.arange(shift - 1, -1, -1)) & 1
+        bits[rpos.ravel()] = rbits.ravel().astype(np.uint8)
+    return np.packbits(bits, bitorder="little").tobytes(), total, code_start
+
+
+def rice_unpack(stream: bytes, stream_bits: int, lane_starts: np.ndarray,
+                lane_ends: np.ndarray, shift: int
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a Rice stream whose codes are grouped into independent lanes
+    (bit offsets ``lane_starts[i]..lane_ends[i]``), vectorized in ROUNDS:
+    every lane consumes its k-th code in lockstep, unary runs ending at the
+    next zero bit (one searchsorted into the zero-position array per round).
+
+    Returns ``(lane_id, value)`` in lane-major order (codes of one lane
+    contiguous, in stream order)."""
+    bits = np.unpackbits(np.frombuffer(stream, dtype=np.uint8),
+                         bitorder="little")[:stream_bits]
+    zpos = np.flatnonzero(bits == 0).astype(np.int64, copy=False)
+    cur = np.asarray(lane_starts, dtype=np.int64).copy()
+    end = np.asarray(lane_ends, dtype=np.int64)
+    out_l, out_v, out_r = [], [], []
+    active = np.flatnonzero(cur < end)
+    pw = (1 << np.arange(shift - 1, -1, -1)).astype(np.int64) \
+        if shift else None
+    rnd = 0
+    while len(active):
+        p = cur[active]
+        z = zpos[np.searchsorted(zpos, p)]
+        qv = z - p
+        if shift:
+            rmat = bits[(z + 1)[:, None] + np.arange(shift)]
+            rem = rmat.astype(np.int64) @ pw
+        else:
+            rem = np.zeros(len(active), dtype=np.int64)
+        out_l.append(active.copy())
+        out_v.append((qv << shift) | rem)
+        out_r.append(np.full(len(active), rnd, dtype=np.int32))
+        cur[active] = z + 1 + shift
+        active = active[cur[active] < end[active]]
+        rnd += 1
+    if not out_l:
+        e = np.zeros(0, dtype=np.int64)
+        return e, e
+    lane = np.concatenate(out_l)
+    val = np.concatenate(out_v)
+    order = np.lexsort((np.concatenate(out_r), lane))
+    return lane[order], val[order]
+
+
+def pack_width64(values: np.ndarray, width: int) -> bytes:
+    """Bit-pack int64/uint64 values at ``width`` bits, little-endian order
+    (the >16-bit sibling of serde.pack_bits)."""
+    v = np.asarray(values, dtype=np.uint64)
+    bitmat = ((v[:, None] >> np.arange(width, dtype=np.uint64)) & 1) \
+        .astype(np.uint8)
+    return np.packbits(bitmat.ravel(), bitorder="little").tobytes()
+
+
+def unpack_width64(data: bytes, width: int, count: int) -> np.ndarray:
+    bitarr = np.unpackbits(np.frombuffer(data, dtype=np.uint8),
+                           bitorder="little")[:count * width]
+    bitmat = bitarr.reshape(count, width).astype(np.uint64)
+    return (bitmat << np.arange(width, dtype=np.uint64)).sum(
+        axis=1, dtype=np.uint64)
+
+
 class GcsFilter:
     KIND = "gcs"
 
@@ -90,30 +180,8 @@ class GcsFilter:
         bucket_first = np.ones(n, dtype=bool)
         bucket_first[1:] = b[1:] != b[:-1]
         delta[bucket_first] = fp[bucket_first]
-        shift = self.golomb_shift
-        q = (delta >> shift).astype(np.int64)
-        if (q >= 63).any():                              # gcs.h:103 assert
-            raise ValueError("golomb quotient overflow (bad fp distribution)")
-        rem = delta & ((1 << shift) - 1)
-        code_len = q + 1 + shift
-        code_start = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(code_len, out=code_start[1:])
-        total = int(code_start[-1])
-        bits = np.zeros(total, dtype=np.uint8)
-        # unary 1-runs: positions start..start+q-1
-        ones_total = int(q.sum())
-        if ones_total:
-            reps = np.repeat(code_start[:-1], q)
-            within = np.arange(ones_total) - np.repeat(
-                np.cumsum(q) - q, q)
-            bits[reps + within] = 1
-        # remainder bits, MSB-first after the terminating zero
-        if shift:
-            rpos = (code_start[:-1] + q + 1)[:, None] + np.arange(shift)
-            rbits = (rem[:, None] >> np.arange(shift - 1, -1, -1)) & 1
-            bits[rpos.ravel()] = rbits.ravel().astype(np.uint8)
-        self.stream = np.packbits(bits, bitorder="little").tobytes()
-        self.stream_bits = total
+        self.stream, self.stream_bits, code_start = \
+            rice_pack(delta, self.golomb_shift)          # gcs.h:102-109
         # bucket start bit-offsets (uint32): starts[i] = first code start of
         # bucket i (empty buckets share the next bucket's offset)
         first_code = np.searchsorted(b, np.arange(self.bucket_count + 1))
@@ -136,41 +204,21 @@ class GcsFilter:
         k-th code in lockstep; unary runs end at the next zero bit."""
         if self._decoded is not None:
             return self._decoded
-        bits = np.unpackbits(np.frombuffer(self.stream, dtype=np.uint8),
-                             bitorder="little")[:self.stream_bits]
-        zpos = np.flatnonzero(bits == 0).astype(np.int64, copy=False)
-        shift = self.golomb_shift
-        # walk rounds until every bucket's cursor reaches the next start
         starts = self.starts.astype(np.int64)
-        cur = starts[:-1].copy()
-        end = starts[1:]
-        x = np.zeros(self.bucket_count, dtype=np.int64)
-        out_b, out_v = [], []
-        active = np.flatnonzero(cur < end)
-        pw = (1 << np.arange(shift - 1, -1, -1)).astype(np.int64) \
-            if shift else np.zeros(0, dtype=np.int64)
-        while len(active):
-            p = cur[active]
-            zi = np.searchsorted(zpos, p)
-            z = zpos[zi]
-            qv = z - p
-            if shift:
-                rmat = bits[(z + 1)[:, None] + np.arange(shift)]
-                rem = rmat.astype(np.int64) @ pw
-            else:
-                rem = np.zeros(len(active), dtype=np.int64)
-            x[active] += (qv << shift) | rem
-            out_b.append(active.copy())
-            out_v.append(x[active].copy())
-            cur[active] = z + 1 + shift
-            active = active[cur[active] < end[active]]
-        if out_b:
-            bb = np.concatenate(out_b)
-            vv = np.concatenate(out_v)
+        lane, delta = rice_unpack(self.stream, self.stream_bits,
+                                  starts[:-1], starts[1:], self.golomb_shift)
+        # lane-major deltas → per-bucket cumulative fingerprints
+        if len(lane):
+            cum = np.cumsum(delta)
+            seg_start = np.flatnonzero(np.concatenate(
+                ([True], lane[1:] != lane[:-1])))
+            base = np.zeros(len(lane), dtype=np.int64)
+            base[seg_start] = cum[seg_start] - delta[seg_start]
+            np.maximum.accumulate(base, out=base)
+            fp = cum - base
+            self._decoded = np.sort((lane << self.fingerprint_bits) | fp)
         else:
-            bb = np.zeros(0, dtype=np.int64)
-            vv = np.zeros(0, dtype=np.int64)
-        self._decoded = np.sort((bb << self.fingerprint_bits) | vv)
+            self._decoded = np.zeros(0, dtype=np.int64)
         return self._decoded
 
     # ------------------------------------------------------------------ query

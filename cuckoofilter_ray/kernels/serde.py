@@ -118,7 +118,9 @@ def filter_to_row(filt: Any, group_key: str = "", shard_id: int = 0,
             "table_bytes": b"",
         }
         if packed:
-            row["table_bytes"] = filt.hashes.tobytes() + filt.counts.tobytes()
+            # chunked-Rice compressed at-rest codec (~12-14 bits/item)
+            row["codec"] = "rice"
+            row["table_bytes"] = filt.pack_payload()
         else:
             row["hashes_np"] = filt.hashes
             row["counts_np"] = filt.counts
@@ -251,6 +253,8 @@ def row_to_filter(row: dict) -> Any:
         if "hashes_np" in row:           # zero-copy plasma views
             f.hashes = np.asarray(row["hashes_np"])
             f.counts = np.asarray(row["counts_np"])
+        elif row.get("codec") == "rice":
+            f.unpack_payload(row["table_bytes"])
         else:
             buf = row["table_bytes"]
             n = len(buf) // 16

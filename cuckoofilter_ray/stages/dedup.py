@@ -12,7 +12,7 @@ for training-data pipelines:
                          new is ever dropped; positives are exact-verified.
 - ``minhash_signatures`` / ``minhash_lsh_pairs``  shingle → minhash → band →
                          groupby(band bucket) → candidate pairs → signature-
-                         estimated Jaccard (ray_guide near-dup pattern).
+                         estimated Jaccard (banded-LSH near-dup pattern).
 - ``simhash64``          64-bit simhash; near-dup = Hamming ≤ r via 4×16-bit
                          band blocking.
 - ``ngram_jaccard_verify`` exact Jaccard verify over candidate pairs.

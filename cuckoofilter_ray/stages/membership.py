@@ -472,7 +472,7 @@ class SemiJoinProbe:
     example/test.cc:42-44 invariant); candidates that pass are verified
     against the exact broadcast key set, so the result equals a SQL
     IN / NOT IN — this is the canonical production use of an AMQ at scale
-    (ray_guide: "Semi/anti join: broadcast ... a Bloom filter of it").
+    (the canonical Ray Data broadcast semi-join pattern).
 
     For a right side too big to broadcast exactly, pass ``exact_ref=None``:
     the result is then approximate with FPR ≤ the filter's bound.

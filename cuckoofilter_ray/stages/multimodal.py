@@ -6,7 +6,7 @@ signature, batch sizing, output layout — real and tested, fake the pixels).
 
 Design for 100 TB:
 - media rows are wide → small ``batch_size`` (payload × batch × concurrency
-  must fit worker heap; ray_guide "Memory-aware"),
+  must fit worker heap; batch sized for worker heap),
 - decode/feature stages are ACTOR POOLS (model/codec loaded once per actor),
 - outputs are fixed-width feature columns, never re-encoded payloads.
 """

@@ -8,7 +8,7 @@ discipline as the builds:
 - ``tumbling_window_agg``: per-block VECTORIZED pre-aggregation (pandas
   groupby inside ``map_batches``) emits one partial row per (key, window)
   per block; the global groupby then shuffles partials, never raw events —
-  the map-side-combine pattern (ray_guide "Aggregation at scale").
+  the map-side-combine pattern (map-side partial aggregation).
 - ``hash_join``: partitioned hash join for two large sides via Ray Data's
   native hash-shuffle ``Dataset.join`` — each of ``num_buckets`` partitions
   joins in Arrow, dtype-preserving.  Salt hot keys by raising the partition
@@ -31,7 +31,7 @@ def tumbling_window_agg(ds: "ray.data.Dataset", ts_col: str, key_col: str,
     """count + sum(value) per (key, tumbling window).
 
     Windows are event-time buckets ``floor(epoch_us / window_us)`` — no
-    watermarks (batch log, ray_guide "Streaming-shaped workloads").
+    watermarks (batch log over event-time windows).
     Output: (key_col, window_id, n_events, total_value).
     """
 

@@ -605,3 +605,34 @@ def test_growable_blocked_bloom():
     f.add_batch(more); g.add_batch(more)
     assert (g.contain_batch(more) == f.contain_batch(more)).all()
     assert g.contain_batch(more).all()
+
+
+def test_counting_rice_payload_roundtrip_and_size():
+    """Chunked-Rice at-rest codec: lossless on (hashes, counts); ~12-14
+    bits/item vs 128 for the raw columnar pairs."""
+    from cuckoofilter_ray.kernels import (CountingQuotientFilter, deserialize,
+                                          serialize)
+    rng = np.random.default_rng(3)
+    base = splitmix64(120_000, seed=44)
+    keys = rng.choice(base, size=400_000, replace=True)
+    f = CountingQuotientFilter.create(150_000, seed=6)
+    f.add_batch(keys)
+    g = deserialize(serialize(f))
+    assert (g.hashes == f.hashes).all()
+    assert (g.counts == f.counts).all()
+    assert g.num_items == f.num_items
+    bpi = len(serialize(f)) * 8 / len(f.hashes)
+    assert bpi < 20, f"rice-coded counting at-rest {bpi} bits/distinct"
+    # heavy-count entries survive (quotient-overflow shift escalation)
+    h = CountingQuotientFilter.create(1000, seed=7)
+    h.add_batch(np.array([5] * 100_000 + [9, 9, 11], dtype=np.uint64))
+    h2 = deserialize(serialize(h))
+    assert (h2.hashes == h.hashes).all() and (h2.counts == h.counts).all()
+    # tiny sizes incl. n=1 and empty
+    for n in (0, 1, 2, 63, 64, 65, 129):
+        t = CountingQuotientFilter.create(max(1, n), seed=8)
+        if n:
+            t.add_batch(splitmix64(n, seed=9))
+        t2 = deserialize(serialize(t))
+        assert (t2.hashes == t.hashes).all()
+        assert (t2.counts == t.counts).all()
