@@ -691,7 +691,19 @@ def q_knn_lsh(sf_dir: str):
     qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
     queries = {int(r.vec_id): np.array(r.embedding, dtype=np.float64)
                for r in qtbl.itertuples() if r.vec_id in (0, 1, 2)}
-    return knn_lsh(emb, queries, k=5, bits=6) \
+    return knn_lsh(emb, queries, k=5, bits=6, n_probes=4) \
+        .select_columns(["query_id", "vec_id", "rank"])
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF approximate top-k (k-means coarse quantizer on a driver sample,
+    n_probe nearest lists scanned; rows-only — approximate by design)."""
+    from cuckoofilter_ray.stages.similarity import knn_ivf
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    queries = {int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+               for r in qtbl.itertuples() if r.vec_id in (0, 1, 2)}
+    return knn_ivf(emb, queries, k=5, n_lists=16, n_probe=4, seed=7) \
         .select_columns(["query_id", "vec_id", "rank"])
 
 
@@ -817,6 +829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delete_workload": q_delete_workload,
         "fingerprints": q_fingerprints,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "neardup_verified": q_neardup_verified,
         "neardup_clusters": q_neardup_clusters,
         "media_features": q_media_features,

@@ -137,21 +137,49 @@ def lsh_buckets(ds: "ray.data.Dataset", bits: int = 8, seed: int = 4242,
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def multiprobe_codes(qmat: np.ndarray, planes: np.ndarray,
+                     n_probes: int) -> np.ndarray:
+    """(q, n_probes) bucket codes per query: the query's own code plus the
+    codes reached by flipping its smallest-|margin| hyperplane bits — the
+    standard multi-probe LSH sequence (near-boundary bits are the likeliest
+    to disagree with a true neighbor)."""
+    bits = planes.shape[0]
+    proj = qmat @ planes.T                               # (q, bits)
+    base = (((proj > 0).astype(np.int64)) << np.arange(bits)).sum(axis=1)
+    margins = np.abs(proj)
+    order = np.argsort(margins, axis=1)                  # ascending margin
+    # enumerate flip-subsets over the t lowest-margin bits (2^t >= n_probes),
+    # score each subset by its margin sum, keep the n_probes cheapest —
+    # the multi-probe sequence generalized past single-bit flips
+    t = min(bits, max(1, int(np.ceil(np.log2(max(2, n_probes))))))
+    subsets = np.arange(1 << t)
+    sub_bits = ((subsets[:, None] >> np.arange(t)) & 1).astype(np.float64)
+    low_margins = np.take_along_axis(margins, order[:, :t], axis=1)  # (q, t)
+    scores = low_margins @ sub_bits.T                    # (q, 2^t)
+    pick = np.argsort(scores, axis=1)[:, :n_probes]      # subset 0 first
+    # subset -> xor mask over the query's own low-margin bit POSITIONS
+    out = np.empty((len(qmat), pick.shape[1]), dtype=np.int64)
+    for qi in range(len(qmat)):
+        pos = order[qi, :t]
+        masks = (sub_bits[pick[qi]].astype(np.int64)
+                 * (np.int64(1) << pos)[None, :]).sum(axis=1)
+        out[qi] = base[qi] ^ masks
+    return out
+
+
 def knn_lsh(ds: "ray.data.Dataset", queries: dict, k: int = 5, bits: int = 8,
             seed: int = 4242, id_col: str = "vec_id",
-            emb_col: str = "embedding") -> "ray.data.Dataset":
-    """Approximate top-k: probe only vectors whose LSH bucket matches the
-    query's.  Recall < 1 by design; the scale path when brute force is too
-    wide (probe multiple buckets for higher recall)."""
+            emb_col: str = "embedding",
+            n_probes: int = 1) -> "ray.data.Dataset":
+    """Approximate top-k: probe only vectors whose LSH bucket is in the
+    query's probe set.  ``n_probes`` > 1 enables multi-probe (flip the
+    lowest-|margin| bits) — recall rises toward brute force as the probe
+    set grows; candidate volume is the price."""
     qids = np.array(list(queries.keys()))
     qmat = np.stack(list(queries.values())).astype(np.float64)
     planes = _hyperplanes(qmat.shape[1], bits, seed)
-    qcodes = (((qmat @ planes.T) > 0).astype(np.int64)
-              << np.arange(bits)).sum(axis=1)
-    bucket_to_qs: dict[int, list[int]] = {}
-    for qid, code in zip(qids.tolist(), qcodes.tolist()):
-        bucket_to_qs.setdefault(code, []).append(qid)
-    wanted = set(bucket_to_qs)
+    codes = multiprobe_codes(qmat, planes, max(1, min(n_probes, 1 << bits)))
+    wanted = set(np.unique(codes).tolist())
     qref = ray.put({qid: queries[qid] for qid in qids.tolist()})
 
     bucketed = lsh_buckets(ds, bits=bits, seed=seed, id_col=id_col,
@@ -204,6 +232,88 @@ class AllPairsNearDup:
             "lo_id": pa.array(lo[keep], pa.int64()),
             "hi_id": pa.array(hi[keep], pa.int64()),
         })
+
+
+# ----------------------------------------------------------------- IVF path
+
+def ivf_train_centroids(ds: "ray.data.Dataset", n_lists: int = 16,
+                        sample: int = 4096, iters: int = 10, seed: int = 7,
+                        emb_col: str = "embedding") -> np.ndarray:
+    """Coarse quantizer for IVF: Lloyd's k-means on a driver-side SAMPLE
+    (``sample`` rows — the sample is small by design; training never sees
+    the full dataset), normalized rows, cosine == dot assignment.  Fully
+    numpy-vectorized; deterministic via seed."""
+    tbl = pa.concat_tables([b for b in ds.select_columns([emb_col])
+                            .limit(sample).iter_batches(
+                                batch_size=sample, batch_format="pyarrow")])
+    X = _normalize(_stack_embeddings(tbl, emb_col))
+    rng = np.random.default_rng(seed)
+    n_lists = min(n_lists, len(X))
+    C = X[rng.choice(len(X), size=n_lists, replace=False)].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(n_lists):              # small n_lists: loop is fine
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_assign(ds: "ray.data.Dataset", centroids_ref,
+               emb_col: str = "embedding") -> "ray.data.Dataset":
+    """Append ``ivf_list`` (int64): nearest-centroid id per row — the IVF
+    partitioner (broadcast centroids, one matmul per batch)."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C = np.asarray(ray.get(centroids_ref))
+        emb = _normalize(_stack_embeddings(batch, emb_col))
+        lst = (emb @ C.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("ivf_list", pa.array(lst, pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def knn_ivf(ds: "ray.data.Dataset", queries: dict, k: int = 5,
+            n_lists: int = 16, n_probe: int = 4, seed: int = 7,
+            id_col: str = "vec_id", emb_col: str = "embedding",
+            centroids: np.ndarray | None = None) -> "ray.data.Dataset":
+    """IVF approximate top-k: train/broadcast a coarse quantizer, keep only
+    vectors in each query's ``n_probe`` nearest lists, exact top-k over the
+    survivors.  ``n_probe == n_lists`` degrades gracefully to brute force
+    (pinned by test); at scale the dataset should be pre-partitioned by
+    ``ivf_assign`` + written partitioned so probes read only their lists."""
+    if centroids is None:
+        centroids = ivf_train_centroids(ds, n_lists=n_lists, seed=seed,
+                                        emb_col=emb_col)
+    cref = ray.put(centroids)
+    qids = list(queries.keys())
+    qmat = _normalize(np.stack([queries[q] for q in qids]).astype(np.float64))
+    qsims = qmat @ centroids.T                           # (q, n_lists)
+    n_probe = max(1, min(n_probe, centroids.shape[0]))
+    probed = np.argpartition(-qsims, n_probe - 1, axis=1)[:, :n_probe]
+    wanted = np.unique(probed)
+    qref = ray.put(dict(queries))
+
+    assigned = ivf_assign(ds, cref, emb_col=emb_col)
+    pruned = assigned.map_batches(
+        lambda t: t.filter(pa.array(np.isin(
+            t.column("ivf_list").to_numpy(zero_copy_only=False), wanted))),
+        batch_format="pyarrow")
+    candidates = pruned.map_batches(
+        batch_topk_fn, batch_format="pyarrow", batch_size=None,
+        fn_kwargs={"queries_ref": qref, "id_col": id_col,
+                   "emb_col": emb_col, "k": k})
+
+    def reduce_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", id_col],
+                              ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return candidates.groupby("query_id").map_groups(reduce_topk,
+                                                     batch_format="pandas")
 
 
 def embedding_neardup_exact(ds: "ray.data.Dataset", threshold: float = 0.4,

@@ -828,3 +828,64 @@ def test_packed_semisort_probe_matches_unpacked(ray_mod):
             "filters_ref": filters_to_packed_ref(rows, group_col="_shard")}
     ).to_pandas()
     assert (out["is_member"].to_numpy() == a).all()
+
+
+def test_knn_ivf_full_probe_matches_bruteforce(ray_mod):
+    """knn_ivf with n_probe == n_lists scans everything => rank-exact equal
+    to the brute-force top-k; fewer probes stay a subset with recall > 0."""
+    ray = ray_mod
+    from cuckoofilter_ray.stages.similarity import knn_bruteforce, knn_ivf
+    rng = np.random.default_rng(8)
+    n, d = 2000, 16
+    mat = rng.normal(size=(n, d))
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(list(mat), pa.list_(pa.float64())),
+    })).repartition(4)
+    queries = {int(i): mat[i] for i in range(3)}
+    exact = knn_bruteforce(ds, queries, k=5).to_pandas()
+    full = knn_ivf(ds, queries, k=5, n_lists=8, n_probe=8, seed=3).to_pandas()
+    cols = ["query_id", "rank", "vec_id"]
+    a = exact[cols].sort_values(cols).reset_index(drop=True)
+    b = full[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b), "full-probe IVF must equal brute force"
+    part = knn_ivf(ds, queries, k=5, n_lists=8, n_probe=2, seed=3).to_pandas()
+    got = set(map(tuple, part[["query_id", "vec_id"]].to_numpy()))
+    want = set(map(tuple, exact[["query_id", "vec_id"]].to_numpy()))
+    recall = len(got & want) / len(want)
+    assert recall > 0.3, f"2-probe IVF recall suspiciously low: {recall}"
+    # each query's own vector is its top-1 under any probe count >= 1
+    top1 = part[part["rank"] == 1]
+    assert (top1["query_id"].to_numpy() == top1["vec_id"].to_numpy()).all()
+
+
+def test_knn_lsh_multiprobe_recall_improves(ray_mod):
+    """Multi-probe recall (vs brute force) is >= single-probe recall, and
+    probing every bucket equals brute force."""
+    ray = ray_mod
+    from cuckoofilter_ray.stages.similarity import knn_bruteforce, knn_lsh
+    rng = np.random.default_rng(9)
+    n, d, bits = 1500, 12, 4
+    mat = rng.normal(size=(n, d))
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(list(mat), pa.list_(pa.float64())),
+    })).repartition(4)
+    queries = {int(i): mat[i] for i in range(4)}
+    exact = knn_bruteforce(ds, queries, k=5).to_pandas()
+    want = set(map(tuple, exact[["query_id", "vec_id"]].to_numpy()))
+
+    def recall(n_probes):
+        r = knn_lsh(ds, queries, k=5, bits=bits, n_probes=n_probes).to_pandas()
+        got = set(map(tuple, r[["query_id", "vec_id"]].to_numpy()))
+        return len(got & want) / len(want)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1, f"multi-probe recall regressed: {r1} -> {r4}"
+    # probing 2^bits buckets == no pruning at all == brute force ranks
+    r_all = knn_lsh(ds, queries, k=5, bits=bits,
+                    n_probes=1 << bits).to_pandas()
+    cols = ["query_id", "rank", "vec_id"]
+    a = exact[cols].sort_values(cols).reset_index(drop=True)
+    b = r_all[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
