@@ -109,8 +109,15 @@ class ShingleFilter:
 
     def _add_chain(self, isa: bool, idx: int, fp: int) -> None:
         """Sequential AddHelp (shingle.h:99-137): empty slot, robin-hood
-        local shift, else random kick and recurse on the other array."""
-        for _ in range(100_000):    # unbounded in the reference; backstop
+        local shift, else random kick and recurse on the other array.
+
+        The reference recurses with NO termination bound (shingle.h:135
+        "TODO: replace recursion with iteration") and spins forever on
+        infeasible inputs (e.g. more copies of overlapping keys than their
+        slot union holds — duplicates share the same 4 candidate slots).
+        The engine bounds the walk and raises instead."""
+        for _ in range(5_000):      # unbounded in the reference; backstop
+                                    # (legal loads terminate in < ~100 steps)
             arr = self.A if isa else self.B
             placed = False
             for off in (0, 1):

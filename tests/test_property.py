@@ -1,0 +1,128 @@
+"""Property-based kernel tests (hypothesis): random op sequences vs exact
+models.  No Ray — pure kernels, so these run first and fast."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from cuckoofilter_ray.kernels import (CountingQuotientFilter, CuckooFilter,
+                                      GcsFilter, ShingleFilter, deserialize,
+                                      serialize)
+from cuckoofilter_ray.kernels.gcs import rice_pack, rice_unpack
+from cuckoofilter_ray.kernels.hashing import hash_key64, splitmix64
+
+KEYS = st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1),
+                min_size=0, max_size=200)
+
+
+@settings(max_examples=40, deadline=None)
+@given(ops=st.lists(st.tuples(st.sampled_from(["add", "remove", "delete"]),
+                              st.integers(0, 30),       # key index (small pool)
+                              st.integers(1, 5)),       # count
+                    min_size=0, max_size=60),
+       seed=st.integers(0, 2**32 - 1))
+def test_counting_filter_random_ops_match_model(ops, seed):
+    """Any interleaving of counted add/remove/delete matches the exact
+    masked-hash multiset model, value-for-value."""
+    pool = splitmix64(31, seed=seed or 1)
+    f = CountingQuotientFilter.create(500, seed=seed)
+    mask = np.uint64(f.mask)
+    model: dict[int, int] = {}
+
+    def mh(i):
+        return int(hash_key64(pool[i:i + 1], f.seed, f.hash_family)[0]
+                   & mask)
+
+    for op, i, c in ops:
+        k = pool[i:i + 1]
+        h = mh(i)
+        if op == "add":
+            f.add_batch(k, counts=np.array([c]))
+            model[h] = model.get(h, 0) + c
+        elif op == "remove":
+            removed = int(f.remove_batch(k, counts=np.array([c]))[0])
+            want = min(c, model.get(h, 0))
+            assert removed == want
+            model[h] = model.get(h, 0) - want
+        else:
+            gone = int(f.delete_batch(k)[0])
+            assert gone == model.get(h, 0)
+            model[h] = 0
+    for i in range(len(pool)):
+        assert int(f.count_batch(pool[i:i + 1])[0]) == model.get(mh(i), 0)
+    assert f.num_items == sum(model.values())
+    g = deserialize(serialize(f))
+    assert (g.count_batch(pool) == f.count_batch(pool)).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(deltas=st.lists(st.integers(0, 60_000), min_size=0, max_size=300),
+       shift=st.integers(1, 12))
+def test_rice_codec_roundtrip(deltas, shift):
+    """rice_pack ∘ rice_unpack == identity for any quotient-safe input."""
+    d = np.array(deltas, dtype=np.int64)
+    if len(d) and int(d.max()) >> shift >= 63:
+        d = d & ((63 << shift) - 1)          # keep quotients legal
+    stream, nbits, starts = rice_pack(d, shift)
+    lane, vals = rice_unpack(stream, nbits, starts[:-1].copy(),
+                             starts[1:].copy(), shift)
+    # one lane per code → values come back in order
+    assert (np.sort(lane) == np.arange(len(d))).all()
+    assert (vals[np.argsort(lane, kind="stable")] == d).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(n=st.integers(0, 400), seed=st.integers(0, 2**31 - 1),
+       dup=st.integers(1, 3))
+def test_shingle_invariants(n, seed, dup):
+    """No false negatives; fill accounting exact; deletes drain duplicates
+    one slot at a time; serde preserves answers."""
+    keys = np.repeat(splitmix64(max(1, n), seed=seed + 1)[:n], dup)
+    f = ShingleFilter.create(max(16, len(keys)), seed=seed)
+    try:
+        res = f.add_batch(keys)
+    except RuntimeError:
+        # duplicate-heavy tiny configs can be INFEASIBLE (k copies of
+        # overlapping keys demanding more than their union of slots); the
+        # reference recurses forever there (shingle.h:135 TODO), the engine
+        # raises a clean backstop — acceptable terminal outcome
+        assert dup > 1, "non-duplicate workload must always terminate"
+        return
+    assert res.ok == len(keys) and res.overflow == 0
+    assert f.filled == len(keys)
+    if n:
+        assert f.contain_batch(keys).all()
+        k0 = int(keys[0])
+        for _ in range(dup):
+            assert f.delete(k0)
+        assert f.filled == len(keys) - dup
+    g = deserialize(serialize(f))
+    probes = splitmix64(500, seed=seed + 2)
+    assert (g.contain_batch(probes) == f.contain_batch(probes)).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(n=st.integers(0, 500), seed=st.integers(0, 2**31 - 1))
+def test_gcs_no_false_negatives_any_size(n, seed):
+    keys = splitmix64(max(1, n), seed=seed + 3)[:n]
+    f = GcsFilter(max(1, n), bits_per_item=8, seed=seed)
+    f.add_all(keys)
+    if n:
+        assert f.contain_batch(keys).all()
+    g = deserialize(serialize(f))
+    probes = splitmix64(400, seed=seed + 4)
+    assert (g.contain_batch(probes) == f.contain_batch(probes)).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(n=st.integers(0, 300), seed=st.integers(0, 2**31 - 1),
+       family=st.sampled_from(["mix", "tims", "tab"]))
+def test_cuckoo_no_false_negatives_any_family(n, seed, family):
+    keys = splitmix64(max(1, n), seed=seed + 5)[:n]
+    f = CuckooFilter.create(max(4, 2 * n), seed=seed, hash_family=family)
+    f.add_batch(keys)
+    if n:
+        assert f.contain_batch(keys).all()
+    # delete everything → (almost always) empty again; no crash paths
+    f.delete_batch(keys)
+    assert f.num_items == 0
