@@ -352,6 +352,30 @@ def q_countfilter_events(sf_dir: str):
                          "n_events": [int(v) for v in counts]})
 
 
+def q_countfilter_users(sf_dir: str):
+    """CQF multiset counts per user_id (higher key cardinality than
+    countfilter_events; same qf_insert/qf_count semantics).  Exact oracle:
+    distinct users ≪ the 2^(qbits+8) masked domain (seed-fixed,
+    deterministically collision-free at these scales)."""
+    from cuckoofilter_ray.stages.aggregate import FilterSketch
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    keyed = ev.map_batches(add_int_keys, batch_format="pyarrow",
+                           batch_size=None, fn_kwargs={"column": "user_id"})
+    agg = FilterSketch(on="key_hi64", kind="counting", capacity=1 << 22,
+                       seed=SEED, alias_name="cqf")
+    row = keyed.aggregate(agg)
+    cqf = deserialize(row["cqf"])
+    users = np.sort(np.array(
+        keyed.select_columns(["user_id"]).unique("user_id"), dtype=np.int64))
+    from cuckoofilter_ray.kernels.hashing import mix_split
+    ukeys = mix_split(users.astype(np.uint64), 0x1D)
+    counts = cqf.count_batch(ukeys)
+    return pd.DataFrame({"user_id": users,
+                         "n_events": [int(v) for v in counts]})
+
+
 def q_quantile_prices(sf_dir: str):
     """Mergeable bottom-k quantile sketch over o_totalprice: sample quantiles
     must sit within the 3σ RANK band of the exact distribution (exact CDF
@@ -806,6 +830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": q_hll_distinct,
         "countmin_events": q_countmin_events,
         "countfilter_events": q_countfilter_events,
+        "countfilter_users": q_countfilter_users,
         "quantile_prices": q_quantile_prices,
         "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,
@@ -882,6 +907,9 @@ def oracle_sql() -> dict[str, str]:
         "countfilter_events":
             "SELECT event_type, count(*) AS n_events FROM events "
             "GROUP BY event_type",
+        "countfilter_users":
+            "SELECT user_id, count(*) AS n_events FROM events "
+            "GROUP BY user_id",
         "quantile_prices":
             "SELECT 'p' || q AS quantile, true AS within_bound "
             "FROM (VALUES (50), (90), (99)) t(q)",

@@ -13,7 +13,7 @@ from .gcs import GcsFilter
 from .growbloom import GrowBlockedBloomFilter
 from .shingle import ShingleFilter
 from .xor import XorFilter
-from .xorplus import XorFilterPlus
+from .xorplus import XorFilter2n, XorFilterPlus
 from .serde import (deserialize, filter_to_row, make_filter, pack_bits,
                     row_to_filter, serialize, unpack_bits)
 
@@ -27,5 +27,5 @@ __all__ = [
     "sha256_hex", "sha256_u64", "simple_tabulation", "tabulation_tables",
     "universal_multiply_shift",
     "GcsFilter", "GrowBlockedBloomFilter", "ShingleFilter", "splitmix64", "tims_params", "two_independent_multiply_shift",
-    "unpack_bits", "upperpower2", "XorFilter", "XorFilterPlus",
+    "unpack_bits", "upperpower2", "XorFilter", "XorFilter2n", "XorFilterPlus",
 ]

@@ -29,7 +29,7 @@ from .growbloom import GrowBlockedBloomFilter
 from .shingle import ShingleFilter
 from .cuckoo import CuckooFilter
 from .xor import XorFilter
-from .xorplus import XorFilterPlus
+from .xorplus import XorFilter2n, XorFilterPlus
 from . import semisort
 
 _CHUNK = 1 << 20
@@ -179,6 +179,16 @@ def filter_to_row(filt: Any, group_key: str = "", shard_id: int = 0,
             "victim_used": False, "seed": int(filt.seed),
             "table_bytes": payload,
         }
+    if isinstance(filt, XorFilter2n):
+        return {
+            "group_key": group_key, "shard_id": shard_id, "kind": "xor2n",
+            "variant": "built" if filt._built else "",
+            "bits_per_tag": filt.bits_per_tag,
+            "num_buckets": filt.block_length, "num_items": filt.num_items,
+            "victim_index": 0, "victim_tag": 0, "victim_used": False,
+            "seed": int(filt.build_seed),
+            "table_bytes": filt.fingerprints.tobytes(),
+        }
     if isinstance(filt, XorFilterPlus):
         # seg01 fingerprints ++ packed third-segment bitmap ++ dense third
         # segment; victim_index/victim_tag carry the two split points
@@ -304,6 +314,16 @@ def row_to_filter(row: dict) -> Any:
         f.ttl = int(d["ttl"])
         f.num_items = int(row["num_items"])
         return f
+    if kind == "xor2n":
+        f = XorFilter2n(1, bits_per_tag=int(row["bits_per_tag"]),
+                        seed=int(row["seed"]))
+        f.block_length = int(row["num_buckets"])
+        dtype = np.uint8 if f.bits_per_tag == 8 else np.uint16
+        f.fingerprints = np.frombuffer(row["table_bytes"], dtype=dtype).copy()
+        f.build_seed = int(row["seed"])
+        f.num_items = int(row["num_items"])
+        f._built = row.get("variant") == "built"
+        return f
     if kind == "xorplus":
         f = XorFilterPlus(1, bits_per_tag=int(row["bits_per_tag"]),
                           seed=int(row["seed"]))
@@ -372,6 +392,9 @@ def make_filter(kind: str, capacity: int, seed: int, bits_per_tag: int = 12,
                                     hash_family=hash_family)
     if kind == "growbloom":
         return GrowBlockedBloomFilter(max(64, capacity), seed=seed)
+    if kind == "xor2n":
+        return XorFilter2n(capacity, bits_per_tag=bits_per_tag
+                           if bits_per_tag in (8, 16) else 8, seed=seed)
     if kind == "xorplus":
         return XorFilterPlus(capacity, bits_per_tag=bits_per_tag
                              if bits_per_tag in (8, 16) else 8, seed=seed)

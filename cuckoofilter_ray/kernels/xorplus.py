@@ -122,3 +122,43 @@ class XorFilterPlus(XorFilter):
 
     def bits_per_item(self) -> float:
         return 8.0 * self.size_in_bytes() / max(1, self.num_items)
+
+
+class XorFilter2n(XorFilter):
+    """Xor filter with power-of-two blocks — mask instead of Lemire reduce.
+
+    Value-level re-expression of /root/reference/src/xorfilter_2n.h:
+    ``blockLength`` rounds UP to a power of two (:72-77, paying up to 2x
+    slots for a cheaper position derivation); positions are the LOW bits of
+    ``hash`` / ``rotl21`` / ``rotl42`` masked by ``blockLength - 1``
+    (:119-121, :32-46).
+
+    DELIBERATE DEVIATION: the reference fingerprints with the hash's low
+    bits (:63-65), which are a SUBSET of the ``h0`` position bits under the
+    pow2 mask — the fingerprint cancels out of the membership equation for
+    any negative landing on a member's ``h0`` cell and measured FPR
+    collapses to ~30%.  The engine keeps the base xor filter's decorrelated
+    ``(h ^ h>>32) & mask`` fingerprint; everything else follows the 2n
+    construction.
+    """
+
+    KIND = "xor2n"
+
+    __slots__ = ()
+
+    def __init__(self, capacity: int, bits_per_tag: int = 8,
+                 seed: int = DEFAULT_SEED):
+        super().__init__(capacity, bits_per_tag=bits_per_tag, seed=seed)
+        bl = 1
+        while bl < self.block_length:
+            bl *= 2
+        self.block_length = bl
+        self.fingerprints = np.zeros(3 * bl, dtype=self.fingerprints.dtype)
+
+    def _positions(self, h: np.ndarray):
+        m = U64(self.block_length - 1)
+        r1 = np.bitwise_or(h << U64(21), h >> U64(43))
+        r2 = np.bitwise_or(h << U64(42), h >> U64(22))
+        return ((h & m).astype(np.int64),
+                (r1 & m).astype(np.int64) + self.block_length,
+                (r2 & m).astype(np.int64) + 2 * self.block_length)

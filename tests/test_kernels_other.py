@@ -146,7 +146,7 @@ def test_pack_bits_roundtrip():
 
 @pytest.mark.parametrize("kind", ["cuckoo", "cuckoo-stable", "semisort",
                                   "bloom", "blockedbloom", "xor", "shingle",
-                                  "counting", "gcs", "xorplus"])
+                                  "counting", "gcs", "xorplus", "xor2n"])
 def test_serde_roundtrip_every_kind(kind):
     # example/test1.cc:63-72: Serialize → Deserialize → identical answers
     keys = splitmix64(8_000, seed=20)
@@ -636,3 +636,20 @@ def test_counting_rice_payload_roundtrip_and_size():
         t2 = deserialize(serialize(t))
         assert (t2.hashes == t.hashes).all()
         assert (t2.counts == t.counts).all()
+
+
+def test_xor2n_membership_and_pow2_geometry():
+    """xor-2n (src/xorfilter_2n.h): power-of-two blocks, mask positions."""
+    from cuckoofilter_ray.kernels import (XorFilter2n, deserialize,
+                                          serialize)
+    n = 40_000
+    keys = splitmix64(n, seed=80)
+    f = XorFilter2n(n, bits_per_tag=8, seed=81)
+    assert f.block_length & (f.block_length - 1) == 0
+    f.add_all(keys)
+    assert f.contain_batch(keys).all(), "xor2n false negative"
+    neg = splitmix64(200_000, seed=82)
+    assert f.contain_batch(neg).mean() <= 2.5 / 256
+    g = deserialize(serialize(f))
+    probes = np.concatenate([keys, neg[:50_000]])
+    assert (g.contain_batch(probes) == f.contain_batch(probes)).all()
