@@ -135,12 +135,21 @@ def add_fingerprint(batch: pa.Table, column: str = "text",
     if max_len > 1:
         powers[1:] = B
         np.cumprod(powers, out=powers)
-    out = np.empty(len(texts), dtype=np.uint64)
-    for i, s in enumerate(norm):
-        if not s:
-            out[i] = 0
-            continue
-        codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32) \
+    # one concatenated codepoint array; per-element exponent L_d-1-j gathers
+    # from the powers table; per-doc wrapping segment-sum via reduceat —
+    # no per-doc Python in the hot path
+    out = np.zeros(len(texts), dtype=np.uint64)
+    lens = np.array([len(s) for s in norm], dtype=np.int64)
+    nz = np.flatnonzero(lens > 0)
+    if len(nz):
+        joined = "".join(norm)
+        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32) \
             .astype(np.uint64)
-        out[i] = (codes * powers[len(s) - 1::-1]).sum()
+        nzl = lens[nz]
+        starts = np.zeros(len(nz), dtype=np.int64)
+        np.cumsum(nzl[:-1], out=starts[1:])
+        within = np.arange(int(nzl.sum()), dtype=np.int64) \
+            - np.repeat(starts, nzl)
+        exp = np.repeat(nzl - 1, nzl) - within
+        out[nz] = np.add.reduceat(codes * powers[exp], starts)
     return batch.append_column(out_col, pa.array(out, pa.uint64()))

@@ -889,3 +889,24 @@ def test_knn_lsh_multiprobe_recall_improves(ray_mod):
     a = exact[cols].sort_values(cols).reset_index(drop=True)
     b = r_all[cols].sort_values(cols).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_fingerprint_vectorized_matches_reference_loop():
+    """Concatenated-corpus fingerprint == the per-doc Horner loop."""
+    from cuckoofilter_ray.functions.text import add_fingerprint
+    texts = ["hello world", "  spaced   out  ", "", None, "x", "αβγ δ",
+             "a" * 500, "the quick brown fox", "   "]
+    got = add_fingerprint(pa.table({"text": pa.array(texts, pa.string())})) \
+        .column("fingerprint64").to_numpy(zero_copy_only=False)
+    B = np.uint64(1000003)
+    for i, t in enumerate(texts):
+        s = " ".join((t or "").split()) + " " if t and (t or "").split() else ""
+        if not s:
+            assert got[i] == 0, (i, t)
+            continue
+        codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32) \
+            .astype(np.uint64)
+        fp = np.uint64(0)
+        for c in codes:
+            fp = fp * B + c
+        assert got[i] == fp, (i, t)
