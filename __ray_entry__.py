@@ -549,8 +549,8 @@ def q_token_stats(sf_dir: str):
     """Vectorized token/char statistics per document (RE2 == DuckDB RE2)."""
     ds = _docs(sf_dir).map_batches(add_token_stats, batch_format="pyarrow",
                                    fn_kwargs={"column": "text"})
-    return ds.select_columns(["doc_id", "n_tokens", "n_alpha", "n_digit",
-                              "n_upper", "n_space"])
+    return ds.select_columns(["doc_id", "n_tokens", "n_tokens_bpe",
+                              "n_alpha", "n_digit", "n_upper", "n_space"])
 
 
 def q_quality_scores(sf_dir: str):
@@ -958,6 +958,9 @@ def oracle_sql() -> dict[str, str]:
         "token_stats":
             r"SELECT doc_id, "
             r"length(regexp_extract_all(text, '\S+')) AS n_tokens, "
+            r"length(regexp_extract_all(text, "
+            r"'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'"
+            r")) AS n_tokens_bpe, "
             r"length(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha, "
             r"length(regexp_extract_all(text, '[0-9]')) AS n_digit, "
             r"length(regexp_extract_all(text, '[A-Z]')) AS n_upper, "

@@ -25,17 +25,26 @@ def _count_re(col, pattern: str):
     return pc.count_substring_regex(col, pattern)
 
 
+#: BPE-ish pre-tokenizer (GPT-2-style without lookaheads, RE2-safe so the
+#: DuckDB oracle can run the IDENTICAL pattern): contractions, letter runs,
+#: digit runs, punctuation runs — approximates subword token counts for
+#: budget estimation at corpus scale.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
 def add_token_stats(batch: pa.Table, column: str = "text") -> pa.Table:
     """Append token/char statistics columns (all int64/float64)."""
     col = batch.column(column)
     n_chars = pc.utf8_length(col)
     n_tokens = _count_re(col, r"\S+")
+    n_tokens_bpe = _count_re(col, BPE_TOKEN_RE)
     n_alpha = _count_re(col, r"[A-Za-z]")
     n_digit = _count_re(col, r"[0-9]")
     n_upper = _count_re(col, r"[A-Z]")
     n_space = _count_re(col, r"\s")
     out = batch
     for name, arr in [("n_chars_calc", n_chars), ("n_tokens", n_tokens),
+                      ("n_tokens_bpe", n_tokens_bpe),
                       ("n_alpha", n_alpha), ("n_digit", n_digit),
                       ("n_upper", n_upper), ("n_space", n_space)]:
         out = out.append_column(name, pc.cast(arr, pa.int64()))

@@ -577,7 +577,12 @@ def neardup_clusters(pairs: "ray.data.Dataset", id_col: str = "doc_id",
         groupby emits for empty partitions — they break the hash-shuffle
         join's Arrow key resolution.  Label sets are tiny (pair-graph nodes
         only), so the materialize is cheap and happens anyway per round."""
-        tbls = [t for t in _ray.get(ds.to_arrow_refs()) if t.num_columns]
+        tbls = []
+        for t in _ray.get(ds.to_arrow_refs()):
+            if isinstance(t, pd.DataFrame):   # pandas blocks slip through
+                t = pa.Table.from_pandas(t, preserve_index=False)
+            if t.num_columns:
+                tbls.append(t)
         if not tbls:
             return ray.data.from_arrow(pa.table(
                 {"node": pa.array([], pa.int64()),
