@@ -303,6 +303,97 @@ class PartitionedXorProbe:
         return batch.append_column(self._out_col, pa.array(out, pa.bool_()))
 
 
+def filters_to_counting_ref(filters_ds_or_rows, group_col: str = "_shard"
+                            ) -> "ray.ObjectRef":
+    """Broadcast a partitioned COUNTING filter as one zero-copy blob: every
+    shard's sorted masked hashes get the shard id prefixed into the high
+    bits, so the whole partitioned multiset is ONE globally-sorted uint64
+    array + aligned counts — a probe is a single searchsorted regardless of
+    shard count, and workers map the same plasma buffers."""
+    from ..kernels import deserialize, row_to_filter
+    from ..kernels.counting import CountingQuotientFilter
+
+    if hasattr(filters_ds_or_rows, "take_all"):
+        rows = filters_ds_or_rows.take_all()
+    else:
+        rows = list(filters_ds_or_rows)
+    by_shard = {}
+    for r in rows:
+        f = deserialize(r["sketch"]) if "sketch" in r else row_to_filter(r)
+        if not isinstance(f, CountingQuotientFilter):
+            raise TypeError("filters_to_counting_ref needs counting shards")
+        by_shard[int(r[group_col])] = f
+    shards = sorted(by_shard)
+    if shards != list(range(len(shards))):
+        raise ValueError(f"expected contiguous shard ids, got {shards}")
+    flist = [by_shard[s] for s in shards]
+    cfg = {(f.qbits, f.seed, f.hash_family) for f in flist}
+    if len(cfg) != 1:
+        raise ValueError(f"shards disagree on counting config: {cfg}")
+    qbits, seed, family = next(iter(cfg))
+    nhashbits = qbits + 8
+    combined = np.concatenate([
+        (np.uint64(s) << np.uint64(nhashbits)) | f.hashes
+        for s, f in zip(shards, flist)])          # per-shard sorted → global
+    counts = np.concatenate([f.counts for f in flist])
+    return ray.put({
+        "stacked": "counting", "qbits": qbits, "seed": seed,
+        "hash_family": family, "num_shards": len(flist),
+        "hashes": combined, "counts": counts,
+    })
+
+
+class PartitionedCountProbe:
+    """Vectorized multiset count against a sharded counting filter: route by
+    the high key bits, one searchsorted into the shard-prefixed global hash
+    array (see :func:`filters_to_counting_ref`).  Appends ``count: int64``
+    (and ``is_member`` for AMQ-style use)."""
+
+    def __init__(self, filters_ref, key_col: str = "key_hi64",
+                 shard_col: Optional[str] = None):
+        from ..kernels.counting import CountingQuotientFilter
+        table = ray.get(filters_ref)
+        if not (isinstance(table, dict)
+                and table.get("stacked") == "counting"):
+            raise ValueError("PartitionedCountProbe needs a "
+                             "filters_to_counting_ref broadcast")
+        self._proto = CountingQuotientFilter(
+            table["qbits"], seed=table["seed"],
+            hash_family=table["hash_family"])
+        self._nhashbits = table["qbits"] + 8
+        self._num_shards = table["num_shards"]
+        self._hashes = table["hashes"]      # zero-copy plasma views
+        self._counts = table["counts"]
+        self._key_col, self._shard_col = key_col, shard_col
+
+    def count_batch(self, keys: np.ndarray,
+                    shard: Optional[np.ndarray] = None) -> np.ndarray:
+        from ..pipelines.build import shard_for_keys
+        keys = np.asarray(keys, dtype=np.uint64)
+        out = np.zeros(len(keys), dtype=np.int64)
+        if len(keys) == 0 or len(self._hashes) == 0:
+            return out
+        if shard is None:
+            shard = shard_for_keys(keys, self._num_shards)
+        h = self._proto._hash(keys) \
+            | (shard.astype(np.uint64) << np.uint64(self._nhashbits))
+        pos = np.minimum(np.searchsorted(self._hashes, h),
+                         len(self._hashes) - 1)
+        hit = self._hashes[pos] == h
+        out[hit] = self._counts[pos[hit]]
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self._key_col).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64, copy=False)
+        shard = None
+        if self._shard_col and self._shard_col in batch.column_names:
+            shard = batch.column(self._shard_col).to_numpy(zero_copy_only=False)
+        cnt = self.count_batch(keys, shard)
+        return batch.append_column("count", pa.array(cnt, pa.int64())) \
+                    .append_column("is_member", pa.array(cnt > 0, pa.bool_()))
+
+
 def filters_to_packed_ref(filters_ds_or_rows, group_col: str = "_shard"
                           ) -> "ray.ObjectRef":
     """Broadcast a partitioned SEMISORT (13-bit) filter in its packed at-rest

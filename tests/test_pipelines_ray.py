@@ -910,3 +910,44 @@ def test_fingerprint_vectorized_matches_reference_loop():
         for c in codes:
             fp = fp * B + c
         assert got[i] == fp, (i, t)
+
+
+def test_partitioned_counting_probe_matches_per_shard(ray_mod):
+    """Sharded counting filter: the shard-prefixed global searchsorted
+    answers exactly like per-shard kernel counts (exact multiset counts
+    across a partitioned build)."""
+    ray = ray_mod
+    from cuckoofilter_ray.stages.membership import (PartitionedCountProbe,
+                                                    filters_to_counting_ref)
+    rng = np.random.default_rng(23)
+    base = splitmix64(5_000, seed=71)
+    keys = rng.choice(base, size=60_000, replace=True)
+    ds = _keys_ds(ray, keys)
+    filters = build_partitioned_filter(ds, num_shards=8, kind="counting",
+                                       capacity_per_shard=16384, seed=SEED)
+    rows = filters.take_all()
+    assert sum(r["num_items"] for r in rows) == len(keys)
+    probe = PartitionedCountProbe(
+        filters_to_counting_ref(rows, group_col="_shard"))
+    got = probe.count_batch(base)
+    # exact model: per-shard masked-hash multiset
+    per_shard = {r["_shard"]: deserialize(r[SKETCH_COL]) for r in rows}
+    shard = shard_for_keys(base, 8)
+    exp = np.zeros(len(base), dtype=np.int64)
+    for s in range(8):
+        m = shard == s
+        exp[m] = per_shard[s].count_batch(base[m])
+    assert (got == exp).all()
+    # CQF counts never undercount; masked collisions (2 in this seeded
+    # setup) overcount the colliding keys only
+    assert len(keys) <= int(got.sum()) <= len(keys) + 100
+    # map_batches stage form
+    wl = ray.data.from_arrow(pa.table({"key_hi64": pa.array(base,
+                                                            pa.uint64())}))
+    out = wl.map_batches(
+        PartitionedCountProbe, batch_format="pyarrow", batch_size=None,
+        concurrency=2,
+        fn_constructor_kwargs={
+            "filters_ref": filters_to_counting_ref(rows, group_col="_shard")}
+    ).to_pandas()
+    assert (out["count"].to_numpy() == exp).all()
