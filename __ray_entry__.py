@@ -627,7 +627,8 @@ def q_knn_cosine(sf_dir: str):
     """Exact brute-force cosine top-5 for query vectors 0..2 (rank only —
     float-compare-free output)."""
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                     filters=[("vec_id", "<", 8)]).to_pandas()
     queries = {int(r.vec_id): np.array(r.embedding, dtype=np.float64)
                for r in qtbl.itertuples() if r.vec_id in (0, 1, 2)}
     out = knn_bruteforce(emb, queries, k=5)
@@ -716,7 +717,8 @@ def q_knn_lsh(sf_dir: str):
     buckets prune the scan; rows-only — approximate by design)."""
     from cuckoofilter_ray.stages.similarity import knn_lsh
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                     filters=[("vec_id", "<", 8)]).to_pandas()
     queries = {int(r.vec_id): np.array(r.embedding, dtype=np.float64)
                for r in qtbl.itertuples() if r.vec_id in (0, 1, 2)}
     return knn_lsh(emb, queries, k=5, bits=6, n_probes=4) \
@@ -728,7 +730,8 @@ def q_knn_ivf(sf_dir: str):
     n_probe nearest lists scanned; rows-only — approximate by design)."""
     from cuckoofilter_ray.stages.similarity import knn_ivf
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                     filters=[("vec_id", "<", 8)]).to_pandas()
     queries = {int(r.vec_id): np.array(r.embedding, dtype=np.float64)
                for r in qtbl.itertuples() if r.vec_id in (0, 1, 2)}
     return knn_ivf(emb, queries, k=5, n_lists=16, n_probe=4, seed=7) \
@@ -797,27 +800,36 @@ def q_media_features(sf_dir: str):
 
 def q_delete_workload(sf_dir: str):
     """F3 delete semantics end-to-end: build per-lang filters, delete half of
-    each lang's keys, re-probe both halves; survivors must all be found."""
+    each lang's keys, re-probe both halves; survivors must all be found.
+
+    Fully grouped: the delete+reprobe runs INSIDE map_groups per lang
+    against the broadcast filter dict — no take_all() of row data."""
     keyed = _docs_keyed(sf_dir)
     filters = build_grouped_filters(keyed, "lang", capacity=8192, seed=SEED)
-    rows = filters.take_all()
-    inserted = keyed.select_columns(["lang", "key_hi64"]).take_all()
-    out = []
-    for r in rows:
-        lang = r["lang"]
-        filt = deserialize(r[SKETCH_COL])
-        keys = np.array([x["key_hi64"] for x in inserted if x["lang"] == lang],
-                        dtype=np.uint64)
+    fref = filters_to_ref(filters.take_all(), group_col="lang")
+
+    def delete_and_verify(group: pa.Table) -> pa.Table:
+        lang = group.column("lang")[0].as_py()
+        keys = np.sort(group.column("key_hi64")
+                       .to_numpy(zero_copy_only=False)
+                       .astype(np.uint64, copy=False))  # deterministic halves
+        filt = deserialize(ray.get(fref)[lang][SKETCH_COL])
         half = len(keys) // 2
         deleted = filt.delete_batch(keys[:half])
         kept_found = filt.contain_batch(keys[half:])
         refound = int(filt.contain_batch(keys[:half]).sum())
-        out.append({"lang": lang, "n_deleted": int(deleted.sum()),
-                    "survivors_ok": bool(int(kept_found.sum())
-                                         == len(keys) - half),
-                    "refound_bounded": bool(refound
-                                            <= max(2, int(0.02 * half)))})
-    return pd.DataFrame(sorted(out, key=lambda x: x["lang"]))
+        return pa.table({
+            "lang": pa.array([lang]),
+            "n_deleted": pa.array([int(deleted.sum())], pa.int64()),
+            "survivors_ok": pa.array(
+                [bool(int(kept_found.sum()) == len(keys) - half)],
+                pa.bool_()),
+            "refound_bounded": pa.array(
+                [bool(refound <= max(2, int(0.02 * half)))], pa.bool_()),
+        })
+
+    return keyed.select_columns(["lang", "key_hi64"]) \
+        .groupby("lang").map_groups(delete_and_verify, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -186,7 +186,8 @@ def bench_full(ray, results: dict, extras: dict) -> None:
     from cuckoofilter_ray.stages.similarity import knn_bruteforce
     import pyarrow.parquet as pq
     emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
-    qtbl = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    qtbl = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                     filters=[("vec_id", "<", 8)]).to_pandas()
     queries = {int(r.vec_id): np.array(r.embedding, dtype=np.float64)
                for r in qtbl.itertuples() if r.vec_id < 8}
     knn_bruteforce(emb, queries, k=10).count()
