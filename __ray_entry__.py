@@ -609,6 +609,34 @@ def q_events_windowed(sf_dir: str):
     return out.map_batches(fmt4, batch_format="pyarrow")
 
 
+def q_events_asof_orders(sf_dir: str):
+    """Keyed as-of join: each event picks the user's LATEST order at or
+    before the event time (inner).  Orders pre-aggregated to one row per
+    (custkey, orderdate) so ties are unambiguous; exact DuckDB ASOF JOIN
+    oracle."""
+    from ray.data.aggregate import Max
+    from cuckoofilter_ray.stages.relational import asof_join
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"]) \
+        .groupby(["o_custkey", "o_orderdate"]) \
+        .aggregate(Max("o_orderkey", alias_name="o_orderkey"))
+    joined = asof_join(ev, orders,
+                       key_cols=("user_id", "o_custkey"),
+                       ts_cols=("ts", "o_orderdate"),
+                       left_payload=["event_id"],
+                       right_payload=["o_orderkey"])
+    return joined.map_batches(
+        lambda t: pa.table({
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "user_id": t.column("_key"),
+            "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+        }), batch_format="pyarrow", batch_size=None)
+
+
 def q_orders_join_customers(sf_dir: str):
     """Partitioned hash join (both sides 'large'): orders ⋈ customer on
     custkey → (o_orderkey, c_name, c_mktsegment)."""
@@ -862,6 +890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": q_events_by_type,
         "events_windowed": q_events_windowed,
         "orders_join_customers": q_orders_join_customers,
+        "events_asof_orders": q_events_asof_orders,
         "knn_cosine": q_knn_cosine,
         "embedding_neardup": q_embedding_neardup,
         "fpr_measure": q_fpr_measure,
@@ -996,6 +1025,12 @@ def oracle_sql() -> dict[str, str]:
         "orders_join_customers":
             "SELECT o_orderkey, c_name, c_mktsegment FROM orders "
             "JOIN customer ON o_custkey = c_custkey",
+        "events_asof_orders":
+            "WITH o AS (SELECT o_custkey, o_orderdate, "
+            "max(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2) "
+            "SELECT e.event_id, e.user_id, o.o_orderkey "
+            "FROM events e ASOF JOIN o "
+            "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate",
         "embedding_neardup":
             "SELECT a.vec_id AS lo_id, b.vec_id AS hi_id "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "

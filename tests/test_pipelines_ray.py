@@ -951,3 +951,47 @@ def test_partitioned_counting_probe_matches_per_shard(ray_mod):
             "filters_ref": filters_to_counting_ref(rows, group_col="_shard")}
     ).to_pandas()
     assert (out["count"].to_numpy() == exp).all()
+
+
+def test_asof_join_matches_pandas(ray_mod):
+    """Bucketed as-of join == a global pandas merge_asof (inner), including
+    keys with no match (dropped) and exact boundary timestamps (matched)."""
+    ray = ray_mod
+    from cuckoofilter_ray.stages.relational import asof_join
+    rng = np.random.default_rng(5)
+    n_l, n_r = 3000, 800
+    lk = rng.integers(0, 40, n_l)
+    lt = np.datetime64("2024-01-01") + rng.integers(0, 10**9, n_l).astype(
+        "timedelta64[us]")
+    rk = rng.integers(0, 50, n_r)        # keys 40-49 never match left
+    rt = np.datetime64("2024-01-01") + rng.integers(-10**8, 9 * 10**8,
+                                                    n_r).astype(
+        "timedelta64[us]")
+    # dedupe right on (key, ts) so matches are unambiguous
+    rdf = pd.DataFrame({"rk": rk, "rt": rt,
+                        "rid": np.arange(n_r)}).groupby(
+        ["rk", "rt"], as_index=False).agg(rid=("rid", "max"))
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(lk, pa.int64()), "t": pa.array(lt, pa.timestamp("us")),
+        "lid": pa.array(np.arange(n_l), pa.int64())})).repartition(4)
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array(rdf["rk"].to_numpy(), pa.int64()),
+        "rt": pa.array(rdf["rt"].to_numpy(), pa.timestamp("us")),
+        "rid": pa.array(rdf["rid"].to_numpy(), pa.int64())})).repartition(4)
+    got = asof_join(left, right, key_cols=("k", "rk"), ts_cols=("t", "rt"),
+                    left_payload=["lid"], right_payload=["rid"],
+                    num_buckets=8).to_pandas()
+    ldf = pd.DataFrame({"_key": lk.astype(np.int64),
+                        "_ts": lt.astype("datetime64[us]"),
+                        "lid": np.arange(n_l)}).sort_values("_ts")
+    rr = pd.DataFrame({"_key": rdf["rk"].astype(np.int64),
+                       "_ts": rdf["rt"].to_numpy().astype("datetime64[us]"),
+                       "rid": rdf["rid"]}).sort_values("_ts")
+    want = pd.merge_asof(ldf, rr, on="_ts", by="_key",
+                         direction="backward").dropna(subset=["rid"])
+    a = got[["lid", "rid"]].astype(np.int64).sort_values("lid") \
+        .reset_index(drop=True)
+    b = want[["lid", "rid"]].astype(np.int64).sort_values("lid") \
+        .reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) < n_l          # some left rows genuinely unmatched
