@@ -126,6 +126,11 @@ class CountingQuotientFilter:
         h = self._hash(keys)
         want = np.ones(len(keys), dtype=np.int64) if counts is None \
             else np.asarray(counts, dtype=np.int64)
+        if (want < 0).any():
+            # np.clip(avail - prior, 0, w) with negative w would return w,
+            # silently INCREASING stored counts — reject loudly (matching
+            # add_batch's validation)
+            raise ValueError("counts must be non-negative")
         # resolve per-row removable amounts against current counts, honoring
         # duplicates within the batch (sequential semantics per masked hash)
         removed = np.zeros(len(keys), dtype=np.int64)

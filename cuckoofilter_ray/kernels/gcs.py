@@ -182,6 +182,12 @@ class GcsFilter:
         delta[bucket_first] = fp[bucket_first]
         self.stream, self.stream_bits, code_start = \
             rice_pack(delta, self.golomb_shift)          # gcs.h:102-109
+        if self.stream_bits >= (1 << 32):
+            # uint32 bucket offsets would silently wrap (~340M keys at 8-bit
+            # sizing) and corrupt decode — refuse loudly; shard upstream
+            raise ValueError(
+                f"GCS Rice stream is {self.stream_bits} bits >= 2^32; "
+                f"split the build into smaller shards")
         # bucket start bit-offsets (uint32): starts[i] = first code start of
         # bucket i (empty buckets share the next bucket's offset)
         first_code = np.searchsorted(b, np.arange(self.bucket_count + 1))

@@ -130,7 +130,7 @@ def filter_to_row(filt: Any, group_key: str = "", shard_id: int = 0,
         # pair, parity with shingle.h:170 SizeInBytes); raw uint16 in the
         # hot accumulator/broadcast form
         both = np.concatenate([filt.A, filt.B])
-        return {
+        row = {
             "group_key": group_key, "shard_id": shard_id, "kind": "shingle",
             "codec": ("pack" if packed else "raw16"),
             "variant": "", "bits_per_tag": 12,
@@ -141,6 +141,10 @@ def filter_to_row(filt: Any, group_key: str = "", shard_id: int = 0,
             "table_bytes": (pack_bits(both, 12) if packed
                             else np.ascontiguousarray(both).tobytes()),
         }
+        if filt.victims:            # parked chain tails (rare; see shingle.py)
+            row["parked_np"] = np.asarray(filt.victims,
+                                          dtype=np.int64).ravel()
+        return row
     if isinstance(filt, GcsFilter):
         # table_bytes = rice stream ++ uint32 bucket-start bit offsets;
         # victim_index = stream byte length (split point), victim_tag =
@@ -299,6 +303,9 @@ def row_to_filter(row: dict) -> Any:
         f.B = both[n:].copy()
         f.filled = int((f.A != 0).sum() + (f.B != 0).sum())
         f.num_items = int(row["num_items"])
+        if row.get("parked_np") is not None:
+            pv = np.asarray(row["parked_np"]).reshape(-1, 2)
+            f.victims = [(int(a), int(b)) for a, b in pv]
         return f
     if kind == "growbloom":
         d = pickle.loads(row["table_bytes"])

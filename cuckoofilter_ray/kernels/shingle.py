@@ -52,7 +52,8 @@ class ShingleFilter:
     KIND = "shingle"
 
     __slots__ = ("log2_slots", "imask", "seed", "hash_family", "fp_hash",
-                 "A", "B", "filled", "num_items", "_coin_n", "_scratch")
+                 "A", "B", "filled", "num_items", "_coin_n", "_scratch",
+                 "victims")
 
     def __init__(self, log2_slots: int, seed: int = DEFAULT_SEED,
                  hash_family: str = "tims"):
@@ -72,6 +73,12 @@ class ShingleFilter:
         self.num_items = 0
         self._coin_n = 0
         self._scratch = None
+        # parked chain tails: (A-side base index, fp) pairs whose insertion
+        # chain failed to terminate (e.g. >4 copies of one key share the same
+        # 4 candidate slots).  The reference recurses forever on such inputs
+        # (shingle.h:135); the engine parks them — queryable, no false
+        # negatives — mirroring the cuckoo kernel's victim slot.
+        self.victims: list[tuple[int, int]] = []
 
     # ------------------------------------------------------------------ sizing
 
@@ -107,7 +114,7 @@ class ShingleFilter:
         self._coin_n += 1
         return c
 
-    def _add_chain(self, isa: bool, idx: int, fp: int) -> None:
+    def _add_chain(self, isa: bool, idx: int, fp: int) -> bool:
         """Sequential AddHelp (shingle.h:99-137): empty slot, robin-hood
         local shift, else random kick and recurse on the other array.
 
@@ -115,7 +122,9 @@ class ShingleFilter:
         "TODO: replace recursion with iteration") and spins forever on
         infeasible inputs (e.g. more copies of overlapping keys than their
         slot union holds — duplicates share the same 4 candidate slots).
-        The engine bounds the walk and raises instead."""
+        The engine bounds the walk and parks the carried fingerprint in
+        ``self.victims`` (still queryable — zero false negatives), returning
+        False so callers can count it in ``BulkResult.overflow``."""
         for _ in range(5_000):      # unbounded in the reference; backstop
                                     # (legal loads terminate in < ~100 steps)
             arr = self.A if isa else self.B
@@ -127,20 +136,20 @@ class ShingleFilter:
                     placed = True
                     break
             if placed:
-                return
+                return True
             v1, v2 = int(arr[idx + 1]), int(arr[idx + 2])
             if (v1 & 1) == 0:
                 if v2 == 0:
                     arr[idx + 2] = 1 | v1
                     arr[idx + 1] = 1 | (fp << 1)
                     self.filled += 1
-                    return
+                    return True
                 if (v2 & 1) == 0 and arr[idx + 3] == 0:
                     arr[idx + 3] = 1 | v2
                     arr[idx + 2] = 1 | v1
                     arr[idx + 1] = 1 | (fp << 1)
                     self.filled += 1
-                    return
+                    return True
             off = self._coin()
             slot = idx + off
             old = int(arr[slot])
@@ -150,7 +159,12 @@ class ShingleFilter:
             isa = not isa
             idx = int(self.reindex(old_idx, old_fp))
             fp = old_fp
-        raise RuntimeError("shingle insertion chain did not terminate")
+        # chain did not terminate: park the carried (side-canonicalized)
+        # fingerprint so it stays queryable (reindex is an involution, so the
+        # A-side base index is recoverable from either side)
+        a_idx = idx if isa else int(self.reindex(idx, fp))
+        self.victims.append((a_idx, fp))
+        return False
 
     def add_batch(self, keys) -> BulkResult:
         """Vectorized fast path (scatter race on empty A slots), sequential
@@ -238,10 +252,12 @@ class ShingleFilter:
                 cur[w] = self.reindex(old_base, old_fp)
                 cfp[w] = old_fp
                 on_a[w] = not side
+        parked = 0
         for i in pend:              # faithful sequential tail
-            self._add_chain(bool(on_a[i]), int(cur[i]), int(cfp[i]))
+            if not self._add_chain(bool(on_a[i]), int(cur[i]), int(cfp[i])):
+                parked += 1
         self.num_items += len(keys)
-        return BulkResult(ok=len(keys), overflow=overflow)
+        return BulkResult(ok=len(keys) - parked, overflow=overflow + parked)
 
     def add(self, key: int) -> bool:
         res = self.add_batch(np.array([key], dtype=np.uint64))
@@ -258,8 +274,11 @@ class ShingleFilter:
         idx2 = self.reindex(idx, fp)
         v0 = (fp.astype(np.uint16) << 1)
         v1 = v0 | 1
-        return ((self.A[idx] == v0) | (self.A[idx + 1] == v1) |
-                (self.B[idx2] == v0) | (self.B[idx2 + 1] == v1))
+        hit = ((self.A[idx] == v0) | (self.A[idx + 1] == v1) |
+               (self.B[idx2] == v0) | (self.B[idx2 + 1] == v1))
+        for vi, vf in self.victims:     # parked chain tails (rare)
+            hit |= (idx == vi) & (fp == vf)
+        return hit
 
     def contain(self, key: int) -> bool:
         return bool(self.contain_batch(np.array([key], dtype=np.uint64))[0])
@@ -277,6 +296,10 @@ class ShingleFilter:
                     self.filled -= 1
                     self.num_items -= 1
                     return True
+        if (idx, fp) in self.victims:   # parked chain tails drain last
+            self.victims.remove((idx, fp))
+            self.num_items -= 1
+            return True
         return False
 
     def delete_batch(self, keys) -> np.ndarray:
@@ -294,14 +317,17 @@ class ShingleFilter:
                 (other.log2_slots, other.seed, other.hash_family,
                  other.fp_hash):
             raise ValueError("shingle merge requires identical geometry/seed")
-        ok = 0
+        ok, parked = 0, 0
         for arr, isa in ((other.A, True), (other.B, False)):
             for slot in np.flatnonzero(arr):
                 v = int(arr[slot])
-                self._add_chain(isa, int(slot - (v & 1)), v >> 1)
-                ok += 1
+                if self._add_chain(isa, int(slot - (v & 1)), v >> 1):
+                    ok += 1
+                else:
+                    parked += 1
+        self.victims.extend(other.victims)
         self.num_items += other.num_items
-        return BulkResult(ok=ok, overflow=0)
+        return BulkResult(ok=ok, overflow=parked)
 
     # ------------------------------------------------------------------- stats
 

@@ -332,6 +332,12 @@ def filters_to_counting_ref(filters_ds_or_rows, group_col: str = "_shard"
         raise ValueError(f"shards disagree on counting config: {cfg}")
     qbits, seed, family = next(iter(cfg))
     nhashbits = qbits + 8
+    if (max(1, len(flist) - 1)).bit_length() + nhashbits > 64:
+        # shard prefix (shard << nhashbits) would overflow uint64 and alias
+        # shards — refuse loudly rather than decode garbage
+        raise ValueError(
+            f"{len(flist)} shards x {nhashbits} hash bits exceeds the "
+            f"64-bit shard-prefixed probe key; reduce qbits or shards")
     combined = np.concatenate([
         (np.uint64(s) << np.uint64(nhashbits)) | f.hashes
         for s, f in zip(shards, flist)])          # per-shard sorted → global

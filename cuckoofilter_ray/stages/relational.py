@@ -103,6 +103,12 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     """
     lkey, rkey = key_cols
     lts, rts = ts_cols
+    overlap = set(left_payload) & set(right_payload)
+    if overlap:
+        # merge_asof's ("", "_r") suffixing would make m[c] silently read
+        # the LEFT column for a shared payload name — refuse up front
+        raise ValueError(f"left/right payload names must be disjoint "
+                         f"(shared: {sorted(overlap)}); rename upstream")
 
     def tag(side: int, key: str, ts: str, payload: list):
         def fn(t: pa.Table) -> pa.Table:
@@ -139,10 +145,13 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                                                               kind="stable")
         rdf = rdf[["_key", "_ts"] + right_payload].sort_values("_ts",
                                                                kind="stable")
+        # sentinel marks a genuine right-side match: dropna on a payload
+        # column would wrongly drop matched rows whose payload is NULL
+        rdf = rdf.assign(_m=np.int8(1))
         m = pd.merge_asof(ldf, rdf, on="_ts", by="_key",
                           direction=direction,
                           suffixes=("", "_r"))
-        m = m.dropna(subset=[right_payload[0]])
+        m = m.dropna(subset=["_m"]).drop(columns=["_m"])
         # restore the right payloads' integer dtypes (merge_asof null-pads)
         for c in right_payload:
             src = rdf[c].dtype

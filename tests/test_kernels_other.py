@@ -653,3 +653,71 @@ def test_xor2n_membership_and_pow2_geometry():
     g = deserialize(serialize(f))
     probes = np.concatenate([keys, neg[:50_000]])
     assert (g.contain_batch(probes) == f.contain_batch(probes)).all()
+
+
+# ------------------------------------------------------- r3 ADVICE regressions
+
+def test_shingle_duplicate_overload_parks_not_hangs():
+    """>4 copies of one key share the same 4 candidate slots; the reference
+    recurses forever (shingle.h:135).  The engine must terminate, keep the
+    key queryable (zero FN), and report the unplaceable copies as overflow."""
+    from cuckoofilter_ray.kernels import ShingleFilter, deserialize, serialize
+    f = ShingleFilter.create(1000, seed=9)
+    res = f.add_batch(np.full(7, 42, dtype=np.uint64))
+    assert res.ok + res.overflow == 7 and res.overflow >= 1
+    assert f.contain(42)
+    assert len(f.victims) == res.overflow
+    # serde carries the parked tails
+    g = deserialize(serialize(f))
+    assert g.contain(42) and g.victims == f.victims
+    # deletes drain slot copies first, then the parked tails, then miss
+    drained = sum(f.delete(42) for _ in range(10))
+    assert drained == 7 and not f.delete(42)
+    assert not f.contain(42) and f.victims == []
+    # mixed batch: the non-duplicate keys must all land normally
+    h = ShingleFilter.create(2000, seed=11)
+    keys = np.concatenate([splitmix64(1000, seed=12),
+                           np.full(9, 7, dtype=np.uint64)])
+    r2 = h.add_batch(keys)
+    assert r2.ok + r2.overflow == len(keys) and r2.overflow <= 5
+    assert h.contain_batch(keys).all()
+
+
+def test_counting_remove_negative_counts_rejected():
+    """remove_batch(count<0) must raise, not silently increase the count."""
+    from cuckoofilter_ray.kernels import CountingQuotientFilter
+    f = CountingQuotientFilter.create(100, seed=1)
+    f.add_batch(np.array([5], dtype=np.uint64), counts=[3])
+    with pytest.raises(ValueError):
+        f.remove_batch(np.array([5], dtype=np.uint64), counts=[-2])
+    assert f.count_batch(np.array([5], dtype=np.uint64))[0] == 3
+
+
+def test_counting_shard_prefix_overflow_guard():
+    """shard << nhashbits past 64 bits must refuse, not alias shards."""
+    from cuckoofilter_ray.kernels import CountingQuotientFilter
+    from cuckoofilter_ray.kernels.serde import filter_to_row
+    from cuckoofilter_ray.stages.membership import filters_to_counting_ref
+    rows = []
+    for s in range(2):
+        f = CountingQuotientFilter(56, seed=1)     # nhashbits = 64
+        rows.append({"_shard": s, **filter_to_row(f, packed=False)})
+    with pytest.raises(ValueError, match="64-bit"):
+        filters_to_counting_ref(rows)
+
+
+def test_gcs_stream_bits_overflow_guard(monkeypatch):
+    """A Rice stream >= 2^32 bits must refuse at build, not wrap offsets."""
+    from cuckoofilter_ray.kernels import GcsFilter
+    from cuckoofilter_ray.kernels import gcs as gcs_mod
+    f = GcsFilter(1000, seed=3)
+    keys = splitmix64(100, seed=4)
+
+    real = gcs_mod.rice_pack
+
+    def fake(values, shift):
+        stream, bits, starts = real(values, shift)
+        return stream, 1 << 32, starts
+    monkeypatch.setattr(gcs_mod, "rice_pack", fake)
+    with pytest.raises(ValueError, match="2\\^32"):
+        f.add_all(keys)

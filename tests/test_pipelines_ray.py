@@ -995,3 +995,29 @@ def test_asof_join_matches_pandas(ray_mod):
         .reset_index(drop=True)
     assert a.equals(b)
     assert len(a) < n_l          # some left rows genuinely unmatched
+
+
+def test_asof_join_null_payload_and_name_collision(ray_mod):
+    """A matched right row whose payload is NULL must survive (the sentinel
+    marks matches, not payload non-nullness); shared payload names refuse."""
+    ray = ray_mod
+    from cuckoofilter_ray.stages.relational import asof_join
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "t": pa.array(np.array(["2024-01-02", "2024-01-03", "2024-01-02"],
+                               dtype="datetime64[us]"), pa.timestamp("us")),
+        "lid": pa.array([10, 11, 12], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([1, 2], pa.int64()),
+        "rt": pa.array(np.array(["2024-01-01", "2024-01-01"],
+                                dtype="datetime64[us]"), pa.timestamp("us")),
+        # key 1's payload is NULL — its matches must NOT be dropped
+        "rv": pa.array([None, 7.5], pa.float64())}))
+    got = asof_join(left, right, key_cols=("k", "rk"), ts_cols=("t", "rt"),
+                    left_payload=["lid"], right_payload=["rv"],
+                    num_buckets=4).to_pandas().sort_values("lid")
+    assert got["lid"].tolist() == [10, 11, 12]
+    assert got["rv"].isna().tolist() == [True, True, False]
+    with pytest.raises(ValueError, match="disjoint"):
+        asof_join(left, right, key_cols=("k", "rk"), ts_cols=("t", "rt"),
+                  left_payload=["lid"], right_payload=["lid"])
