@@ -700,3 +700,74 @@ def ngram_jaccard_verify_joined(pairs: "ray.data.Dataset",
         return out.filter(pa.array(np.asarray(jac) >= threshold))
 
     return j2.map_batches(verify, batch_format="pyarrow", batch_size=None)
+
+
+# ------------------------------------------------- exact ground truth (oracle)
+
+def exact_jaccard_pairs(docs: "ray.data.Dataset", column: str = "text",
+                        id_col: str = "doc_id", threshold: float = 0.4,
+                        shingle_k: int = 5, seed: int = 777,
+                        max_docs: int = 20_000) -> "ray.data.Dataset":
+    """EXACT all-pairs n-gram Jaccard ≥ threshold — the GROUND-TRUTH path
+    the approximate dedup operators (MinHash-LSH, SimHash) are verdict-
+    checked against.  Quadratic in corpus size by definition: the whole
+    shingle mass is broadcast once (``ray.put``) and each task sweeps a
+    block of row indices against all later docs with one ``isin`` +
+    ``bincount`` pass — vectorized, no per-pair Python.  Refuses corpora
+    beyond ``max_docs`` (use the LSH candidates + ``ngram_jaccard_verify``
+    pipeline at scale; this exists to measure it)."""
+
+    def mk(batch: pa.Table) -> pa.Table:
+        texts = batch.column(column).to_pylist()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sets = [_shingle_hashes(t or "", shingle_k, seed) for t in texts]
+        return pa.table({
+            id_col: pa.array(ids.astype(np.int64), pa.int64()),
+            "_sh": pa.array([s.tolist() for s in sets],
+                            pa.list_(pa.uint64())),
+        })
+
+    rows = docs.select_columns([id_col, column]) \
+        .map_batches(mk, batch_format="pyarrow").take_all()
+    if len(rows) > max_docs:
+        raise ValueError(
+            f"exact_jaccard_pairs is the quadratic oracle path; "
+            f"{len(rows)} docs > max_docs={max_docs}")
+    rows.sort(key=lambda r: r[id_col])
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    sizes = np.array([len(r["_sh"]) for r in rows], dtype=np.int64)
+    concat = np.concatenate([np.asarray(r["_sh"], dtype=np.uint64)
+                             for r in rows]) if len(rows) else \
+        np.empty(0, dtype=np.uint64)
+    starts = np.concatenate([[0], np.cumsum(sizes)])
+    doc_of = np.repeat(np.arange(len(ids)), sizes)
+    blob = ray.put({"ids": ids, "sizes": sizes, "concat": concat,
+                    "starts": starts, "doc_of": doc_of})
+
+    def sweep(batch: pa.Table, blob_ref=blob) -> pa.Table:
+        d = ray.get(blob_ref)
+        ids_, sizes_, concat_ = d["ids"], d["sizes"], d["concat"]
+        starts_, doc_of_ = d["starts"], d["doc_of"]
+        n = len(ids_)
+        lo, hi, jac = [], [], []
+        for i in batch.column("id").to_numpy(zero_copy_only=False):
+            i = int(i)
+            if i >= n - 1:
+                continue
+            mine = concat_[starts_[i]:starts_[i + 1]]     # sorted unique
+            tail = concat_[starts_[i + 1]:]
+            hit = np.isin(tail, mine)
+            inter = np.bincount(doc_of_[starts_[i + 1]:][hit],
+                                minlength=n)[i + 1:]
+            union = sizes_[i] + sizes_[i + 1:] - inter
+            jv = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+            sel = np.flatnonzero(jv >= threshold)
+            lo.extend([int(ids_[i])] * len(sel))
+            hi.extend(ids_[i + 1 + sel].tolist())
+            jac.extend(jv[sel].tolist())
+        return pa.table({"lo_id": pa.array(lo, pa.int64()),
+                         "hi_id": pa.array(hi, pa.int64()),
+                         "jaccard": pa.array(jac, pa.float64())})
+
+    return ray.data.range(len(ids)).map_batches(
+        sweep, batch_format="pyarrow", batch_size=max(1, len(ids) // 32))
