@@ -230,6 +230,14 @@ def q_shingle_membership(sf_dir: str):
     return _membership_recall_for_kind(sf_dir, "shingle")
 
 
+def q_tail_membership(sf_dir: str):
+    """Per-lang TailFilters (dynamic AMQ with shrinking fingerprints over
+    QuotientDysect d-ary cuckoo, src/tail-filter.hpp + quotient-dysect.hpp):
+    zero false negatives on inserted keys — across epoch upsizes — ⇒ exact
+    COUNT(*) oracle."""
+    return _membership_recall_for_kind(sf_dir, "tail")
+
+
 def q_tims_membership(sf_dir: str):
     """Per-lang cuckoo filters under the TwoIndependentMultiplyShift hash
     family — the reference filters' template default (src/cuckoofilter.h:
@@ -978,6 +986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xor_membership": q_xor_membership,
         "stable_membership": q_stable_membership,
         "tims_membership": q_tims_membership,
+        "tail_membership": q_tail_membership,
         "shingle_membership": q_shingle_membership,
         "gcs_membership": q_gcs_membership,
         "xorplus_membership": q_xorplus_membership,
@@ -1037,6 +1046,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
             "FROM documents GROUP BY lang",
         "shingle_membership":
+            "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
+            "FROM documents GROUP BY lang",
+        "tail_membership":
             "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
             "FROM documents GROUP BY lang",
         "gcs_membership":

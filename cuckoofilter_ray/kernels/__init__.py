@@ -12,6 +12,7 @@ from .hashing import (DEFAULT_SEED, hash_key64, md5_hex, mix_split, murmur64,
 from .gcs import GcsFilter
 from .growbloom import GrowBlockedBloomFilter
 from .shingle import ShingleFilter
+from .tail import QuotientDysect, TailFilter
 from .xor import XorFilter
 from .xorplus import XorFilter2n, XorFilterPlus
 from .serde import (deserialize, filter_to_row, make_filter, pack_bits,
@@ -26,6 +27,7 @@ __all__ = [
     "md5_hex", "row_to_filter", "serialize", "sha1_hex", "sha256_bytes",
     "sha256_hex", "sha256_u64", "simple_tabulation", "tabulation_tables",
     "universal_multiply_shift",
-    "GcsFilter", "GrowBlockedBloomFilter", "ShingleFilter", "splitmix64", "tims_params", "two_independent_multiply_shift",
+    "GcsFilter", "GrowBlockedBloomFilter", "QuotientDysect", "ShingleFilter",
+    "TailFilter", "splitmix64", "tims_params", "two_independent_multiply_shift",
     "unpack_bits", "upperpower2", "XorFilter", "XorFilter2n", "XorFilterPlus",
 ]

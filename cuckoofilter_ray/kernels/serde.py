@@ -27,6 +27,7 @@ from .counting import CountingQuotientFilter
 from .gcs import GcsFilter
 from .growbloom import GrowBlockedBloomFilter
 from .shingle import ShingleFilter
+from .tail import TailFilter
 from .cuckoo import CuckooFilter
 from .xor import XorFilter
 from .xorplus import XorFilter2n, XorFilterPlus
@@ -183,6 +184,30 @@ def filter_to_row(filt: Any, group_key: str = "", shard_id: int = 0,
             "victim_used": False, "seed": int(filt.seed),
             "table_bytes": payload,
         }
+    if isinstance(filt, TailFilter):
+        # dynamic structure (per-little-array growth state + epoch +
+        # optional bitset): pickled state blob, like growbloom's levels
+        payload = pickle.dumps({
+            "lgm": filt.lgm, "epsilon": filt.epsilon, "epoch": filt.epoch,
+            "ndv": filt.ndv, "hash_consts": filt.hash_consts,
+            "qd": {"k": filt.qd.k, "log_little": filt.qd.log_little,
+                   "capacity": filt.qd.capacity, "ndv": filt.qd.ndv,
+                   "rand_n": filt.qd._rand_n,
+                   "payload": [[a.tobytes() for a in row]
+                               for row in filt.qd.payload]},
+            "bitset": None if filt.bitset is None else
+            np.packbits(filt.bitset).tobytes(),
+            "bitset_len": 0 if filt.bitset is None else len(filt.bitset),
+        }, protocol=pickle.HIGHEST_PROTOCOL)
+        return {
+            "group_key": group_key, "shard_id": shard_id, "kind": "tail",
+            "variant": "", "bits_per_tag": filt.lgme - filt.lgm,
+            "num_buckets": filt.qd.capacity, "num_items": filt.ndv,
+            "victim_index": filt.epoch, "victim_tag": filt.lgm,
+            "victim_used": False, "seed": int(filt.seed),
+            "hash_family": filt.hash_family,
+            "table_bytes": payload,
+        }
     if isinstance(filt, XorFilter2n):
         return {
             "group_key": group_key, "shard_id": shard_id, "kind": "xor2n",
@@ -307,6 +332,26 @@ def row_to_filter(row: dict) -> Any:
             pv = np.asarray(row["parked_np"]).reshape(-1, 2)
             f.victims = [(int(a), int(b)) for a, b in pv]
         return f
+    if kind == "tail":
+        d = pickle.loads(row["table_bytes"])
+        f = TailFilter(d["lgm"], d["epsilon"], seed=int(row["seed"]),
+                       hash_family=row.get("hash_family", "mix"))
+        f.hash_consts = [tuple(c) for c in d["hash_consts"]]
+        f.epoch = d["epoch"]
+        f.ndv = d["ndv"]
+        qd = f._new_qd(d["qd"]["k"])
+        qd.log_little = d["qd"]["log_little"]
+        qd.capacity = d["qd"]["capacity"]
+        qd.ndv = d["qd"]["ndv"]
+        qd._rand_n = d["qd"]["rand_n"]
+        qd.payload = [[np.frombuffer(b, dtype=np.uint64).copy()
+                       for b in rowp] for rowp in d["qd"]["payload"]]
+        f.qd = qd
+        if d["bitset"] is not None:
+            f.bitset = np.unpackbits(
+                np.frombuffer(d["bitset"], dtype=np.uint8),
+                count=d["bitset_len"]).astype(np.uint8)
+        return f
     if kind == "growbloom":
         d = pickle.loads(row["table_bytes"])
         f = GrowBlockedBloomFilter(d["initial_bytes"], seed=int(row["seed"]))
@@ -409,4 +454,8 @@ def make_filter(kind: str, capacity: int, seed: int, bits_per_tag: int = 12,
         return GcsFilter(capacity, bits_per_item=bits_per_tag
                          if bits_per_tag <= 16 else 8, seed=seed,
                          hash_family=hash_family)
+    if kind == "tail":
+        return TailFilter.create(capacity, seed=seed,
+                                 epsilon=2.0 ** -min(bits_per_tag, 16),
+                                 hash_family=hash_family)
     raise ValueError(f"unknown filter kind {kind!r}")

@@ -1,0 +1,514 @@
+"""TailFilter — dynamic AMQ with shrinking fingerprints over a d-ary
+quotienting cuckoo table (QuotientDysect).
+
+Value-level re-expression of the reference fork's signature structure
+(``/root/reference/src/tail-filter.hpp:7-134``, ``quotient-dysect.hpp:8-464``,
+``slot-array.hpp:11-105``; paper draft in ``docs/main.tex``):
+
+- A hash's top ``lgm+epoch`` bits are the KEY; the next ``lgme-lgm`` bits are
+  the fingerprint VALUE, stored with a trailing 1-bit terminator that marks
+  how many fingerprint bits are still present (tail-filter.hpp:122-131).
+- Each time the distinct count doubles past ``2^lgm`` the filter Upsizes
+  (tail-filter.hpp:90-116): every entry gives its fingerprint's top bit to
+  the key (``insert_key = 2*key + msb``, ``insert_value = 2*value``) — the
+  fingerprints SHRINK as the filter grows, holding total known bits
+  constant at ``lgme + insert_epoch``.  Entries whose fingerprint is fully
+  exhausted (value == the bare terminator) graduate to a plain bitset over
+  the key space.
+- Lookup prefix-matches: a stored (possibly shortened) fingerprint hits if
+  it is a prefix of the probe's fingerprint (``prefix == keyfix`` after
+  shifting out the terminator, tail-filter.hpp:77-88), so shrinking never
+  introduces false negatives.
+- QuotientDysect is a d-ary (d=4) cuckoo multimap of 2^w little slot
+  arrays per arena, each growable independently (one array doubles per
+  Upsize call — smooth growth, quotient-dysect.hpp:401-437).  A slot packs
+  ``[leftover key bits | value | displacement]``; the home slot index is
+  recovered by subtracting the displacement, so keys round-trip
+  (GetRaw, quotient-dysect.hpp:249-263).  Keys move between arenas through
+  4-round Feistel bijections built from multiply-shift hashes
+  (Feistelize, quotient-dysect.hpp:33-69) — bijective, so the original
+  key is recoverable from any arena.
+
+Deviations (documented): the reference's fixed 128-bit multiply constants
+and ``rand()`` kicks are replaced by seed-derived splitmix64 streams (the
+engine's determinism rule); the un-masked eviction-index reconstruction in
+SetLocal's force branch (quotient-dysect.hpp:237) is masked to the array
+size (the reference would compute a wrapped uint64 there).
+
+The core is sequential Python by the structure's nature (random-walk
+cuckoo with per-bucket growth); batch entry points amortize the hashing
+vectorized.  At engine scale each GROUP/shard owns one TailFilter built
+inside ``map_groups`` — parallelism comes from partitioning, as with the
+other per-group kernels.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .cuckoo import BulkResult
+from .hashing import DEFAULT_SEED, hash_key64, splitmix64
+
+M64 = (1 << 64) - 1
+
+
+def _mul128_hash(c_hi: int, c_lo: int):
+    """x -> high 64 bits of x * (c_hi<<64 | c_lo) (tail-filter.hpp:28-47)."""
+    c = (c_hi << 64) | c_lo
+
+    def f(x: int) -> int:
+        return ((x * c) >> 64) & M64
+    return f
+
+
+def _feistel(f, key_length: int):
+    """4-round Feistel bijection over ``key_length`` bits built from hash
+    ``f`` (quotient-dysect.hpp:33-69).  Returns (forward, backward)."""
+    smallk = key_length // 2
+    bigk = key_length - smallk
+    sm = (1 << smallk) - 1
+    bm = (1 << bigk) - 1
+    em = (1 << (bigk - smallk)) - 1
+
+    def forward(x: int) -> int:
+        r = x
+        for _ in range(4):
+            ab = r >> bigk
+            cde = r & bm
+            cd = cde >> (bigk - smallk)
+            e = cde & em
+            eab = (e << smallk) | ab
+            tmp = (cd ^ f(ab)) & sm
+            r = (tmp << bigk) | eab
+        return r
+
+    def backward(x: int) -> int:
+        r = x
+        for _ in range(4):
+            eab = r & bm
+            tmp = r >> bigk
+            e = eab >> smallk
+            ab = eab & sm
+            cd = (f(ab) & sm) ^ tmp
+            r = (ab << bigk) | (cd << (bigk - smallk)) | e
+        return r
+
+    return forward, backward
+
+
+class QuotientDysect:
+    """d-ary growable quotienting cuckoo multimap (quotient-dysect.hpp)."""
+
+    def __init__(self, k: int, v: int, d: int, w: int, s: int,
+                 log_little: int, hash_consts: list, seed: int = 0):
+        if not (k > 0 and v >= 0 and d >= 2 and w >= 0 and s >= 0 and
+                log_little >= 0 and len(hash_consts) + 1 == d and
+                k <= 128 and v <= 128 and w <= 32 and log_little <= 32):
+            raise ValueError("bad QuotientDysect arguments")
+        self.k, self.v, self.d, self.w, self.s = k, v, d, w, s
+        self.log_little = log_little
+        self.hash_consts = list(hash_consts)     # [(hi, lo)] per arena 1..d-1
+        self.seed = seed
+        self._bij = [_feistel(_mul128_hash(hi, lo), k)
+                     for hi, lo in hash_consts]
+        self.payload = [[np.zeros(1 << log_little, dtype=np.uint64)
+                         for _ in range(1 << w)] for _ in range(d)]
+        self.capacity = d * (1 << w) * (1 << log_little)
+        self.ndv = 0
+        self._rand_n = 0
+
+    # ------------------------------------------------------------- utilities
+
+    def _rand(self, mod: int) -> int:
+        r = int(splitmix64(1, seed=(self.seed ^ 0x7A11) + self._rand_n)[0])
+        self._rand_n += 1
+        return r % mod
+
+    def hash_(self, arena: int, key: int) -> int:
+        return self._bij[arena - 1][0](key)
+
+    def hash_inverse(self, arena: int, key: int) -> int:
+        return self._bij[arena - 1][1](key)
+
+    def _ell(self, arr: np.ndarray) -> int:
+        return self.log_little + (len(arr) > (1 << self.log_little))
+
+    # ------------------------------------------------------------ slot codec
+
+    def _home(self, key: int, ell: int) -> int:
+        """Home slot of ``key`` in a 2^ell array (quotient-dysect.hpp:209)."""
+        r = (key & ((1 << (self.k - self.w)) - 1)) \
+            >> max(0, self.k - ell - self.w)
+        return r << max(0, self.w + ell - self.k)
+
+    def _slot_val(self, key: int, value: int, ell: int) -> int:
+        leftover = key & ((1 << max(0, self.k - self.w - ell)) - 1)
+        return (value << self.s) | (leftover << (self.s + self.v))
+
+    def get_raw(self, p: int, q: int, r: int) -> tuple[int, int]:
+        """Recover (arena-key, value) from slot r (quotient-dysect.hpp:249)."""
+        arr = self.payload[p][q]
+        ell = self._ell(arr)
+        slot = int(arr[r])
+        r_adj = (r - (slot & ((1 << self.s) - 1))) & (len(arr) - 1)
+        key = ((q << ell) | r_adj) >> max(0, ell + self.w - self.k)
+        key = (key << max(0, self.k - ell - self.w)) | \
+            (slot >> (self.v + self.s))
+        value = (slot >> self.s) & ((1 << self.v) - 1)
+        return key, value
+
+    def get_original(self, p: int, q: int, r: int) -> tuple[int, int]:
+        key, value = self.get_raw(p, q, r)
+        if p > 0:
+            key = self.hash_inverse(p, key)
+        return key, value
+
+    # --------------------------------------------------------------- mutate
+
+    def set_local(self, arr: np.ndarray, key: int, value: int,
+                  force: bool) -> int:
+        """Place (key,value) in one little array: home range first, then
+        displaced slots (displacement in the low s bits); ``force`` runs
+        the robin-hood eviction loop (quotient-dysect.hpp:203-247)."""
+        pow_ell = len(arr)
+        ell = self._ell(arr)
+        mask = pow_ell - 1
+        while True:
+            home = self._home(key, ell)
+            width = 1 << max(0, self.w + ell - self.k)
+            val = self._slot_val(key, value, ell)
+            placed = False
+            for i in range(home, home + width):
+                if arr[i & mask] == 0:
+                    arr[i & mask] = val
+                    return (i & mask) + 1
+            for i in range(1, min(pow_ell, 1 << self.s)):
+                r_with = ((home + width - 1) + i) & mask
+                if arr[r_with] == 0:
+                    arr[r_with] = val | i
+                    return r_with + 1
+                occ_disp = int(arr[r_with]) & ((1 << self.s) - 1)
+                if force and i > occ_disp:
+                    slot = int(arr[r_with])
+                    evalue = (slot >> self.s) & ((1 << self.v) - 1)
+                    ekey = (r_with - occ_disp) & mask   # masked (see module
+                    ekey = ekey >> max(0, self.w + ell - self.k)  # docstring)
+                    ekey = (ekey << max(0, self.k - ell - self.w)) | \
+                        (slot >> (self.v + self.s))
+                    arr[r_with] = val | i
+                    key, value = ekey, evalue
+                    placed = True
+                    break
+            if not placed:
+                return 0
+
+    def insert(self, key: int, value: int) -> None:
+        """Random-walk d-ary cuckoo insert (quotient-dysect.hpp:134-197)."""
+        if self.ndv and self.capacity / self.ndv < 1.1:
+            self.upsize()
+        assert key < (1 << self.k) and value < (1 << self.v)
+        current = key
+        p = 0
+        iterations = 0
+        while True:
+            iterations += 1
+            if iterations > max(1, self.ndv):
+                self.upsize()
+                iterations = 0
+            q = current >> (self.k - self.w)
+            arr = self.payload[p][q]
+            if self.set_local(arr, current, value, False):
+                self.ndv += 1
+                return
+            pow_ell = len(arr)
+            ell = self._ell(arr)
+            mask = pow_ell - 1
+            home = self._home(current, ell)
+            width = 1 << max(0, self.w + ell - self.k)
+            i = self._rand(min(pow_ell, width + (1 << self.s) - 1))
+            slot_idx = (home + i) & mask
+            ekey, evalue = self.get_raw(p, q, slot_idx)
+            val = self._slot_val(current, value, ell)
+            if i < width:
+                arr[slot_idx] = val
+            else:
+                arr[slot_idx] = val | (i - width + 1)
+            # continue the walk with the evicted entry in the next arena
+            okey = self.hash_inverse(p, ekey) if p > 0 else ekey
+            value = evalue
+            p = (p + 1) % self.d
+            current = self.hash_(p, okey) if p > 0 else okey
+
+    def upsize(self) -> bool:
+        """Double ONE not-yet-doubled little array; bump log_little once all
+        are doubled (quotient-dysect.hpp:401-437)."""
+        for p in range(self.d):
+            for q in range(1 << self.w):
+                arr = self.payload[p][q]
+                if len(arr) != (1 << self.log_little):
+                    continue
+                repl = np.zeros(2 << self.log_little, dtype=np.uint64)
+                # temporarily swap in so _ell/_home see the grown size
+                self.payload[p][q] = repl
+                for r in np.flatnonzero(arr):
+                    slot = int(arr[r])
+                    r_adj = (r - (slot & ((1 << self.s) - 1))) & (len(arr) - 1)
+                    ell_old = self.log_little
+                    key = ((q << ell_old) | int(r_adj)) \
+                        >> max(0, ell_old + self.w - self.k)
+                    key = (key << max(0, self.k - ell_old - self.w)) | \
+                        (slot >> (self.v + self.s))
+                    value = (slot >> self.s) & ((1 << self.v) - 1)
+                    self.set_local(repl, key, value, True)
+                self.capacity += 1 << self.log_little
+                if p + 1 == self.d and q + 1 == (1 << self.w):
+                    self.log_little += 1
+                return True
+        return False
+
+    # ---------------------------------------------------------------- query
+
+    def find_values(self, key: int) -> list:
+        """All stored values for ``key`` across arenas (ResultSetIterator,
+        quotient-dysect.hpp:315-396)."""
+        out = []
+        for p in range(self.d):
+            ck = self.hash_(p, key) if p > 0 else key
+            q = ck >> (self.k - self.w)
+            arr = self.payload[p][q]
+            pow_ell = len(arr)
+            ell = self._ell(arr)
+            mask = pow_ell - 1
+            home = self._home(ck, ell)
+            width = 1 << max(0, self.w + ell - self.k)
+            end = min(width + (1 << self.s) - 1, pow_ell)
+            for off in range(end):
+                idx = (home + off) & mask
+                if arr[idx] == 0:
+                    continue
+                k2, v2 = self.get_raw(p, q, idx)
+                if k2 == ck and v2 != 0:
+                    out.append(v2)
+        return out
+
+    def entries(self):
+        """Yield (original_key, value) for every occupied slot."""
+        for p in range(self.d):
+            for q in range(1 << self.w):
+                for r in np.flatnonzero(self.payload[p][q]):
+                    yield self.get_original(p, q, int(r))
+
+    # ---------------------------------------------------------------- stats
+
+    def filled_slots(self) -> int:
+        return sum(int((self.payload[p][q] != 0).sum())
+                   for p in range(self.d) for q in range(1 << self.w))
+
+    def space_used(self) -> int:
+        """Bit-exact at-rest bytes (slot-array.hpp:27-33's rounding)."""
+        total = 0
+        for p in range(self.d):
+            for q in range(1 << self.w):
+                arr = self.payload[p][q]
+                ell = self._ell(arr)
+                width = self.s + self.v + max(0, self.k - self.w - ell)
+                total += ((len(arr) * width + 63) // 64 + 1) * 8
+        return total
+
+
+class TailFilter:
+    """Dynamic AMQ with shrinking fingerprints (tail-filter.hpp)."""
+
+    KIND = "tail"
+
+    def __init__(self, lgm: int, epsilon: float, seed: int = DEFAULT_SEED,
+                 hash_family: str = "mix"):
+        if not (0 < lgm < 128 and 0 < epsilon < 1):
+            raise ValueError("need 0<lgm<128, 0<epsilon<1")
+        self.lgm = max(lgm, 5)
+        self.lgme = self.lgm + int(math.log2(1.0 / epsilon))
+        self.epsilon = epsilon
+        self.epoch = 0
+        self.ndv = 0
+        self.seed = int(seed) & M64
+        self.hash_family = hash_family
+        # seed-derived 128-bit multiply constants (odd low limbs), replacing
+        # the reference's fixed MultiplyHash1..3 (tail-filter.hpp:28-47)
+        cs = splitmix64(6, seed=self.seed ^ 0x7A1F)
+        self.hash_consts = [(int(cs[2 * i]), int(cs[2 * i + 1]) | 1)
+                            for i in range(3)]
+        self.qd = self._new_qd(self.lgm)
+        self.bitset: np.ndarray | None = None
+
+    def _new_qd(self, k: int) -> QuotientDysect:
+        return QuotientDysect(k, 1 + self.lgme - self.lgm, 4, 5, 2, 0,
+                              self.hash_consts, seed=self.seed)
+
+    # ---------------------------------------------------------------- codec
+
+    def _key_value(self, h: int) -> tuple[int, int]:
+        key = h >> (64 - self.lgm - self.epoch)
+        value = (h >> (64 - self.epoch - self.lgme)) & \
+            ((1 << (self.lgme - self.lgm)) - 1)
+        return key, value
+
+    # ---------------------------------------------------------------- query
+
+    def lookup_hash(self, h: int) -> bool:
+        """tail-filter.hpp:70-88: bitset hit, else prefix-match the stored
+        terminator-encoded fingerprints."""
+        if self.bitset is not None:
+            shift_out = 64 - (len(self.bitset).bit_length() - 1)
+            if self.bitset[h >> shift_out]:
+                return True
+        key, value = self._key_value(h)
+        value = 2 * value + 1
+        for stored in self.qd.find_values(key):
+            tz = 1 + ((stored & -stored).bit_length() - 1)
+            if (stored >> tz) == (value >> tz):
+                return True
+        return False
+
+    # --------------------------------------------------------------- mutate
+
+    def upsize(self) -> None:
+        """Epoch bump (tail-filter.hpp:90-116): keys grow a bit, stored
+        fingerprints shed their top bit into it; exhausted fingerprints
+        graduate to the bitset."""
+        qd2 = self._new_qd(self.qd.k + 1)
+        qd2.log_little = self.qd.log_little
+        qd2.payload = [[np.zeros(1 << qd2.log_little, dtype=np.uint64)
+                        for _ in range(1 << qd2.w)] for _ in range(qd2.d)]
+        qd2.capacity = qd2.d * (1 << qd2.w) * (1 << qd2.log_little)
+        sa = None
+        if self.bitset is not None:
+            sa = np.repeat(self.bitset, 2)       # index gains one LOW bit
+        sentinel = 1 << (self.lgme - self.lgm)
+        vmask = (1 << (1 + self.lgme - self.lgm)) - 1
+        for key, value in self.qd.entries():
+            if value == sentinel:
+                if sa is None:
+                    sa = np.zeros(1 << (self.lgm + self.epoch),
+                                  dtype=np.uint8)
+                sa[key] = 1
+            else:
+                qd2.insert(key * 2 + (value >> (self.lgme - self.lgm)),
+                           (value * 2) & vmask)
+        self.qd = qd2
+        self.bitset = sa
+        self.epoch += 1
+
+    def insert_hash(self, h: int) -> bool:
+        """tail-filter.hpp:118-133: dedup-lookup, power-of-two Upsize
+        trigger, terminator-tagged insert."""
+        if self.lookup_hash(h):
+            return False
+        if self.ndv > (1 << self.lgm) and (self.ndv & (self.ndv - 1)) == 0:
+            self.upsize()
+        key, value = self._key_value(h)
+        self.qd.insert(key, (2 * value) | 1)
+        self.ndv += 1
+        return True
+
+    # ----------------------------------------------------------- batch API
+
+    @classmethod
+    def create(cls, capacity: int, seed: int = DEFAULT_SEED,
+               epsilon: float = 1.0 / 4096,
+               hash_family: str = "mix") -> "TailFilter":
+        """Size lgm to the expected distinct count (the filter grows past
+        it on its own — that is the point of the structure)."""
+        lgm = max(5, int(math.ceil(math.log2(max(1, capacity)))))
+        return cls(lgm, epsilon, seed=seed, hash_family=hash_family)
+
+    def _hashes(self, keys) -> np.ndarray:
+        return hash_key64(np.asarray(keys, dtype=np.uint64), self.seed,
+                          self.hash_family)
+
+    def add_batch(self, keys) -> BulkResult:
+        ok = 0
+        for h in self._hashes(keys):
+            ok += self.insert_hash(int(h))
+        return BulkResult(ok=ok, overflow=0)
+
+    def add(self, key: int) -> bool:
+        return bool(self.add_batch(np.array([key], dtype=np.uint64)).ok)
+
+    def contain_batch(self, keys) -> np.ndarray:
+        hs = self._hashes(keys)
+        return np.fromiter((self.lookup_hash(int(h)) for h in hs),
+                           dtype=bool, count=len(hs))
+
+    def contain(self, key: int) -> bool:
+        return bool(self.contain_batch(np.array([key], dtype=np.uint64))[0])
+
+    # --------------------------------------------------------------- merge
+
+    def _clone(self) -> "TailFilter":
+        """Deep copy (the QD's Feistel closures are not picklable)."""
+        c = TailFilter(self.lgm, self.epsilon, seed=self.seed,
+                       hash_family=self.hash_family)
+        c.hash_consts = list(self.hash_consts)
+        c.epoch = self.epoch
+        c.ndv = self.ndv
+        qd = c._new_qd(self.qd.k)
+        qd.log_little = self.qd.log_little
+        qd.capacity = self.qd.capacity
+        qd.ndv = self.qd.ndv
+        qd._rand_n = self.qd._rand_n
+        qd.payload = [[a.copy() for a in row] for row in self.qd.payload]
+        c.qd = qd
+        c.bitset = None if self.bitset is None else self.bitset.copy()
+        return c
+
+    def merge(self, other: "TailFilter") -> BulkResult:
+        """Associative partial-merge: align epochs (upsizing the smaller
+        side's COPY), OR the bitsets, re-insert the other's (key, value)
+        entries keeping their terminator-encoded fingerprint lengths.
+        Requires identical (lgm, epsilon, seed, hash_family) — the shared-
+        hash-parameter contract of the other mergeable kernels."""
+        if (self.lgm, self.lgme, self.seed, self.hash_family) != \
+                (other.lgm, other.lgme, other.seed, other.hash_family):
+            raise ValueError("tail merge requires identical geometry/seed")
+        if other.epoch > self.epoch:
+            while self.epoch < other.epoch:
+                self.upsize()
+        elif self.epoch > other.epoch:
+            other = other._clone()
+            while other.epoch < self.epoch:
+                other.upsize()
+        if other.bitset is not None:
+            if self.bitset is None:
+                self.bitset = other.bitset.copy()
+            else:
+                np.bitwise_or(self.bitset, other.bitset, out=self.bitset)
+        ok = 0
+        for key, value in other.qd.entries():
+            if not any(v == value for v in self.qd.find_values(key)):
+                self.qd.insert(key, value)
+                ok += 1
+        self.ndv += other.ndv
+        while self.ndv > (1 << (self.lgm + self.epoch + 1)):
+            self.upsize()
+        return BulkResult(ok=ok, overflow=0)
+
+    # --------------------------------------------------------------- stats
+
+    def size(self) -> int:
+        return self.ndv
+
+    def size_in_bytes(self) -> int:
+        bs = 0 if self.bitset is None else (len(self.bitset) + 7) // 8
+        return self.qd.space_used() + bs
+
+    def load_factor(self) -> float:
+        return self.qd.ndv / max(1, self.qd.capacity)
+
+    def info(self) -> dict:
+        return {"kind": self.KIND, "lgm": self.lgm, "lgme": self.lgme,
+                "epoch": self.epoch, "num_items": self.ndv,
+                "qd_ndv": self.qd.ndv, "qd_capacity": self.qd.capacity,
+                "size_in_bytes": self.size_in_bytes(),
+                "load_factor": self.load_factor()}

@@ -146,7 +146,8 @@ def test_pack_bits_roundtrip():
 
 @pytest.mark.parametrize("kind", ["cuckoo", "cuckoo-stable", "semisort",
                                   "bloom", "blockedbloom", "xor", "shingle",
-                                  "counting", "gcs", "xorplus", "xor2n"])
+                                  "counting", "gcs", "xorplus", "xor2n",
+                                  "tail"])
 def test_serde_roundtrip_every_kind(kind):
     # example/test1.cc:63-72: Serialize → Deserialize → identical answers
     keys = splitmix64(8_000, seed=20)
@@ -721,3 +722,96 @@ def test_gcs_stream_bits_overflow_guard(monkeypatch):
     monkeypatch.setattr(gcs_mod, "rice_pack", fake)
     with pytest.raises(ValueError, match="2\\^32"):
         f.add_all(keys)
+
+
+# -------------------------------------------------------------------- tail
+
+def test_tail_filter_no_false_negatives_across_epochs():
+    """Insert-then-lookup always true, including across epoch Upsizes with
+    fingerprint shrinking (the tail-filter.cpp:86-105 invariant)."""
+    from cuckoofilter_ray.kernels import TailFilter
+    tf = TailFilter(5, 1.0 / 512, seed=11)       # tiny lgm => many epochs
+    keys = splitmix64(5000, seed=12)
+    res = tf.add_batch(keys)
+    assert tf.epoch >= 5, "upsizes must have happened"
+    assert tf.contain_batch(keys).all(), "false negative"
+    # Insert dedups via Lookup (tail-filter.hpp:119): ok counts distinct-
+    # by-filter inserts, the shortfall is lookup false positives
+    assert res.ok <= 5000 and res.ok >= 4800
+    # growth-schedule parity with the reference binary at this config
+    # (g++ run of tail-filter.hpp at lgm=5, eps=1/512, n=5000:
+    # qd_capacity 5440, epoch 7)
+    assert tf.qd.capacity == 5440 and tf.epoch == 7
+
+
+def test_tail_filter_fpr_within_structure_bound():
+    """At epoch 0 the FPR tracks epsilon (reference binary: 0.0011 at
+    lgm=13/eps=1/512/n=5000); shrunk fingerprints raise it ~linearly in
+    epochs (reference: 0.0156 at lgm=5), matching the paper's trade."""
+    from cuckoofilter_ray.kernels import TailFilter
+    tf = TailFilter(13, 1.0 / 512, seed=11)
+    keys = splitmix64(5000, seed=12)
+    tf.add_batch(keys)
+    neg = splitmix64(100_000, seed=13)
+    fpr = tf.contain_batch(neg).mean()
+    assert fpr < 4 / 512, f"epoch-0 fpr {fpr}"
+    tf2 = TailFilter(5, 1.0 / 512, seed=11)
+    tf2.add_batch(keys)
+    fpr2 = tf2.contain_batch(neg).mean()
+    assert fpr2 < 0.03, f"multi-epoch fpr {fpr2}"
+
+
+def test_tail_filter_serde_and_merge():
+    from cuckoofilter_ray.kernels import (TailFilter, deserialize, make_filter,
+                                          serialize)
+    tf = make_filter("tail", 2000, 7, bits_per_tag=12)
+    assert isinstance(tf, TailFilter)
+    keys = splitmix64(3000, seed=3)              # grows past sized capacity
+    tf.add_batch(keys)
+    g = deserialize(serialize(tf))
+    probes = np.concatenate([keys, splitmix64(30_000, seed=4)])
+    assert (g.contain_batch(probes) == tf.contain_batch(probes)).all()
+    assert g.info() == tf.info()
+    # merge of partials covers the union, stays query-identical after serde
+    a = make_filter("tail", 1000, 9)
+    b = make_filter("tail", 1000, 9)
+    k1, k2 = splitmix64(800, seed=5), splitmix64(800, seed=6)
+    a.add_batch(k1)
+    b.add_batch(k2)
+    a.merge(b)
+    assert a.contain_batch(np.concatenate([k1, k2])).all()
+    # merge at mismatched epochs: the smaller side upsizes a COPY
+    c = make_filter("tail", 1000, 9)
+    c.add_batch(splitmix64(3000, seed=8))        # force epochs
+    d = make_filter("tail", 1000, 9)
+    d.add_batch(k1)
+    assert c.epoch > 0 and d.epoch == 0
+    c.merge(d)
+    assert d.epoch == 0, "merge must not mutate the other side"
+    assert c.contain_batch(k1).all()
+
+
+def test_quotient_dysect_multimap_roundtrip():
+    """QuotientDysect stores (key,value) multimaps: FindExact after inserts
+    and across little-array Upsizes (quotient-dysect.hpp:134-197, 401-437)."""
+    from cuckoofilter_ray.kernels import QuotientDysect
+    from cuckoofilter_ray.kernels.hashing import splitmix64 as sm
+    cs = sm(6, seed=123)
+    consts = [(int(cs[0]), int(cs[1]) | 1)]
+    qd = QuotientDysect(12, 3, 2, 3, 2, 1, consts, seed=5)
+    rng = np.random.default_rng(2)
+    keys = rng.integers(0, 1 << 12, 3000).tolist()
+    # value 0 is indistinguishable from an empty slot (the reference's
+    # ResultSetIterator skips value==0 too); TailFilter's terminator bit
+    # keeps real values >= 1
+    vals = rng.integers(1, 8, 3000).tolist()
+    for k, v in zip(keys, vals):
+        qd.insert(k, v)
+    assert qd.ndv == 3000
+    miss = sum(v not in qd.find_values(k) for k, v in zip(keys, vals))
+    assert miss == 0, f"{miss} lost entries"
+    # duplicate values under one key coexist (multimap, tail-filter.cpp:141)
+    qd.insert(1, 2)
+    qd.insert(1, 3)
+    got = qd.find_values(1)
+    assert 2 in got and 3 in got
