@@ -170,11 +170,14 @@ def q_membership_recall(sf_dir: str):
 
 
 def _membership_recall_for_kind(sf_dir: str, kind: str,
-                                hash_family: str = "mix"):
+                                hash_family: str = "mix",
+                                byte_hash: str = "sha256"):
     """Shared body: per-lang filters of ``kind`` (exact-size map_groups
     build, src/cuckoofilter_stable.h:115 sizing / xorfilter.h AddAll), probe
     every inserted key; no-false-negative invariant ⇒ exact SQL oracle."""
-    keyed = _docs_keyed(sf_dir)
+    keyed = derive_keys(_docs(sf_dir), content_col="text",
+                        byte_hash=byte_hash) \
+        if byte_hash != "sha256" else _docs_keyed(sf_dir)
     filters = build_grouped_filters(keyed, "lang", capacity=None, kind=kind,
                                     seed=SEED, hash_family=hash_family)
     fref = filters_to_ref(filters.take_all(), group_col="lang")
@@ -228,6 +231,15 @@ def q_shingle_membership(sf_dir: str):
     src/shingle.h — Lehman & Panigrahy ESA 2009): zero false negatives on
     inserted keys ⇒ exact COUNT(*) oracle."""
     return _membership_recall_for_kind(sf_dir, "shingle")
+
+
+def q_murmur2_membership(sf_dir: str):
+    """Per-lang cuckoo filters KEYED by the MurmurHash2 byte family
+    (value-parity with HashUtil::MurmurHash, src/hashutil.cc:600-644,
+    widened to 64 bits by a second seeded pass): zero false negatives on
+    inserted keys ⇒ exact COUNT(*) oracle."""
+    return _membership_recall_for_kind(sf_dir, "cuckoo",
+                                       byte_hash="murmur2")
 
 
 def q_tail_membership(sf_dir: str):
@@ -986,6 +998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xor_membership": q_xor_membership,
         "stable_membership": q_stable_membership,
         "tims_membership": q_tims_membership,
+        "murmur2_membership": q_murmur2_membership,
         "tail_membership": q_tail_membership,
         "shingle_membership": q_shingle_membership,
         "gcs_membership": q_gcs_membership,
@@ -1049,6 +1062,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
             "FROM documents GROUP BY lang",
         "tail_membership":
+            "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
+            "FROM documents GROUP BY lang",
+        "murmur2_membership":
             "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
             "FROM documents GROUP BY lang",
         "gcs_membership":

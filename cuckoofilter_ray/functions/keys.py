@@ -19,14 +19,34 @@ from ..kernels.hashing import sha256_hex, sha256_u64
 
 def add_content_keys(batch: pa.Table, column: str = "content",
                      sha_col: str = "sha_hex", key_col: str = "key_hi64",
-                     drop_content: bool = False) -> pa.Table:
-    """Append sha256-hex + uint64-key columns derived from ``column``."""
+                     drop_content: bool = False,
+                     byte_hash: str = "sha256") -> pa.Table:
+    """Append content-hash key columns derived from ``column``.
+
+    ``byte_hash`` selects the byte-buffer family where content enters the
+    engine (the reference's HashUtil menu): ``sha256`` (default, 64-bit key
+    = top hex digits, plus the hex column), or the value-parity
+    ``murmur2`` / ``superfast`` 32-bit families (src/hashutil.cc:600,651)
+    widened to uint64 by a second seeded pass (two independent 32-bit
+    hashes, the reference's BobHash(idx1, idx2) doubling trick)."""
     values = batch.column(column).to_pylist()
-    hexes = sha256_hex(values)
-    keys = sha256_u64(values)
     out = batch
-    if sha_col:
-        out = out.append_column(sha_col, pa.array(hexes, type=pa.string()))
+    if byte_hash == "sha256":
+        keys = sha256_u64(values)
+        if sha_col:
+            out = out.append_column(sha_col,
+                                    pa.array(sha256_hex(values),
+                                             type=pa.string()))
+    elif byte_hash == "murmur2":
+        from ..kernels.hashing import murmur2_bytes
+        keys = (murmur2_bytes(values, seed=0).astype(np.uint64) << 32) \
+            | murmur2_bytes(values, seed=0x9E3779B9).astype(np.uint64)
+    elif byte_hash == "superfast":
+        from ..kernels.hashing import murmur2_bytes, superfast_bytes
+        keys = (superfast_bytes(values).astype(np.uint64) << 32) \
+            | murmur2_bytes(values, seed=0x5F356495).astype(np.uint64)
+    else:
+        raise ValueError(f"unknown byte_hash {byte_hash!r}")
     out = out.append_column(key_col, pa.array(keys, type=pa.uint64()))
     if drop_content:
         out = out.drop_columns([column])

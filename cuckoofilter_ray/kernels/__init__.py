@@ -5,9 +5,10 @@ from .counting import CountingQuotientFilter, NotEnoughSpaceError
 from .cuckoo import (MAX_KICKS, NOT_ENOUGH_SPACE, NOT_FOUND, OK, TAGS_PER_BUCKET,
                      BulkResult, CuckooFilter, upperpower2)
 from .hashing import (DEFAULT_SEED, hash_key64, md5_hex, mix_split, murmur64,
-                      sha1_hex, sha256_bytes, sha256_hex, sha256_u64,
-                      simple_tabulation, splitmix64, tabulation_tables,
-                      tims_params, two_independent_multiply_shift,
+                      murmur2_bytes, sha1_hex, sha256_bytes, sha256_hex,
+                      sha256_u64, simple_tabulation, splitmix64,
+                      superfast_bytes, tabulation_tables, tims_params,
+                      two_independent_multiply_shift,
                       universal_multiply_shift)
 from .gcs import GcsFilter
 from .growbloom import GrowBlockedBloomFilter
@@ -24,9 +25,9 @@ __all__ = [
     "NOT_FOUND", "NotEnoughSpaceError", "OK",
     "TAGS_PER_BUCKET", "deserialize", "filter_to_row", "hash_key64",
     "make_filter", "mix_split", "murmur64", "next_prime", "pack_bits",
-    "md5_hex", "row_to_filter", "serialize", "sha1_hex", "sha256_bytes",
+    "md5_hex", "murmur2_bytes", "row_to_filter", "serialize", "sha1_hex", "sha256_bytes",
     "sha256_hex", "sha256_u64", "simple_tabulation", "tabulation_tables",
-    "universal_multiply_shift",
+    "superfast_bytes", "universal_multiply_shift",
     "GcsFilter", "GrowBlockedBloomFilter", "QuotientDysect", "ShingleFilter",
     "TailFilter", "splitmix64", "tims_params", "two_independent_multiply_shift",
     "unpack_bits", "upperpower2", "XorFilter", "XorFilter2n", "XorFilterPlus",

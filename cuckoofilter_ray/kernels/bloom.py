@@ -160,6 +160,17 @@ class BlockedBloomFilter:
         nb = max(1, (int(capacity) * bits_per_item + 255) // 256)
         return cls(next_prime(nb), seed=seed, bits_per_item=bits_per_item)
 
+    @classmethod
+    def create_fixed(cls, capacity: int,
+                     seed: int = DEFAULT_SEED) -> "BlockedBloomFilter":
+        """``SimdBlockFilterFixed`` sizing: ``bucketCount = max(1, n/24)``
+        non-power-of-two 256-bit blocks (src/simd-block-fixed-fpp.h:70-89;
+        ~10.7 bits/key, published fpp 0.98%).  Addressing is already the
+        Fixed variant's Lemire reduce on the high 32 bits — only the
+        block-count rule differs from :meth:`create`."""
+        nb = max(1, int(capacity) // 24)
+        return cls(nb, seed=seed, bits_per_item=11)
+
     def _block_and_masks(self, keys) -> tuple[np.ndarray, np.ndarray]:
         h = mix_split(keys, self.seed)
         block = ((h >> U64(32)) * U64(self.num_blocks)) >> U64(32)  # Lemire on high 32

@@ -232,3 +232,107 @@ def sha256_u64(values) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     buf = b"".join(d[:8] for d in digests)
     return np.frombuffer(buf, dtype=">u8").astype(np.uint64)
+
+
+def _byte_matrix(values) -> tuple[np.ndarray, dict]:
+    """Encode rows to bytes and bucket row indices by byte length (the
+    vectorize-ACROSS-strings layout: sequential hash state per word, all
+    rows of one length advanced together)."""
+    bufs = []
+    by_len: dict = {}
+    for i, v in enumerate(values):
+        if isinstance(v, str):
+            v = v.encode("utf-8", "surrogatepass")
+        elif v is None:
+            v = b""
+        elif not isinstance(v, (bytes, bytearray)):
+            v = bytes(v)
+        bufs.append(v)
+        by_len.setdefault(len(v), []).append(i)
+    return bufs, by_len
+
+
+def murmur2_bytes(values, seed: int = 0) -> np.ndarray:
+    """Vectorized 32-bit MurmurHash2 over byte/str rows — value-identical
+    to ``HashUtil::MurmurHash`` (src/hashutil.cc:600-644, little-endian
+    4-byte words, m=0x5bd1e995, r=24).  Rows are bucketed by length and
+    advanced word-lockstep (one NumPy op per word position across all rows
+    of that length)."""
+    bufs, by_len = _byte_matrix(values)
+    out = np.zeros(len(bufs), dtype=np.uint32)
+    m = np.uint32(0x5BD1E995)
+    for L, idx in by_len.items():
+        idx = np.asarray(idx)
+        h = np.full(len(idx), np.uint32(seed) ^ np.uint32(L), dtype=np.uint32)
+        if L:
+            mat = np.frombuffer(b"".join(bufs[i] for i in idx),
+                                dtype=np.uint8).reshape(len(idx), L)
+            for w in range(L // 4):
+                k = mat[:, 4 * w:4 * w + 4].copy().view("<u4").ravel()
+                k = k * m
+                k ^= k >> np.uint32(24)
+                k = k * m
+                h = (h * m) ^ k
+            rem = L & 3
+            base = (L // 4) * 4
+            if rem == 3:
+                h ^= mat[:, base + 2].astype(np.uint32) << np.uint32(16)
+            if rem >= 2:
+                h ^= mat[:, base + 1].astype(np.uint32) << np.uint32(8)
+            if rem >= 1:
+                h ^= mat[:, base].astype(np.uint32)
+                h = h * m
+        h ^= h >> np.uint32(13)
+        h = h * m
+        h ^= h >> np.uint32(15)
+        out[idx] = h
+    return out
+
+
+def superfast_bytes(values) -> np.ndarray:
+    """Vectorized SuperFastHash (Hsieh) over byte/str rows — value-identical
+    to ``HashUtil::SuperFastHash`` (src/hashutil.cc:651-698), including the
+    SIGNED-char reads in the 1- and 3-byte tails (``const char*`` on x86).
+    Same length-bucketed word-lockstep layout as :func:`murmur2_bytes`."""
+    bufs, by_len = _byte_matrix(values)
+    out = np.zeros(len(bufs), dtype=np.uint32)
+    for L, idx in by_len.items():
+        idx = np.asarray(idx)
+        if L == 0:
+            continue                         # hash(len=0) == 0
+        mat = np.frombuffer(b"".join(bufs[i] for i in idx),
+                            dtype=np.uint8).reshape(len(idx), L)
+        h = np.full(len(idx), L, dtype=np.uint32)
+        for w in range(L // 4):
+            lo = mat[:, 4 * w:4 * w + 2].copy().view("<u2").ravel() \
+                .astype(np.uint32)
+            hi = mat[:, 4 * w + 2:4 * w + 4].copy().view("<u2").ravel() \
+                .astype(np.uint32)
+            h = h + lo
+            tmp = (hi << np.uint32(11)) ^ h
+            h = (h << np.uint32(16)) ^ tmp
+            h = h + (h >> np.uint32(11))
+        rem, base = L & 3, (L // 4) * 4
+        if rem == 3:
+            h = h + mat[:, base:base + 2].copy().view("<u2").ravel()
+            h ^= h << np.uint32(16)
+            signed = mat[:, base + 2].astype(np.int8).astype(np.int32)
+            h ^= (signed << 18).astype(np.uint32)
+            h = h + (h >> np.uint32(11))
+        elif rem == 2:
+            h = h + mat[:, base:base + 2].copy().view("<u2").ravel()
+            h ^= h << np.uint32(11)
+            h = h + (h >> np.uint32(17))
+        elif rem == 1:
+            signed = mat[:, base].astype(np.int8).astype(np.int32)
+            h = (h.astype(np.int64) + signed).astype(np.uint32)
+            h ^= h << np.uint32(10)
+            h = h + (h >> np.uint32(1))
+        h ^= h << np.uint32(3)
+        h = h + (h >> np.uint32(5))
+        h ^= h << np.uint32(4)
+        h = h + (h >> np.uint32(17))
+        h ^= h << np.uint32(25)
+        h = h + (h >> np.uint32(6))
+        out[idx] = h
+    return out

@@ -154,15 +154,25 @@ def filter_to_row(filt: Any, group_key: str = "", shard_id: int = 0,
         # ray.put it lands in plasma once per node and every worker maps it
         # zero-copy instead of re-decoding the stream (the decode-per-worker
         # cost is the whole reason to pre-share it).
+        from .gcs import monotone_pack
+        if packed and filt._built:
+            # at-rest: bucket starts via the 3-level monotone list
+            # (gcs.h:114-237) instead of raw uint32 — ~5-7 bits/bucket
+            index_bytes = pickle.dumps(monotone_pack(filt.starts),
+                                       protocol=pickle.HIGHEST_PROTOCOL)
+            codec = "monotone"
+        else:
+            index_bytes = filt.starts.astype("<u4").tobytes()
+            codec = "rawu32"
         row = {
             "group_key": group_key, "shard_id": shard_id, "kind": "gcs",
-            "variant": "built" if filt._built else "",
+            "variant": "built" if filt._built else "", "codec": codec,
             "bits_per_tag": filt.bits_per_item,
             "num_buckets": filt.bucket_count, "num_items": filt.num_items,
             "victim_index": len(filt.stream), "victim_tag": filt.stream_bits,
             "victim_used": False, "seed": int(filt.seed),
             "hash_family": filt.hash_family,
-            "table_bytes": filt.stream + filt.starts.astype("<u4").tobytes(),
+            "table_bytes": filt.stream + index_bytes,
         }
         if not packed and filt._built:
             row["decoded_index"] = filt._decode()
@@ -310,7 +320,12 @@ def row_to_filter(row: dict) -> Any:
         buf = row["table_bytes"]
         f.stream = bytes(buf[:split])
         f.stream_bits = int(row["victim_tag"])
-        f.starts = np.frombuffer(buf[split:], dtype="<u4").astype(np.uint32)
+        if row.get("codec") == "monotone":
+            from .gcs import monotone_unpack
+            f.starts = monotone_unpack(pickle.loads(bytes(buf[split:])))
+        else:
+            f.starts = np.frombuffer(buf[split:], dtype="<u4") \
+                .astype(np.uint32)
         f.num_items = int(row["num_items"])
         f._built = row.get("variant") == "built"
         if "decoded_index" in row:       # zero-copy plasma view (see above)
@@ -433,6 +448,8 @@ def make_filter(kind: str, capacity: int, seed: int, bits_per_tag: int = 12,
                                   hash_family=hash_family)
     if kind == "blockedbloom":
         return BlockedBloomFilter.create(capacity, bits_per_item=bits_per_tag, seed=seed)
+    if kind == "blockedbloom-fixed":
+        return BlockedBloomFilter.create_fixed(capacity, seed=seed)
     if kind == "xor":
         return XorFilter(capacity, bits_per_tag=bits_per_tag if bits_per_tag
                          in (8, 16) else 8, seed=seed)

@@ -39,12 +39,15 @@ SKETCH_COL = "sketch"
 
 
 def derive_keys(ds: "ray.data.Dataset", content_col: str = "content",
-                drop_content: bool = False, sha_col: str = "sha_hex") -> "ray.data.Dataset":
-    """Stateless key-derivation stage (sha256 → hex + uint64 key)."""
+                drop_content: bool = False, sha_col: str = "sha_hex",
+                byte_hash: str = "sha256") -> "ray.data.Dataset":
+    """Stateless key-derivation stage (``byte_hash`` selects the content
+    hash family: sha256 → hex + uint64 key, or murmur2 / superfast)."""
     return ds.map_batches(
         add_content_keys, batch_format="pyarrow", batch_size=None,
         fn_kwargs={"column": content_col, "drop_content": drop_content,
-                   "sha_col": sha_col})
+                   "sha_col": sha_col if byte_hash == "sha256" else "",
+                   "byte_hash": byte_hash})
 
 
 def _combine_build(ds: "ray.data.Dataset", group_cols: list,

@@ -815,3 +815,87 @@ def test_quotient_dysect_multimap_roundtrip():
     qd.insert(1, 3)
     got = qd.find_values(1)
     assert 2 in got and 3 in got
+
+
+def test_murmur2_and_superfast_reference_values():
+    """Value-identical to HashUtil::MurmurHash / ::SuperFastHash — vectors
+    generated from a g++ build of src/hashutil.cc (both seeds, empty,
+    sub-word tails, high-bit bytes exercising the signed-char reads)."""
+    from cuckoofilter_ray.kernels import murmur2_bytes, superfast_bytes
+    tests = ["", "a", "ab", "abc", "abcd", "hello world",
+             "The quick brown fox jumps over the lazy dog",
+             b"\xff\xfe\x80 bytes", "0123456789abcdef"]
+    ref = [                      # (len, murmur2@0, murmur2@0xdeadbeef, sfh)
+        (0, 0x00000000, 0x5C8EFDB6, 0x00000000),
+        (1, 0x92685F5E, 0x4B41757C, 0x115EA782),
+        (2, 0x1AA14063, 0xF9697493, 0x516B8B44),
+        (3, 0x13577C9B, 0xFBB7B030, 0xD2BE198A),
+        (4, 0x26873021, 0xE11CB673, 0xDAD8B8DB),
+        (11, 0x44A81419, 0x05929D59, 0xA68C6882),
+        (43, 0x212729D0, 0x7C1B05FE, 0x05BF7CE3),
+        (9, 0x7A265740, 0xC331ECD5, 0x6962EF42),
+        (16, 0xCF9AF71A, 0x36728504, 0xA4E2281C),
+    ]
+    m0 = murmur2_bytes(tests, seed=0)
+    m1 = murmur2_bytes(tests, seed=0xDEADBEEF)
+    sf = superfast_bytes(tests)
+    for i, (_, rm0, rm1, rsf) in enumerate(ref):
+        assert m0[i] == rm0 and m1[i] == rm1 and sf[i] == rsf, tests[i]
+
+
+def test_byte_hash_keying_families():
+    """derive_keys byte_hash selection: deterministic uint64 keys from the
+    murmur2/superfast families, distinct from sha256 keys."""
+    from cuckoofilter_ray.functions.keys import add_content_keys
+    import pyarrow as pa
+    batch = pa.table({"content": ["alpha", "beta", "gamma", ""]})
+    out = {}
+    for fam in ("sha256", "murmur2", "superfast"):
+        t = add_content_keys(batch, byte_hash=fam, sha_col="")
+        out[fam] = t.column("key_hi64").to_pylist()
+        assert len(set(out[fam])) == 4          # no collisions on tiny set
+        t2 = add_content_keys(batch, byte_hash=fam, sha_col="")
+        assert t2.column("key_hi64").to_pylist() == out[fam]
+    assert out["sha256"] != out["murmur2"] != out["superfast"]
+
+
+def test_blockedbloom_fixed_nonpow2_sizing_and_fpr():
+    """SimdBlockFilterFixed parity: bucketCount = max(1, n/24) non-pow2
+    blocks, FPR near the published 0.98% at ~10.7 bits/key
+    (src/simd-block-fixed-fpp.h:71-78's sweep table)."""
+    from cuckoofilter_ray.kernels import deserialize, make_filter, serialize
+    n = 120_000
+    f = make_filter("blockedbloom-fixed", n, seed=5)
+    assert f.num_blocks == n // 24
+    assert f.num_blocks & (f.num_blocks - 1) != 0, "should be non-pow2"
+    keys = splitmix64(n, seed=6)
+    f.add_batch(keys)
+    assert f.contain_batch(keys).all()
+    fpr = f.contain_batch(splitmix64(400_000, seed=7)).mean()
+    assert 0.004 < fpr < 0.020, f"fixed-sizing fpr {fpr} vs published 0.0098"
+    g = deserialize(serialize(f))
+    probes = splitmix64(50_000, seed=8)
+    assert (g.contain_batch(probes) == f.contain_batch(probes)).all()
+
+
+def test_gcs_monotone_index_roundtrip_and_size():
+    """MultiStageMonotoneList (gcs.h:114-237): exact roundtrip of bucket
+    offsets, at-rest bits/item <= 10.5 at 8-bit fingerprints (VERDICT r2
+    #9 done-criterion), serde answers identical."""
+    from cuckoofilter_ray.kernels import GcsFilter, deserialize, serialize
+    from cuckoofilter_ray.kernels.gcs import (monotone_pack, monotone_unpack,
+                                              monotone_size_bytes)
+    n = 60_000
+    keys = splitmix64(n, seed=90)
+    f = GcsFilter(n, bits_per_item=8, seed=91)
+    f.add_all(keys)
+    m = monotone_pack(f.starts)
+    assert (monotone_unpack(m) == f.starts).all()
+    assert monotone_size_bytes(m) < f.starts.nbytes / 3
+    bits_per_item = f.size_in_bytes() * 8 / n
+    assert bits_per_item <= 10.5, f"{bits_per_item} bits/item"
+    g = deserialize(serialize(f))
+    assert (g.starts == f.starts).all()
+    probes = np.concatenate([keys, splitmix64(100_000, seed=92)])
+    assert (g.contain_batch(probes) == f.contain_batch(probes)).all()
+    assert g.contain_batch(keys).all()
