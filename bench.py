@@ -262,29 +262,44 @@ def bench_config_sweep(ray, results: dict, extras: dict) -> None:
 
     table = {}
     sweep_t0 = time.perf_counter()
+    # tail is a sequential dynamic structure (Python-core QuotientDysect
+    # random walk) — its parity row runs at a reduced key count so the
+    # sweep stays fast; rates are per its own n (noted by the _n suffix)
+    n_tail = int(os.environ.get("BENCH_TAIL_KEYS", 20_000))
+    keyed_tail = rd.from_numpy(keys[:n_tail]).map_batches(
+        lambda b: pa.table({"key_hi64": b.column("data")}),
+        batch_format="pyarrow", batch_size=None) \
+        .repartition(max(16, NUM_CPUS)).materialize()
+
     for kind, bits in [("cuckoo", 8), ("cuckoo", 12), ("cuckoo", 16),
                        ("semisort", 13), ("cuckoo-stable", 12),
-                       ("bloom", 12), ("blockedbloom", 8), ("xor", 8),
+                       ("bloom", 12), ("blockedbloom", 8),
+                       ("blockedbloom-fixed", 11), ("xor", 8),
                        ("shingle", 12), ("counting", 8), ("gcs", 8),
-                       ("xorplus", 8)]:
+                       ("xorplus", 8), ("tail", 12)]:
+        cfg_n = n_tail if kind == "tail" else n
+        cfg_keyed = keyed_tail if kind == "tail" else keyed
         t0 = time.perf_counter()
-        filt = build_single_filter(keyed, capacity=n, kind=kind,
+        filt = build_single_filter(cfg_keyed, capacity=cfg_n, kind=kind,
                                    bits_per_tag=bits, seed=SEED)
         build_s = time.perf_counter() - t0
         # probes broadcast the raw16 form (frombuffer-cheap per worker);
         # bits/item reports the bit-packed at-rest size
         fref = ray.put(filter_to_row(filt, packed=False))
         row = filter_to_row(filt)
+        cfg_probes = min(n_probes, 10 * cfg_n)
+        cfg_ins = ray.put(keys[:cfg_n]) if cfg_n != n else inserted_ref
         t0 = time.perf_counter()
-        m = measure_single_filter(inserted_ref, fref, n_probes, p=0.5,
+        m = measure_single_filter(cfg_ins, fref, cfg_probes, p=0.5,
                                   seed=321, num_blocks=max(16, NUM_CPUS))
         probe_s = time.perf_counter() - t0
         assert m["recall"] == 1.0, f"{kind}{bits}: recall {m['recall']}"
         table[f"{kind}{bits}"] = {
-            "adds_mps": round(n / build_s / 1e6, 2),
-            "finds_mps": round(n_probes / probe_s / 1e6, 2),
+            "adds_mps": round(cfg_n / build_s / 1e6, 2),
+            "finds_mps": round(cfg_probes / probe_s / 1e6, 2),
             "fpr": round(m["fpr"], 6),
-            "bits_per_item": round(len(row["table_bytes"]) * 8 / n, 2),
+            "bits_per_item": round(len(row["table_bytes"]) * 8 / cfg_n, 2),
+            **({"n_keys": cfg_n} if cfg_n != n else {}),
         }
     extras["config_sweep"] = table
     results["config_sweep_total"] = round(time.perf_counter() - sweep_t0, 4)

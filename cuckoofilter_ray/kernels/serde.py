@@ -196,15 +196,25 @@ def filter_to_row(filt: Any, group_key: str = "", shard_id: int = 0,
         }
     if isinstance(filt, TailFilter):
         # dynamic structure (per-little-array growth state + epoch +
-        # optional bitset): pickled state blob, like growbloom's levels
+        # optional bitset): pickled state blob with each slot array
+        # BIT-PACKED at its true width (slot-array.hpp parity — raw uint64
+        # would be ~4x the honest SpaceUsed)
+        from .gcs import pack_width64
+        qd = filt.qd
+
+        def _pack(a):
+            ell = qd.log_little + (len(a) > (1 << qd.log_little))
+            width = qd.s + qd.v + max(0, qd.k - qd.w - ell)
+            return (len(a), width, pack_width64(a, width))
+
         payload = pickle.dumps({
             "lgm": filt.lgm, "epsilon": filt.epsilon, "epoch": filt.epoch,
             "ndv": filt.ndv, "hash_consts": filt.hash_consts,
-            "qd": {"k": filt.qd.k, "log_little": filt.qd.log_little,
-                   "capacity": filt.qd.capacity, "ndv": filt.qd.ndv,
-                   "rand_n": filt.qd._rand_n,
-                   "payload": [[a.tobytes() for a in row]
-                               for row in filt.qd.payload]},
+            "qd": {"k": qd.k, "log_little": qd.log_little,
+                   "capacity": qd.capacity, "ndv": qd.ndv,
+                   "rand_n": qd._rand_n,
+                   "payload": [[_pack(a) for a in row]
+                               for row in qd.payload]},
             "bitset": None if filt.bitset is None else
             np.packbits(filt.bitset).tobytes(),
             "bitset_len": 0 if filt.bitset is None else len(filt.bitset),
@@ -359,8 +369,10 @@ def row_to_filter(row: dict) -> Any:
         qd.capacity = d["qd"]["capacity"]
         qd.ndv = d["qd"]["ndv"]
         qd._rand_n = d["qd"]["rand_n"]
-        qd.payload = [[np.frombuffer(b, dtype=np.uint64).copy()
-                       for b in rowp] for rowp in d["qd"]["payload"]]
+        from .gcs import unpack_width64
+        qd.payload = [[unpack_width64(b, w, ln) if w else
+                       np.zeros(ln, dtype=np.uint64)
+                       for ln, w, b in rowp] for rowp in d["qd"]["payload"]]
         f.qd = qd
         if d["bitset"] is not None:
             f.bitset = np.unpackbits(
