@@ -242,6 +242,16 @@ def q_murmur2_membership(sf_dir: str):
                                        byte_hash="murmur2")
 
 
+def q_spooky_membership(sf_dir: str):
+    """Per-lang cuckoo filters KEYED by SpookyHash V2 Hash64
+    (value-parity with HashUtil::SpookyHash, src/hashutil.cc:583 →
+    src/SpookyV2.cpp — short form under 192 bytes, 12-lane long form
+    above): zero false negatives on inserted keys ⇒ exact COUNT(*)
+    oracle."""
+    return _membership_recall_for_kind(sf_dir, "cuckoo",
+                                       byte_hash="spooky")
+
+
 def q_tail_membership(sf_dir: str):
     """Per-lang TailFilters (dynamic AMQ with shrinking fingerprints over
     QuotientDysect d-ary cuckoo, src/tail-filter.hpp + quotient-dysect.hpp):
@@ -999,6 +1009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stable_membership": q_stable_membership,
         "tims_membership": q_tims_membership,
         "murmur2_membership": q_murmur2_membership,
+        "spooky_membership": q_spooky_membership,
         "tail_membership": q_tail_membership,
         "shingle_membership": q_shingle_membership,
         "gcs_membership": q_gcs_membership,
@@ -1065,6 +1076,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
             "FROM documents GROUP BY lang",
         "murmur2_membership":
+            "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
+            "FROM documents GROUP BY lang",
+        "spooky_membership":
             "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
             "FROM documents GROUP BY lang",
         "gcs_membership":

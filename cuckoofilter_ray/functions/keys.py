@@ -28,7 +28,10 @@ def add_content_keys(batch: pa.Table, column: str = "content",
     = top hex digits, plus the hex column), or the value-parity
     ``murmur2`` / ``superfast`` 32-bit families (src/hashutil.cc:600,651)
     widened to uint64 by a second seeded pass (two independent 32-bit
-    hashes, the reference's BobHash(idx1, idx2) doubling trick)."""
+    hashes, the reference's BobHash(idx1, idx2) doubling trick), or the
+    native 64-bit families ``bob`` (hashlittle2's documented
+    ``*pc + (uint64)*pb << 32``, src/hashutil.cc:308-317) and ``spooky``
+    (SpookyHash::Hash64, src/hashutil.cc:583)."""
     values = batch.column(column).to_pylist()
     out = batch
     if byte_hash == "sha256":
@@ -45,6 +48,13 @@ def add_content_keys(batch: pa.Table, column: str = "content",
         from ..kernels.hashing import murmur2_bytes, superfast_bytes
         keys = (superfast_bytes(values).astype(np.uint64) << 32) \
             | murmur2_bytes(values, seed=0x5F356495).astype(np.uint64)
+    elif byte_hash == "bob":
+        from ..kernels.hashing import bobhash_bytes
+        c, b = bobhash_bytes(values, seed=0, seed2=0)
+        keys = c.astype(np.uint64) + (b.astype(np.uint64) << 32)
+    elif byte_hash == "spooky":
+        from ..kernels.hashing import spooky_bytes
+        keys = spooky_bytes(values, seed=0)
     else:
         raise ValueError(f"unknown byte_hash {byte_hash!r}")
     out = out.append_column(key_col, pa.array(keys, type=pa.uint64()))

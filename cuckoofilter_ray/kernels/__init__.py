@@ -4,9 +4,10 @@ from .bloom import BlockedBloomFilter, BloomFilter, next_prime
 from .counting import CountingQuotientFilter, NotEnoughSpaceError
 from .cuckoo import (MAX_KICKS, NOT_ENOUGH_SPACE, NOT_FOUND, OK, TAGS_PER_BUCKET,
                      BulkResult, CuckooFilter, upperpower2)
-from .hashing import (DEFAULT_SEED, hash_key64, md5_hex, mix_split, murmur64,
+from .hashing import (DEFAULT_SEED, bobhash_bytes, hash_key64, md5_hex,
+                      mix_split, murmur64,
                       murmur2_bytes, sha1_hex, sha256_bytes, sha256_hex,
-                      sha256_u64, simple_tabulation, splitmix64,
+                      sha256_u64, simple_tabulation, splitmix64, spooky_bytes,
                       superfast_bytes, tabulation_tables, tims_params,
                       two_independent_multiply_shift,
                       universal_multiply_shift)
@@ -25,6 +26,7 @@ __all__ = [
     "NOT_FOUND", "NotEnoughSpaceError", "OK",
     "TAGS_PER_BUCKET", "deserialize", "filter_to_row", "hash_key64",
     "make_filter", "mix_split", "murmur64", "next_prime", "pack_bits",
+    "bobhash_bytes", "spooky_bytes",
     "md5_hex", "murmur2_bytes", "row_to_filter", "serialize", "sha1_hex", "sha256_bytes",
     "sha256_hex", "sha256_u64", "simple_tabulation", "tabulation_tables",
     "superfast_bytes", "universal_multiply_shift",

@@ -336,3 +336,220 @@ def superfast_bytes(values) -> np.ndarray:
         h = h + (h >> np.uint32(6))
         out[idx] = h
     return out
+
+
+def _padded_matrix(bufs, idx, L: int, W: int) -> np.ndarray:
+    """(len(idx), W) uint8 matrix of the rows, zero-padded past column L —
+    padded word reads reproduce the reference's masked tail reads exactly."""
+    mat = np.zeros((len(idx), W), dtype=np.uint8)
+    if L:
+        mat[:, :L] = np.frombuffer(b"".join(bufs[i] for i in idx),
+                                   dtype=np.uint8).reshape(len(idx), L)
+    return mat
+
+
+def _rotl32(x: np.ndarray, k: int) -> np.ndarray:
+    return (x << np.uint32(k)) | (x >> np.uint32(32 - k))
+
+
+def _bob_mix(a, b, c):
+    """lookup3 mix() (src/hashutil.cc:5-13), arrays in lockstep."""
+    a = a - c; a ^= _rotl32(c, 4); c = c + b
+    b = b - a; b ^= _rotl32(a, 6); a = a + c
+    c = c - b; c ^= _rotl32(b, 8); b = b + a
+    a = a - c; a ^= _rotl32(c, 16); c = c + b
+    b = b - a; b ^= _rotl32(a, 19); a = a + c
+    c = c - b; c ^= _rotl32(b, 4); b = b + a
+    return a, b, c
+
+
+def _bob_final(a, b, c):
+    """lookup3 final() (src/hashutil.cc:15-24)."""
+    c ^= b; c = c - _rotl32(b, 14)
+    a ^= c; a = a - _rotl32(c, 11)
+    b ^= a; b = b - _rotl32(a, 25)
+    c ^= b; c = c - _rotl32(b, 16)
+    a ^= c; a = a - _rotl32(c, 4)
+    b ^= a; b = b - _rotl32(a, 14)
+    c ^= b; c = c - _rotl32(b, 24)
+    return a, b, c
+
+
+def bobhash_bytes(values, seed: int = 0, seed2: int | None = None):
+    """Vectorized Bob Jenkins lookup3 ``hashlittle`` over byte/str rows —
+    value-identical to ``HashUtil::BobHash`` (src/hashutil.cc:60-317).
+    With ``seed2`` set this is ``hashlittle2`` (the two-output overload,
+    src/hashutil.cc:319-576): returns ``(c, b)`` — the reference's
+    ``(*idx1, *idx2)`` — for the 64-bit ``c | b<<32`` doubling trick.
+    Same length-bucketed word-lockstep layout as :func:`murmur2_bytes`."""
+    pair = seed2 is not None
+    bufs, by_len = _byte_matrix(values)
+    out_c = np.zeros(len(bufs), dtype=np.uint32)
+    out_b = np.zeros(len(bufs), dtype=np.uint32) if pair else None
+    for L, idx in by_len.items():
+        idx = np.asarray(idx)
+        init = np.uint32((0xDEADBEEF + L + seed) & 0xFFFFFFFF)
+        a = np.full(len(idx), init, dtype=np.uint32)
+        b = a.copy()
+        c = a.copy()
+        if pair:
+            c = c + np.uint32(seed2 & 0xFFFFFFFF)
+        if L == 0:                       # zero length: no mixing, no final
+            out_c[idx] = c
+            if pair:
+                out_b[idx] = b
+            continue
+        nblk = (L - 1) // 12             # full mixes while >12 bytes remain
+        t = L - 12 * nblk                # tail length 1..12
+        mat = _padded_matrix(bufs, idx, L, 12 * nblk + 12)
+
+        def w32(o):
+            return mat[:, o:o + 4].copy().view("<u4").ravel()
+
+        for j in range(nblk):
+            a = a + w32(12 * j)
+            b = b + w32(12 * j + 4)
+            c = c + w32(12 * j + 8)
+            a, b, c = _bob_mix(a, b, c)
+        base = 12 * nblk                 # zero-padded words == masked reads
+        a = a + w32(base)
+        if t > 4:
+            b = b + w32(base + 4)
+        if t > 8:
+            c = c + w32(base + 8)
+        a, b, c = _bob_final(a, b, c)
+        out_c[idx] = c
+        if pair:
+            out_b[idx] = b
+    return (out_c, out_b) if pair else out_c
+
+
+_SPOOKY_CONST = np.uint64(0xDEADBEEFDEADBEEF)
+
+
+def _rotl64_arr(x: np.ndarray, k: int) -> np.ndarray:
+    return (x << np.uint64(k)) | (x >> np.uint64(64 - k))
+
+
+def _spooky_short_mix(h0, h1, h2, h3):
+    """SpookyHash::ShortMix (src/SpookyV2.hpp:217-231)."""
+    for (ri, rk, add_to, xor_t) in ((2, 50, 3, 0), (3, 52, 0, 1),
+                                    (0, 30, 1, 2), (1, 41, 2, 3),
+                                    (2, 54, 3, 0), (3, 48, 0, 1),
+                                    (0, 38, 1, 2), (1, 37, 2, 3),
+                                    (2, 62, 3, 0), (3, 34, 0, 1),
+                                    (0, 5, 1, 2), (1, 36, 2, 3)):
+        h = [h0, h1, h2, h3]
+        h[ri] = _rotl64_arr(h[ri], rk)
+        h[ri] = h[ri] + h[add_to]
+        h[xor_t] = h[xor_t] ^ h[ri]
+        h0, h1, h2, h3 = h
+    return h0, h1, h2, h3
+
+
+def _spooky_short_end(h0, h1, h2, h3):
+    """SpookyHash::ShortEnd (src/SpookyV2.hpp:246-258)."""
+    for (xt, ri, rk) in ((3, 2, 15), (0, 3, 52), (1, 0, 26), (2, 1, 51),
+                         (3, 2, 28), (0, 3, 9), (1, 0, 47), (2, 1, 54),
+                         (3, 2, 32), (0, 3, 25), (1, 0, 63)):
+        h = [h0, h1, h2, h3]
+        h[xt] = h[xt] ^ h[ri]
+        h[ri] = _rotl64_arr(h[ri], rk)
+        h[xt] = h[xt] + h[ri]
+        h0, h1, h2, h3 = h
+    return h0, h1, h2, h3
+
+
+_SPOOKY_MIX_ROT = (11, 32, 43, 31, 17, 28, 39, 57, 55, 54, 22, 46)
+_SPOOKY_END_ROT = (44, 15, 34, 21, 38, 33, 10, 13, 38, 53, 42, 54)
+
+
+def _spooky_mix(words, h):
+    """SpookyHash::Mix (src/SpookyV2.hpp:133-151): h[i] += data[i];
+    h[(i+2)%12] ^= h[(i+10)%12]; h[(i+11)%12] ^= h[i]; h[i] = rot;
+    h[(i+11)%12] += h[(i+1)%12] — unrolled index arithmetic."""
+    for i in range(12):
+        h[i] = h[i] + words[i]
+        h[(i + 2) % 12] ^= h[(i + 10) % 12]
+        h[(i + 11) % 12] ^= h[i]
+        h[i] = _rotl64_arr(h[i], _SPOOKY_MIX_ROT[i])
+        h[(i + 11) % 12] = h[(i + 11) % 12] + h[(i + 1) % 12]
+    return h
+
+
+def _spooky_end_partial(h):
+    """SpookyHash::EndPartial (src/SpookyV2.hpp:172-186): h[(i+11)%12] +=
+    h[(i+1)%12]; h[(i+2)%12] ^= h[(i+11)%12]; h[(i+1)%12] = rot."""
+    for i in range(12):
+        h[(i + 11) % 12] = h[(i + 11) % 12] + h[(i + 1) % 12]
+        h[(i + 2) % 12] ^= h[(i + 11) % 12]
+        h[(i + 1) % 12] = _rotl64_arr(h[(i + 1) % 12], _SPOOKY_END_ROT[i])
+    return h
+
+
+def spooky_bytes(values, seed: int = 0) -> np.ndarray:
+    """Vectorized SpookyHash V2 ``Hash64`` over byte/str rows —
+    value-identical to ``HashUtil::SpookyHash`` (src/hashutil.cc:583-585 →
+    src/SpookyV2.cpp Hash128/Short): ShortHash below 192 bytes, the
+    12-lane 96-byte-block long form at or above.  Length-bucketed
+    word-lockstep like :func:`murmur2_bytes`."""
+    bufs, by_len = _byte_matrix(values)
+    out = np.zeros(len(bufs), dtype=np.uint64)
+    sd = np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+    for L, idx in by_len.items():
+        idx = np.asarray(idx)
+        n = len(idx)
+        if L < 192:                              # Short (SpookyV2.cpp:21-121)
+            nset = L // 32 if L > 15 else 0
+            extra16 = 1 if (L > 15 and L % 32 >= 16) else 0
+            pos = 32 * nset + 16 * extra16
+            rem = L - pos                        # 0..15
+            mat = _padded_matrix(bufs, idx, L, pos + 16)
+
+            def w64(o):
+                return mat[:, o:o + 8].copy().view("<u8").ravel()
+
+            a = np.full(n, sd, dtype=np.uint64)
+            b = a.copy()
+            c = np.full(n, _SPOOKY_CONST, dtype=np.uint64)
+            d = c.copy()
+            for j in range(nset):
+                c = c + w64(32 * j)
+                d = d + w64(32 * j + 8)
+                a, b, c, d = _spooky_short_mix(a, b, c, d)
+                a = a + w64(32 * j + 16)
+                b = b + w64(32 * j + 24)
+            if extra16:
+                c = c + w64(32 * nset)
+                d = d + w64(32 * nset + 8)
+                a, b, c, d = _spooky_short_mix(a, b, c, d)
+            d = d + (np.uint64(L) << np.uint64(56))
+            if rem == 0:                         # zero tail: both += const
+                c = c + _SPOOKY_CONST
+                d = d + _SPOOKY_CONST
+            else:                                # padded reads == tail switch
+                c = c + w64(pos)
+                d = d + w64(pos + 8)
+            a, b, c, d = _spooky_short_end(a, b, c, d)
+            out[idx] = a
+        else:                                    # long form (Hash128)
+            nblk = L // 96
+            rem = L - 96 * nblk                  # 0..95
+            mat = _padded_matrix(bufs, idx, L, 96 * (nblk + 1))
+            mat[:, 96 * nblk + 95] = rem         # buf[blockSize-1]=remainder
+            h = [np.full(n, sd, dtype=np.uint64) for _ in range(2)] \
+                + [np.full(n, _SPOOKY_CONST, dtype=np.uint64)]
+            h = (h * 4)[:12]                     # h0=h3=h6=h9, h1=..., h2=...
+            h = [x.copy() for x in h]
+            for j in range(nblk):
+                words = [mat[:, 96 * j + 8 * i:96 * j + 8 * i + 8]
+                         .copy().view("<u8").ravel() for i in range(12)]
+                h = _spooky_mix(words, h)
+            words = [mat[:, 96 * nblk + 8 * i:96 * nblk + 8 * i + 8]
+                     .copy().view("<u8").ravel() for i in range(12)]
+            for i in range(12):                  # End(): h += data, 3 rounds
+                h[i] = h[i] + words[i]
+            for _ in range(3):
+                h = _spooky_end_partial(h)
+            out[idx] = h[0]
+    return out

@@ -899,3 +899,91 @@ def test_gcs_monotone_index_roundtrip_and_size():
     probes = np.concatenate([keys, splitmix64(100_000, seed=92)])
     assert (g.contain_batch(probes) == f.contain_batch(probes)).all()
     assert g.contain_batch(keys).all()
+
+
+def test_bobhash_and_spooky_reference_values():
+    """Value-identical to HashUtil::BobHash (lookup3 hashlittle +
+    hashlittle2 pair form) and ::SpookyHash (SpookyV2 Hash64) — vectors
+    generated from a g++ build of src/hashutil.cc + src/SpookyV2.cpp.
+    Lengths cover every lookup3 tail case, the spooky Short 32-byte-set /
+    extra-16 / 0..15-tail branches, and the >=192-byte long form."""
+    from cuckoofilter_ray.kernels import bobhash_bytes, spooky_bytes
+    tests = ["", "a", "ab", "abc", "abcd", "hello", "hello world!",
+             "0123456789ab", "0123456789abc",
+             "the quick brown fox jumps over the lazy dog",
+             "x" * 15, "y" * 16, "z" * 31, "w" * 32, "q" * 33, "m" * 95,
+             "n" * 96, "p" * 191, "r" * 192, "s" * 193, "t" * 300, "u" * 500]
+    ref = [  # (len, bob@0, bob@0xdeadbeef, pair_c@(7,13), pair_b, spooky@0,
+             #  spooky@0x123456789abcdef)
+        (0, 0xdeadbeef, 0xbd5b7dde, 0xdeadbf03, 0xdeadbef6,
+         0x232706fc6bf50919, 0x8be724e4ce4a9a76),
+        (1, 0x58d68708, 0xdd24f4fb, 0x07dbb124, 0x295dd8e1,
+         0x1a108191a0bbc9bd, 0x122ad807d9b3b322),
+        (2, 0xfbb3a8df, 0xa9eefaac, 0x46be9080, 0x13fb5037,
+         0xf9dbb6ad202a090f, 0xd12db846bd6c7a4c),
+        (3, 0x0e397631, 0x110255fd, 0x8d534769, 0x7cf3889e,
+         0x8aab15f77537c967, 0xeb7b396612130a0e),
+        (4, 0xb5f4889c, 0x6598132e, 0x532b2fcc, 0x061e51d9,
+         0x5c6db4e0725121b4, 0x0f4f9cf61fe3c04e),
+        (5, 0x34cbbc6e, 0x4989d858, 0xda03f71e, 0x3fbe392b,
+         0x3768826ad382e6ca, 0x29d8710064f6abad),
+        (12, 0x4b8946db, 0xe9d5d60c, 0xd8036099, 0x418d94d9,
+         0xe077d41ddbfd8d8b, 0xc652ea74bf674a57),
+        (12, 0x1065e50a, 0x369436fa, 0xd61aa0f9, 0x373528a2,
+         0xc3fcc139e4c6832a, 0x78e332f5386f2e03),
+        (13, 0x7351ce56, 0xaea695cf, 0xe5fc4ac1, 0x459210d9,
+         0x86130593c7746a6f, 0x75bf7d4ef07c8b71),
+        (43, 0x5e47fa15, 0x5f567d43, 0x6a7f9d61, 0xed78eb0a,
+         0xdce4ba32ba242702, 0x94d75244dbb02f74),
+        (15, 0x6a89b9e9, 0x7a05adc7, 0x4b6a3dd2, 0x5a1883b0,
+         0x847e82eb06b8c660, 0x917a25c7448d85e5),
+        (16, 0xcc8d56d4, 0x1a5e24bb, 0x9a2fdeb2, 0x1f55d3c8,
+         0xa1fb53979f187404, 0x36cabb97310e41c9),
+        (31, 0xb31bdd5f, 0x44fbd80c, 0xa450f358, 0x22d96091,
+         0xfd07eeb6179d978f, 0xcb1cc30987a07686),
+        (32, 0x0c8a63ae, 0xe4003432, 0xa866f942, 0x88804efd,
+         0x2870af9c363be985, 0xf59dee524098f9bd),
+        (33, 0x7bbc468f, 0x9dce8ba1, 0x0b2a6247, 0x026c1c36,
+         0x936922778943add5, 0x6c6b78f2849f4a7f),
+        (95, 0xf4354583, 0x6a977de4, 0x6537eeb4, 0x527f0ad7,
+         0x70c4594fe23af247, 0xdf7c5166ac8e986c),
+        (96, 0xf9bd3a82, 0x79083555, 0xbfa65abe, 0x162da483,
+         0xd57c83d8bba8f9b2, 0xa767c2c3bd2f0149),
+        (191, 0xde5537c5, 0xe87d3576, 0xbaa17679, 0xe2f408ba,
+         0x5e8475f0f8e3cfbb, 0x5e585d3dc7ef13c2),
+        (192, 0x8a198e79, 0x569f6e05, 0x3554d08c, 0xabd26aa4,
+         0xefc407e667c488a2, 0x263d75cf8256482f),
+        (193, 0xaff837ed, 0xd00b330d, 0x627bbda3, 0x4c16d701,
+         0x709a4ea47d30bf9f, 0xb6464a5086aa2750),
+        (300, 0x201cb849, 0x42844ce4, 0x4d5954e4, 0xf642bda0,
+         0x0653848f0187f199, 0x25850b2aaeb57f2a),
+        (500, 0xef02a1ea, 0xfb6c1fd6, 0x9155f287, 0xf964e236,
+         0x717eafec5629e3ad, 0xdff626b70057bbed),
+    ]
+    b0 = bobhash_bytes(tests, seed=0)
+    b1 = bobhash_bytes(tests, seed=0xDEADBEEF)
+    pc, pb = bobhash_bytes(tests, seed=7, seed2=13)
+    s0 = spooky_bytes(tests, seed=0)
+    s1 = spooky_bytes(tests, seed=0x123456789ABCDEF)
+    for i, (L, rb0, rb1, rc, rb, rs0, rs1) in enumerate(ref):
+        assert len(tests[i].encode()) == L
+        assert (b0[i], b1[i], pc[i], pb[i]) == (rb0, rb1, rc, rb), tests[i][:20]
+        assert (int(s0[i]), int(s1[i])) == (rs0, rs1), tests[i][:20]
+
+
+def test_bob_spooky_keying_families():
+    """derive_keys byte_hash='bob'/'spooky': deterministic uint64 keys,
+    bob = hashlittle2's documented c + (b<<32) doubling."""
+    from cuckoofilter_ray.functions.keys import add_content_keys
+    from cuckoofilter_ray.kernels import bobhash_bytes, spooky_bytes
+    import pyarrow as pa
+    texts = ["alpha", "beta", "gamma", "", "x" * 200]
+    batch = pa.table({"content": texts})
+    got_bob = add_content_keys(batch, byte_hash="bob", sha_col="") \
+        .column("key_hi64").to_pylist()
+    c, b = bobhash_bytes(texts, seed=0, seed2=0)
+    assert got_bob == [int(ci) + (int(bi) << 32) for ci, bi in zip(c, b)]
+    got_sp = add_content_keys(batch, byte_hash="spooky", sha_col="") \
+        .column("key_hi64").to_pylist()
+    assert got_sp == [int(v) for v in spooky_bytes(texts, seed=0)]
+    assert len(set(got_bob)) == len(set(got_sp)) == 5
