@@ -252,6 +252,15 @@ def q_spooky_membership(sf_dir: str):
                                        byte_hash="spooky")
 
 
+def q_crate_membership(sf_dir: str):
+    """Per-lang GenericCrate pocket-dictionary filters (Elias–Fano PDs of
+    51 sorted 8-bit remainders over 50 quotients + exact uint32 spare,
+    src/crate.h / arXiv:1911.05060): Contain64 semantics with the engine's
+    zero-FN contract (the reference's crate.h:477 ``bool << i`` lane>=32
+    UB is deliberately not reproduced) ⇒ exact COUNT(*) oracle."""
+    return _membership_recall_for_kind(sf_dir, "crate")
+
+
 def q_tail_membership(sf_dir: str):
     """Per-lang TailFilters (dynamic AMQ with shrinking fingerprints over
     QuotientDysect d-ary cuckoo, src/tail-filter.hpp + quotient-dysect.hpp):
@@ -1010,6 +1019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tims_membership": q_tims_membership,
         "murmur2_membership": q_murmur2_membership,
         "spooky_membership": q_spooky_membership,
+        "crate_membership": q_crate_membership,
         "tail_membership": q_tail_membership,
         "shingle_membership": q_shingle_membership,
         "gcs_membership": q_gcs_membership,
@@ -1079,6 +1089,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
             "FROM documents GROUP BY lang",
         "spooky_membership":
+            "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
+            "FROM documents GROUP BY lang",
+        "crate_membership":
             "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
             "FROM documents GROUP BY lang",
         "gcs_membership":

@@ -2,6 +2,8 @@
 
 from .bloom import BlockedBloomFilter, BloomFilter, next_prime
 from .counting import CountingQuotientFilter, NotEnoughSpaceError
+from .crate import CrateFilter
+from .dict import Dict, SimdSizedDict, SizedDict
 from .cuckoo import (MAX_KICKS, NOT_ENOUGH_SPACE, NOT_FOUND, OK, TAGS_PER_BUCKET,
                      BulkResult, CuckooFilter, upperpower2)
 from .hashing import (DEFAULT_SEED, bobhash_bytes, hash_key64, md5_hex,
@@ -27,6 +29,7 @@ __all__ = [
     "TAGS_PER_BUCKET", "deserialize", "filter_to_row", "hash_key64",
     "make_filter", "mix_split", "murmur64", "next_prime", "pack_bits",
     "bobhash_bytes", "spooky_bytes",
+    "CrateFilter", "Dict", "SimdSizedDict", "SizedDict",
     "md5_hex", "murmur2_bytes", "row_to_filter", "serialize", "sha1_hex", "sha256_bytes",
     "sha256_hex", "sha256_u64", "simple_tabulation", "tabulation_tables",
     "superfast_bytes", "universal_multiply_shift",

@@ -24,6 +24,7 @@ import numpy as np
 
 from .bloom import BlockedBloomFilter, BloomFilter
 from .counting import CountingQuotientFilter
+from .crate import CrateFilter
 from .gcs import GcsFilter
 from .growbloom import GrowBlockedBloomFilter
 from .shingle import ShingleFilter
@@ -228,6 +229,30 @@ def filter_to_row(filt: Any, group_key: str = "", shard_id: int = 0,
             "hash_family": filt.hash_family,
             "table_bytes": payload,
         }
+    if isinstance(filt, CrateFilter):
+        # table_bytes = 64-byte PD blocks (the reference's exact at-rest
+        # layout, crate.h:331-392) ++ spare payload (uint32 LE blocks of
+        # 16).  victim_index = PD split point, victim_tag = spare block
+        # capacity, victim_used = spare has_zero.  The hot (packed=False)
+        # broadcast form ships the sorted fps / counts / spare arrays as
+        # numpy for zero-copy plasma reads.
+        row = {
+            "group_key": group_key, "shard_id": shard_id, "kind": "crate",
+            "variant": "", "bits_per_tag": 8,
+            "num_buckets": filt.bucket_count, "num_items": filt.num_items,
+            "victim_index": 0, "victim_tag": filt.spare.capacity,
+            "victim_used": bool(filt.spare.has_zero), "seed": int(filt.seed),
+            "table_bytes": b"",
+        }
+        if packed:
+            blocks = filt.pack_blocks()
+            row["victim_index"] = len(blocks)
+            row["table_bytes"] = blocks + filt.spare.payload.tobytes()
+        else:
+            row["fps_np"] = filt.fps
+            row["counts_np"] = filt.counts
+            row["spare_np"] = filt.spare.payload
+        return row
     if isinstance(filt, XorFilter2n):
         return {
             "group_key": group_key, "shard_id": shard_id, "kind": "xor2n",
@@ -393,6 +418,31 @@ def row_to_filter(row: dict) -> Any:
         f.ttl = int(d["ttl"])
         f.num_items = int(row["num_items"])
         return f
+    if kind == "crate":
+        from .dict import SimdSizedDict
+        nb = int(row["num_buckets"])
+        spare_cap = int(row["victim_tag"])
+        if "fps_np" in row:                  # zero-copy plasma views
+            f = CrateFilter(nb * 44, seed=int(row["seed"]))
+            f.bucket_count = nb
+            f.fps = np.asarray(row["fps_np"])
+            f.counts = np.asarray(row["counts_np"]).astype(np.uint8, copy=False)
+            spare_payload = np.asarray(row["spare_np"])
+        else:
+            split = int(row["victim_index"])
+            buf = row["table_bytes"]
+            f = CrateFilter.from_blocks(bytes(buf[:split]), nb * 44,
+                                        seed=int(row["seed"]))
+            spare_payload = np.frombuffer(buf[split:], dtype="<u4") \
+                .reshape(-1, 16).copy()
+        sp = SimdSizedDict(1)
+        sp.capacity = spare_cap
+        sp.payload = spare_payload
+        sp.ndv = int((spare_payload != 0).sum())
+        sp.has_zero = bool(row["victim_used"])
+        f.spare = sp
+        f.num_items = int(row["num_items"])
+        return f
     if kind == "xor2n":
         f = XorFilter2n(1, bits_per_tag=int(row["bits_per_tag"]),
                         seed=int(row["seed"]))
@@ -487,4 +537,8 @@ def make_filter(kind: str, capacity: int, seed: int, bits_per_tag: int = 12,
         return TailFilter.create(capacity, seed=seed,
                                  epsilon=2.0 ** -min(bits_per_tag, 16),
                                  hash_family=hash_family)
+    if kind == "crate":
+        # raw-key-bit pocket dictionary (crate.h:432-445): no hash family,
+        # fixed 8-bit remainders — feed it hashed keys
+        return CrateFilter.create(capacity, seed=seed)
     raise ValueError(f"unknown filter kind {kind!r}")
