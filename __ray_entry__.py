@@ -252,6 +252,13 @@ def q_spooky_membership(sf_dir: str):
                                        byte_hash="spooky")
 
 
+def q_xor2_membership(sf_dir: str):
+    """Per-lang XorFilter2 filters (tight 3+1.23n sizing with UInt12Array
+    packed fingerprint storage, src/xorfilter_2.h + nbit_array.h): bulk
+    build per group, zero false negatives ⇒ exact COUNT(*) oracle."""
+    return _membership_recall_for_kind(sf_dir, "xor2")
+
+
 def q_crate_membership(sf_dir: str):
     """Per-lang GenericCrate pocket-dictionary filters (Elias–Fano PDs of
     51 sorted 8-bit remainders over 50 quotients + exact uint32 spare,
@@ -1019,6 +1026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tims_membership": q_tims_membership,
         "murmur2_membership": q_murmur2_membership,
         "spooky_membership": q_spooky_membership,
+        "xor2_membership": q_xor2_membership,
         "crate_membership": q_crate_membership,
         "tail_membership": q_tail_membership,
         "shingle_membership": q_shingle_membership,
@@ -1089,6 +1097,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
             "FROM documents GROUP BY lang",
         "spooky_membership":
+            "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
+            "FROM documents GROUP BY lang",
+        "xor2_membership":
             "SELECT lang, count(*) AS n_probed, count(*) AS n_found "
             "FROM documents GROUP BY lang",
         "crate_membership":

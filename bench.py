@@ -276,7 +276,8 @@ def bench_config_sweep(ray, results: dict, extras: dict) -> None:
                        ("bloom", 12), ("blockedbloom", 8),
                        ("blockedbloom-fixed", 11), ("xor", 8),
                        ("shingle", 12), ("counting", 8), ("gcs", 8),
-                       ("xorplus", 8), ("tail", 12), ("crate", 8)]:
+                       ("xorplus", 8), ("tail", 12), ("crate", 8),
+                       ("xor2", 12)]:
         cfg_n = n_tail if kind == "tail" else n
         cfg_keyed = keyed_tail if kind == "tail" else keyed
         t0 = time.perf_counter()

@@ -30,6 +30,7 @@ ALGS = [("cuckoo", 8), ("cuckoo", 12), ("cuckoo", 16), ("semisort", 13),
         ("cuckoo-stable", 12), ("bloom", 12), ("blockedbloom", 8), ("xor", 8),
         ("shingle", 12), ("counting", 8), ("gcs", 8), ("xorplus", 8),
         ("crate", 8),
+        ("xor2", 10), ("xor2", 12),
         ("xor2n", 8)]
 
 

@@ -17,7 +17,7 @@ from .gcs import GcsFilter
 from .growbloom import GrowBlockedBloomFilter
 from .shingle import ShingleFilter
 from .tail import QuotientDysect, TailFilter
-from .xor import XorFilter
+from .xor import XorFilter, XorFilter2
 from .xorplus import XorFilter2n, XorFilterPlus
 from .serde import (deserialize, filter_to_row, make_filter, pack_bits,
                     row_to_filter, serialize, unpack_bits)
@@ -35,5 +35,5 @@ __all__ = [
     "superfast_bytes", "universal_multiply_shift",
     "GcsFilter", "GrowBlockedBloomFilter", "QuotientDysect", "ShingleFilter",
     "TailFilter", "splitmix64", "tims_params", "two_independent_multiply_shift",
-    "unpack_bits", "upperpower2", "XorFilter", "XorFilter2n", "XorFilterPlus",
+    "unpack_bits", "upperpower2", "XorFilter", "XorFilter2", "XorFilter2n", "XorFilterPlus",
 ]

@@ -30,7 +30,7 @@ from .growbloom import GrowBlockedBloomFilter
 from .shingle import ShingleFilter
 from .tail import TailFilter
 from .cuckoo import CuckooFilter
-from .xor import XorFilter
+from .xor import XorFilter, XorFilter2
 from .xorplus import XorFilter2n, XorFilterPlus
 from . import semisort
 
@@ -277,6 +277,26 @@ def filter_to_row(filt: Any, group_key: str = "", shard_id: int = 0,
             "victim_used": False, "seed": int(filt.build_seed),
             "table_bytes": seg01 + bmp + filt.dense3.tobytes(),
         }
+    if isinstance(filt, XorFilter2):
+        # codec carries the resolved storage layout (uint12 | nbit,
+        # src/nbit_array.h); packed=True stores the reference's exact packed
+        # buffer, packed=False the raw in-memory fingerprint array
+        layout = "uint12" if (filt.layout == "uint12"
+                              or (filt.layout == "auto"
+                                  and filt.bits_per_tag == 12)) else "nbit"
+        if packed:
+            table_bytes = filt.packed_storage().data.tobytes()
+        else:
+            table_bytes = np.ascontiguousarray(filt.fingerprints).tobytes()
+        return {
+            "group_key": group_key, "shard_id": shard_id, "kind": "xor2",
+            "codec": layout if packed else "raw",
+            "variant": "built" if filt._built else "",
+            "bits_per_tag": filt.bits_per_tag,
+            "num_buckets": filt.block_length, "num_items": filt.num_items,
+            "victim_index": 0, "victim_tag": 0, "victim_used": False,
+            "seed": int(filt.build_seed), "table_bytes": table_bytes,
+        }
     if isinstance(filt, XorFilter):
         # seed column carries the successful build seed; num_buckets the
         # block length (capacity is recoverable only approximately — rows
@@ -467,6 +487,28 @@ def row_to_filter(row: dict) -> Any:
         f.num_items = int(row["num_items"])
         f._built = row.get("variant") == "built"
         return f
+    if kind == "xor2":
+        from .nbit import NBitArray, UInt12Array
+        bits = int(row["bits_per_tag"])
+        f = XorFilter2(1, bits_per_tag=bits, seed=int(row["seed"]))
+        f.block_length = int(row["num_buckets"])
+        n = 3 * f.block_length
+        dtype = np.uint8 if bits <= 8 else np.uint16
+        codec = row.get("codec", "raw")
+        if codec == "raw":
+            f.fingerprints = np.frombuffer(row["table_bytes"],
+                                           dtype=dtype).copy()[:n]
+        else:
+            store = UInt12Array(n) if codec == "uint12" else NBitArray(n, bits)
+            buf = np.frombuffer(row["table_bytes"], dtype=np.uint8)
+            store.data = buf[:store.byte_count].copy()
+            f.fingerprints = store.get_batch(np.arange(n)) \
+                .astype(dtype, copy=False)
+            f.layout = codec
+        f.build_seed = int(row["seed"])
+        f.num_items = int(row["num_items"])
+        f._built = row.get("variant") == "built"
+        return f
     if kind == "xor":
         f = XorFilter(1, bits_per_tag=int(row["bits_per_tag"]),
                       seed=int(row["seed"]))
@@ -515,6 +557,9 @@ def make_filter(kind: str, capacity: int, seed: int, bits_per_tag: int = 12,
     if kind == "xor":
         return XorFilter(capacity, bits_per_tag=bits_per_tag if bits_per_tag
                          in (8, 16) else 8, seed=seed)
+    if kind == "xor2":
+        return XorFilter2(capacity, bits_per_tag=min(max(bits_per_tag, 4), 16),
+                          seed=seed)
     if kind == "counting":
         return CountingQuotientFilter.create(capacity, seed=seed,
                                              hash_family=hash_family)

@@ -145,7 +145,7 @@ class FilterSketch(AggregateFnV2):
 
 #: bulk-build-only structures: accumulators stay sparse (raw keys) all the
 #: way to the final per-group build — there is no partial-filter merge.
-NOT_MERGEABLE = {"xor", "gcs", "xorplus", "xor2n", "crate"}
+NOT_MERGEABLE = {"xor", "xor2", "gcs", "xorplus", "xor2n", "crate"}
 
 
 def sparse_limit_for(kind: str, capacity: int) -> int:
