@@ -129,6 +129,40 @@ class QuotientDysect:
     def hash_(self, arena: int, key: int) -> int:
         return self._bij[arena - 1][0](key)
 
+    def hash_batch(self, arena: int, keys: np.ndarray) -> np.ndarray:
+        """Vectorized forward Feistel bijection (quotient-dysect.hpp:33-69).
+
+        The round function needs only the LOW ``smallk`` bits of
+        ``highmul128(ab, c)``; with ``ab < 2^smallk`` and ``smallk <= 32``
+        every intermediate term fits exactly in uint64 when the 128-bit
+        constant is split at bit 32, so the batch matches the scalar
+        big-int path bit-for-bit (pinned by test)."""
+        k = self.k
+        smallk = k // 2
+        if smallk > 32:      # keys beyond 64-bit key space are impossible
+            f = self._bij[arena - 1][0]
+            return np.array([f(int(x)) for x in np.asarray(keys)],
+                            dtype=np.uint64)
+        bigk = k - smallk
+        sm = np.uint64((1 << smallk) - 1)
+        bm = np.uint64((1 << bigk) - 1)
+        em = np.uint64((1 << (bigk - smallk)) - 1)
+        c_hi, c_lo = self.hash_consts[arena - 1]
+        chi = np.uint64(c_hi & M64)
+        clo_hi = np.uint64((c_lo >> 32) & 0xFFFFFFFF)
+        clo_lo = np.uint64(c_lo & 0xFFFFFFFF)
+        r = np.asarray(keys, dtype=np.uint64)
+        for _ in range(4):
+            ab = r >> np.uint64(bigk)
+            cde = r & bm
+            cd = cde >> np.uint64(bigk - smallk)
+            e = cde & em
+            eab = (e << np.uint64(smallk)) | ab
+            t = (ab * clo_lo) >> np.uint64(32)
+            fab = ab * chi + ((ab * clo_hi + t) >> np.uint64(32))
+            r = (((cd ^ fab) & sm) << np.uint64(bigk)) | eab
+        return r
+
     def hash_inverse(self, arena: int, key: int) -> int:
         return self._bij[arena - 1][1](key)
 
@@ -436,10 +470,75 @@ class TailFilter:
     def add(self, key: int) -> bool:
         return bool(self.add_batch(np.array([key], dtype=np.uint64)).ok)
 
-    def contain_batch(self, keys) -> np.ndarray:
+    def contain_batch_scalar(self, keys) -> np.ndarray:
+        """Reference scalar probe (tail-filter.hpp:70-88 verbatim walk) —
+        kept as the parity oracle for the vectorized path."""
         hs = self._hashes(keys)
         return np.fromiter((self.lookup_hash(int(h)) for h in hs),
                            dtype=bool, count=len(hs))
+
+    def contain_batch(self, keys) -> np.ndarray:
+        """Vectorized probe: batch bitset gather, per-arena batch Feistel,
+        flattened little-array gather + offset-lockstep GetRaw decode, and
+        the terminator prefix match via an exact power-of-two log2
+        (pinned equal to :meth:`contain_batch_scalar`)."""
+        hs = self._hashes(keys)
+        n = len(hs)
+        out = np.zeros(n, dtype=bool)
+        if n == 0:
+            return out
+        if self.bitset is not None:
+            shift_out = np.uint64(64 - (len(self.bitset).bit_length() - 1))
+            out |= self.bitset[(hs >> shift_out).astype(np.int64)] \
+                .astype(bool)
+        key = hs >> np.uint64(64 - self.lgm - self.epoch)
+        value = (hs >> np.uint64(64 - self.epoch - self.lgme)) \
+            & np.uint64((1 << (self.lgme - self.lgm)) - 1)
+        probe_v = (value << np.uint64(1)) | np.uint64(1)
+        qd = self.qd
+        k, w, s, v = qd.k, qd.w, qd.s, qd.v
+        smask = np.uint64((1 << s) - 1)
+        vmask = np.uint64((1 << v) - 1)
+        kw_mask = np.uint64((1 << (k - w)) - 1)
+        L0 = 1 << qd.log_little
+        for p in range(qd.d):
+            ck = key if p == 0 else qd.hash_batch(p, key)
+            q = (ck >> np.uint64(k - w)).astype(np.int64)
+            lens = np.array([len(a) for a in qd.payload[p]], dtype=np.int64)
+            starts = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=starts[1:])
+            flat = np.concatenate(qd.payload[p])
+            Lq = lens[q]
+            ellq = qd.log_little + (Lq > L0)
+            sh1 = np.maximum(0, k - ellq - w).astype(np.uint64)
+            sh2 = np.maximum(0, w + ellq - k).astype(np.uint64)
+            sh3 = np.maximum(0, ellq + w - k).astype(np.uint64)
+            home = ((ck & kw_mask) >> sh1) << sh2
+            width = np.int64(1) << np.maximum(0, w + ellq - k)
+            end = np.minimum(width + (1 << s) - 1, Lq)
+            maskq = (Lq - 1).astype(np.uint64)
+            base = starts[q]
+            ell_u = ellq.astype(np.uint64)
+            vs_shift = np.uint64(v + s)
+            for off in range(int(end.max())):
+                idx = (home + np.uint64(off)) & maskq
+                slot = flat[base + idx.astype(np.int64)]
+                cand = (slot != 0) & (off < end) & ~out
+                if not cand.any():
+                    continue
+                r_adj = (idx - (slot & smask)) & maskq
+                k2 = ((q.astype(np.uint64) << ell_u) | r_adj) >> sh3
+                k2 = (k2 << sh1) | (slot >> vs_shift)
+                v2 = (slot >> np.uint64(s)) & vmask
+                cand &= (k2 == ck) & (v2 != 0)
+                if not cand.any():
+                    continue
+                # tz = 1 + trailing_zeros(v2); stored>>tz == probe>>tz
+                lsb = np.where(cand, v2 & (~v2 + np.uint64(1)), np.uint64(1))
+                tz = np.log2(lsb.astype(np.float64)).astype(np.uint64) \
+                    + np.uint64(1)
+                out |= cand & ((v2 >> tz) == (probe_v >> tz))
+        return out
 
     def contain(self, key: int) -> bool:
         return bool(self.contain_batch(np.array([key], dtype=np.uint64))[0])

@@ -744,6 +744,39 @@ def test_tail_filter_no_false_negatives_across_epochs():
     assert tf.qd.capacity == 5440 and tf.epoch == 7
 
 
+def test_tail_vectorized_probe_matches_scalar():
+    """contain_batch (batch Feistel + flattened-arena lockstep decode)
+    equals the scalar tail-filter.hpp:70-88 walk, bit-for-bit, across
+    epochs, both little-array sizes, and the graduated-bitset path."""
+    from cuckoofilter_ray.kernels import TailFilter
+    rng = np.random.default_rng(3)
+    configs = [(500, 2.0 ** -8, 125), (20000, 2.0 ** -12, 5000),
+               (30000, 2.0 ** -4, 64)]        # last: deep epochs + bitset
+    for n, eps, cap in configs:
+        keys = rng.integers(0, 2 ** 63, n, dtype=np.uint64)
+        tf = TailFilter.create(cap, seed=11, epsilon=eps)
+        tf.add_batch(keys)
+        probes = np.concatenate(
+            [keys, rng.integers(0, 2 ** 63, n, dtype=np.uint64)])
+        scalar = tf.contain_batch_scalar(probes)
+        vec = tf.contain_batch(probes)
+        assert (scalar == vec).all()
+        assert vec[:n].all()                  # zero FN either way
+    assert tf.bitset is not None              # graduation exercised
+
+
+def test_tail_feistel_batch_matches_scalar():
+    from cuckoofilter_ray.kernels import TailFilter
+    tf = TailFilter(9, 1.0 / 4096, seed=21)
+    tf.add_batch(splitmix64(2000, seed=22))
+    qd = tf.qd
+    ks = splitmix64(500, seed=23) & np.uint64((1 << qd.k) - 1)
+    for arena in (1, 2, 3):
+        want = np.array([qd.hash_(arena, int(x)) for x in ks],
+                        dtype=np.uint64)
+        assert (qd.hash_batch(arena, ks) == want).all()
+
+
 def test_tail_filter_fpr_within_structure_bound():
     """At epoch 0 the FPR tracks epsilon (reference binary: 0.0011 at
     lgm=13/eps=1/512/n=5000); shrunk fingerprints raise it ~linearly in
