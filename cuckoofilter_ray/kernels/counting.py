@@ -263,20 +263,39 @@ class CountingQuotientFilter:
         code_idx = np.zeros(nchunks + 1, dtype=np.int64)
         np.cumsum(counts_per_chunk, out=code_idx[1:])
         h_lane_bits = hstart[code_idx]
-        cshift = 1
-        cvals = self.counts - 1
-        while len(cvals) and int(cvals.max()) >> cshift >= 63:
-            cshift += 1
-        cstream, cbits, cstart = rice_pack(cvals, cshift)
-        c_code_idx = np.minimum(np.arange(nchunks + 1) * ch, n)
-        return pickle.dumps({
-            "n": n, "hshift": hshift, "cshift": cshift,
+        if hbits >= 1 << 32:                 # uint32 lane offsets (see GCS)
+            raise ValueError("counting shard Rice stream exceeds 2^32 bits "
+                             "— split the build into more shards")
+        out = {
+            "n": n, "hshift": hshift,
             "firsts": pack_width64(firsts, self.nhashbits),
             "hstream": hstream, "hbits": hbits,
-            "hlanes": h_lane_bits.astype(np.int64),
-            "cstream": cstream, "cbits": cbits,
-            "clanes": cstart[c_code_idx].astype(np.int64),
-        }, protocol=pickle.HIGHEST_PROTOCOL)
+            "hlanes": h_lane_bits.astype(np.uint32),
+        }
+        # counts: in a dedup/membership corpus almost every count is 1, so
+        # the dense Rice stream's ~2 bits/item (+1 lane bit) buys nothing —
+        # store the >1 exceptions as (uint32 index, int64 count) pairs when
+        # they are sparse enough that 96 bits/exception wins (the C CQF's
+        # analog is its escape-coded multi-slot counters, gqf.c)
+        dup = np.flatnonzero(self.counts > 1)
+        if len(dup) * 96 < 2 * n and n < 1 << 32:
+            out["cmode"] = "sparse"
+            out["cexc_idx"] = dup.astype(np.uint32)
+            out["cexc_cnt"] = self.counts[dup]
+        else:
+            cshift = 1
+            cvals = self.counts - 1
+            while len(cvals) and int(cvals.max()) >> cshift >= 63:
+                cshift += 1
+            cstream, cbits, cstart = rice_pack(cvals, cshift)
+            c_code_idx = np.minimum(np.arange(nchunks + 1) * ch, n)
+            if cbits >= 1 << 32:
+                raise ValueError("counting shard count stream exceeds 2^32 "
+                                 "bits — split the build into more shards")
+            out.update({"cmode": "rice", "cshift": cshift,
+                        "cstream": cstream, "cbits": cbits,
+                        "clanes": cstart[c_code_idx].astype(np.uint32)})
+        return pickle.dumps(out, protocol=pickle.HIGHEST_PROTOCOL)
 
     def unpack_payload(self, payload: bytes) -> None:
         import pickle
@@ -292,7 +311,10 @@ class CountingQuotientFilter:
         firsts = unpack_width64(d["firsts"], self.nhashbits, nchunks) \
             .astype(np.int64)
         lane, delta = rice_unpack(d["hstream"], d["hbits"],
-                                  d["hlanes"][:-1], d["hlanes"][1:],
+                                  np.asarray(d["hlanes"][:-1],
+                                             dtype=np.int64),
+                                  np.asarray(d["hlanes"][1:],
+                                             dtype=np.int64),
                                   d["hshift"])
         hashes = np.empty(n, dtype=np.int64)
         hashes[::ch] = firsts
@@ -309,16 +331,23 @@ class CountingQuotientFilter:
                 len(lane)), side="right") - 1]
             hashes[lane * ch + 1 + k] = within
         self.hashes = hashes.astype(np.uint64)
-        clane, cval = rice_unpack(d["cstream"], d["cbits"],
-                                  d["clanes"][:-1], d["clanes"][1:],
-                                  d["cshift"])
-        counts = np.empty(n, dtype=np.int64)
-        if len(clane):
-            cseg = np.flatnonzero(np.concatenate(([True],
-                                                  clane[1:] != clane[:-1])))
-            ck = np.arange(len(clane)) - cseg[np.searchsorted(
-                cseg, np.arange(len(clane)), side="right") - 1]
-            counts[clane * ch + ck] = cval + 1
+        if d.get("cmode", "rice") == "sparse":
+            counts = np.ones(n, dtype=np.int64)
+            counts[d["cexc_idx"].astype(np.int64)] = d["cexc_cnt"]
+        else:
+            clane, cval = rice_unpack(d["cstream"], d["cbits"],
+                                      np.asarray(d["clanes"][:-1],
+                                                 dtype=np.int64),
+                                      np.asarray(d["clanes"][1:],
+                                                 dtype=np.int64),
+                                      d["cshift"])
+            counts = np.empty(n, dtype=np.int64)
+            if len(clane):
+                cseg = np.flatnonzero(np.concatenate(
+                    ([True], clane[1:] != clane[:-1])))
+                ck = np.arange(len(clane)) - cseg[np.searchsorted(
+                    cseg, np.arange(len(clane)), side="right") - 1]
+                counts[clane * ch + ck] = cval + 1
         self.counts = counts
 
     def info(self) -> str:
