@@ -17,6 +17,7 @@ from .gcs import GcsFilter
 from .growbloom import GrowBlockedBloomFilter
 from .shingle import ShingleFilter
 from .tail import QuotientDysect, TailFilter
+from .nbit import NBitArray, UInt12Array
 from .xor import XorFilter, XorFilter2
 from .xorplus import XorFilter2n, XorFilterPlus
 from .serde import (deserialize, filter_to_row, make_filter, pack_bits,
@@ -28,7 +29,7 @@ __all__ = [
     "NOT_FOUND", "NotEnoughSpaceError", "OK",
     "TAGS_PER_BUCKET", "deserialize", "filter_to_row", "hash_key64",
     "make_filter", "mix_split", "murmur64", "next_prime", "pack_bits",
-    "bobhash_bytes", "spooky_bytes",
+    "bobhash_bytes", "spooky_bytes", "NBitArray", "UInt12Array",
     "CrateFilter", "Dict", "SimdSizedDict", "SizedDict",
     "md5_hex", "murmur2_bytes", "row_to_filter", "serialize", "sha1_hex", "sha256_bytes",
     "sha256_hex", "sha256_u64", "simple_tabulation", "tabulation_tables",
