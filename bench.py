@@ -447,8 +447,44 @@ def run_scaling() -> dict:
     }
 
 
+# keys whose values are small scalars — always kept on the stdout line.
+# Everything else (per_p breakdown, 17-row config sweep, fill tables, ...)
+# goes to BENCH/bench_detail.json: the driver that records BENCH_r{N}.json
+# keeps only the LAST 2000 CHARS of stdout, so the printed line must stay
+# well under that (the r2/r3 artifacts came back "parsed": null because the
+# line had grown past it).
+_COMPACT_KEYS = ("metric", "value", "unit", "queries", "sf", "num_cpus",
+                 "n_items", "n_probes", "adds_mps", "adds_mps_8m",
+                 "finds_mps", "recall", "fpr", "num_shards",
+                 "throughput_mps")
+
+
+def _emit(out: dict, detail_name: str) -> None:
+    detail_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH")
+    detail_path = None
+    try:
+        os.makedirs(detail_dir, exist_ok=True)
+        detail_path = os.path.join(detail_dir, detail_name)
+        with open(detail_path, "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        detail_path = None
+    compact = {k: v for k, v in out.items() if k in _COMPACT_KEYS}
+    if detail_path is not None:
+        compact["detail"] = os.path.relpath(detail_path,
+                                            os.path.dirname(detail_dir) or ".")
+    line = json.dumps(compact)
+    assert len(line) < 1900, f"stdout JSON line too long ({len(line)} chars)"
+    print(line)
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        _emit(run_scaling(), "bench_detail_scaling.json")
+    elif "--headline" in sys.argv:
+        # headline mode is consumed by run_scaling() subprocesses via stdout —
+        # print everything (it has no sweep tables and stays small)
+        print(json.dumps(run(headline_only=True)))
     else:
-        print(json.dumps(run(headline_only="--headline" in sys.argv)))
+        _emit(run(headline_only=False), "bench_detail.json")

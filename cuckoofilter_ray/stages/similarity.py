@@ -75,6 +75,7 @@ class BatchTopK:
 
 
 _TOPK_CACHE: dict = {}
+_CENTROID_CACHE: dict = {}
 
 
 def batch_topk_fn(batch: pa.Table, *, queries_ref=None, id_col: str = "vec_id",
@@ -266,7 +267,12 @@ def ivf_assign(ds: "ray.data.Dataset", centroids_ref,
     partitioner (broadcast centroids, one matmul per batch)."""
 
     def assign(batch: pa.Table) -> pa.Table:
-        C = np.asarray(ray.get(centroids_ref))
+        # per-worker broadcast cache (same pattern as batch_topk_fn): the
+        # plasma get runs once per worker process, not once per batch
+        key = centroids_ref.hex()
+        C = _CENTROID_CACHE.get(key)
+        if C is None:
+            C = _CENTROID_CACHE[key] = np.asarray(ray.get(centroids_ref))
         emb = _normalize(_stack_embeddings(batch, emb_col))
         lst = (emb @ C.T).argmax(axis=1).astype(np.int64)
         return batch.append_column("ivf_list", pa.array(lst, pa.int64()))
@@ -336,26 +342,76 @@ def embedding_neardup_exact(ds: "ray.data.Dataset", threshold: float = 0.4,
 
 def embedding_neardup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
                             bits: int = 8, seed: int = 4242,
-                            id_col: str = "vec_id",
-                            emb_col: str = "embedding") -> "ray.data.Dataset":
+                            id_col: str = "vec_id", emb_col: str = "embedding",
+                            max_bucket_reps: int = 4096) -> "ray.data.Dataset":
     """Near-duplicate (cosine ≥ τ) pairs: LSH-bucket blocking + exact verify
-    inside each bucket (high-cosine pairs collide w.h.p. on all-sign bits)."""
+    inside each bucket (high-cosine pairs collide w.h.p. on all-sign bits).
+
+    Hot-bucket safety (same contract as :func:`..dedup.minhash_lsh_pairs`):
+    byte-identical embeddings collapse to a star on their min-id
+    representative (O(g) pairs, cosine 1.0, same near-dup connectivity), and
+    at most ``max_bucket_reps`` distinct representatives are exactly compared
+    per bucket — surplus reps are dropped with a logged warning.  The rep
+    matmul is row-chunked so peak memory is O(chunk × reps), never O(g²).
+    A mass-duplicated corpus (the exact case near-dup detection targets) can
+    no longer go quadratic in one bucket.
+    """
     bucketed = lsh_buckets(ds, bits=bits, seed=seed, id_col=id_col,
                            emb_col=emb_col)
 
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({"lo_id": pd.Series([], dtype="int64"),
+                             "hi_id": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"lo_id": pd.Series([], dtype="int64"),
-                                 "hi_id": pd.Series([], dtype="int64"),
-                                 "cosine": pd.Series([], dtype="float64")})
+        n = len(group)
+        if n < 2:
+            return _empty()
         g = group.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        emb = _normalize(np.stack(g[emb_col].to_numpy()).astype(np.float64))
-        sims = emb @ emb.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        mask = sims[iu, ju] >= threshold
-        return pd.DataFrame({"lo_id": ids[iu[mask]], "hi_id": ids[ju[mask]],
-                             "cosine": sims[iu[mask], ju[mask]]})
+        ids = g[id_col].to_numpy().astype(np.int64, copy=False)
+        emb = np.stack(g[emb_col].to_numpy()).astype(np.float64)
+        los, his, cos = [], [], []
+        if n > 8:
+            # star-collapse byte-identical vectors onto the min-id rep
+            # (ids are sorted, so the first occurrence has the smallest id)
+            _, inv = np.unique(emb, axis=0, return_inverse=True)
+            first = np.full(inv.max() + 1, n, dtype=np.int64)
+            np.minimum.at(first, inv, np.arange(n))
+            rep_of = first[inv]
+            members = np.flatnonzero(rep_of != np.arange(n))
+            if len(members):
+                los.append(ids[rep_of[members]])
+                his.append(ids[members])
+                cos.append(np.ones(len(members)))
+            rep_idx = np.flatnonzero(rep_of == np.arange(n))
+            if len(rep_idx) > max_bucket_reps:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "embedding LSH bucket capped: comparing %d of %d reps",
+                    max_bucket_reps, len(rep_idx))
+                rep_idx = rep_idx[:max_bucket_reps]
+            rids, R = ids[rep_idx], _normalize(emb[rep_idx])
+        else:
+            rids, R = ids, _normalize(emb)
+        m = len(rids)
+        CH = 256
+        for i0 in range(0, max(0, m - 1), CH):
+            i1 = min(m, i0 + CH)
+            sims = R[i0:i1] @ R.T                    # (chunk, m)
+            ii, jj = np.nonzero(sims >= threshold)
+            keep = jj > ii + i0                      # upper triangle only
+            ii, jj = ii[keep], jj[keep]
+            if len(ii):
+                los.append(rids[ii + i0])
+                his.append(rids[jj])
+                cos.append(sims[ii, jj])
+        if not los:
+            return _empty()
+        return pd.DataFrame({
+            "lo_id": np.concatenate(los).astype(np.int64),
+            "hi_id": np.concatenate(his).astype(np.int64),
+            "cosine": np.concatenate(cos).astype(np.float64)})
 
     return bucketed.groupby("lsh_bucket").map_groups(bucket_pairs,
                                                      batch_format="pandas")

@@ -263,6 +263,44 @@ def test_embedding_neardup_lsh_blocked(ray_mod):
         assert pair[0] < pair[1]
 
 
+def test_embedding_neardup_mass_duplicate_bucket(ray_mod):
+    """Planted mass-duplicate: 10k byte-identical embeddings land in ONE LSH
+    bucket and must produce a linear star (g-1 pairs on the min-id rep), not
+    the O(g²) all-pairs triangle (VERDICT r3 #1)."""
+    ray = ray_mod
+    from cuckoofilter_ray.stages.similarity import embedding_neardup_pairs
+    g = 10_000
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=8)
+    dup = np.tile(base, (g, 1))
+    far = rng.normal(size=(5, 8)) * 10  # distinct fillers, low mutual cosine
+    mat = np.vstack([dup, far])
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(len(mat))],
+        override_num_blocks=8)
+    pairs = embedding_neardup_pairs(ds, threshold=0.95, bits=8).take_all()
+    star = [p for p in pairs if p["lo_id"] == 0 and p["hi_id"] < g]
+    assert len(star) == g - 1                       # exactly one star
+    assert all(p["cosine"] == 1.0 for p in star)
+    assert len(pairs) < g + 50                      # linear, not quadratic
+
+
+def test_embedding_neardup_bucket_cap(ray_mod):
+    """max_bucket_reps bounds the exact-compare set: 100 near-identical but
+    DISTINCT vectors in one bucket, cap 16 → at most C(16,2) pairs."""
+    ray = ray_mod
+    from cuckoofilter_ray.stages.similarity import embedding_neardup_pairs
+    rng = np.random.default_rng(12)
+    base = rng.normal(size=8)
+    mat = base[None, :] + rng.normal(size=(100, 8)) * 1e-6
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(100)],
+        override_num_blocks=4)
+    pairs = embedding_neardup_pairs(ds, threshold=0.95, bits=8,
+                                    max_bucket_reps=16).take_all()
+    assert 0 < len(pairs) <= 16 * 15 // 2
+
+
 def test_multimodal_stub_pipeline(ray_mod):
     ray = ray_mod
     from cuckoofilter_ray.stages.multimodal import (FrameSampler, decode_images,
@@ -1069,19 +1107,21 @@ def test_neardup_clusters_large_graph_matches_unionfind(ray_mod):
     assert len({min(g) for g in groups.values()}) == df["cluster_id"].nunique()
 
 
-def test_delete_partitioned_per_shard_broadcast(ray_mod, monkeypatch):
-    """Delete routing ships ONE ObjectRef per shard (a task fetches only
-    its own shard's blob), never an all-shards dict blob (VERDICT r2 #2)."""
+def test_delete_partitioned_no_driver_blobs(ray_mod, monkeypatch):
+    """Delete is one union + groupby(_shard) shuffle: the driver never
+    ray.put()s a sketch blob and never take_all()s updated shards — driver
+    bytes are O(num_shards) row handles, not O(filter bytes) (VERDICT r3 #3).
+    Filters are passed as a Dataset end-to-end."""
     ray = ray_mod
     import ray as ray_root
     from cuckoofilter_ray.pipelines import membership as mem
 
     keys = splitmix64(4000, seed=3)
     ds = _keys_ds(ray, keys)
-    rows = build_partitioned_filter(ds, num_shards=8, capacity_per_shard=1024,
-                                    seed=SEED).take_all()
+    filters = build_partitioned_filter(ds, num_shards=8,
+                                       capacity_per_shard=1024, seed=SEED)
     dele = ray.data.from_arrow(pa.table({
-        "key_hi64": pa.array(keys[:500], pa.uint64())}))
+        "key_hi64": pa.array(keys[:500], pa.uint64())})).repartition(4)
     puts = []
     real_put = ray_root.put
 
@@ -1090,14 +1130,18 @@ def test_delete_partitioned_per_shard_broadcast(ray_mod, monkeypatch):
         return real_put(x, **kw)
 
     monkeypatch.setattr(mem.ray, "put", spy_put)
-    out = mem.delete_keys_partitioned(rows, dele, num_shards=8).take_all()
-    # one put per shard row, each a SINGLE shard's dict — no all-shards blob
-    shard_puts = [p for p in puts if isinstance(p, dict)]
-    assert len(shard_puts) == 8
-    assert all("sketch" in p or "table_bytes" in p for p in shard_puts)
-    assert not any(isinstance(p, dict) and
-                   set(p) == set(range(8)) for p in puts), "all-shards blob"
+    updated = mem.delete_keys_partitioned(filters, dele, num_shards=8)
+    out = updated.take_all()
+    # no sketch bytes pass through driver-side ray.put at all
+    assert not any(isinstance(p, (bytes, dict)) for p in puts), \
+        f"driver put a blob: {[type(p) for p in puts]}"
     assert sum(r["n_deleted"] for r in out) == 500
+    assert sum(r["num_items"] for r in out) == 3500
+    assert {r["_shard"] for r in out} == set(range(8))
+    # survivors keep zero false negatives through the Dataset path
+    fref = filters_to_ref(out, group_col="_shard")
+    view = PartitionedFilterProbe(fref, shard_col=None)
+    assert view.contain_batch(keys[500:]).all()
 
 
 def test_exact_dedup_fullrow_matches_ids_winners(ray_mod):
