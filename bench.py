@@ -262,10 +262,11 @@ def bench_config_sweep(ray, results: dict, extras: dict) -> None:
 
     table = {}
     sweep_t0 = time.perf_counter()
-    # tail is a sequential dynamic structure (Python-core QuotientDysect
-    # random walk) — its parity row runs at a reduced key count so the
-    # sweep stays fast; rates are per its own n (noted by the _n suffix)
-    n_tail = int(os.environ.get("BENCH_TAIL_KEYS", 20_000))
+    # tail builds through the vectorized bulk path (scatter-race eviction
+    # walk) since r4; it still runs at a reduced key count because the
+    # dynamic structure's growth (array doublings + dedup lookups) costs
+    # ~5x a static build; rates are per its own n (noted by n_keys)
+    n_tail = int(os.environ.get("BENCH_TAIL_KEYS", 200_000))
     keyed_tail = rd.from_numpy(keys[:n_tail]).map_batches(
         lambda b: pa.table({"key_hi64": b.column("data")}),
         batch_format="pyarrow", batch_size=None) \
@@ -304,6 +305,55 @@ def bench_config_sweep(ray, results: dict, extras: dict) -> None:
         }
     extras["config_sweep"] = table
     results["config_sweep_total"] = round(time.perf_counter() - sweep_t0, 4)
+
+
+def bench_adversarial(ray, results: dict, extras: dict) -> None:
+    """Reference adversarial-ordering cases (bulk-insert-and-query.cc:
+    747-767 feeds rotated/bit-reversed SEQUENTIAL keys to stress the hash
+    families): build + mixed probe on ordered key streams per hash family;
+    FPR and throughput must hold as they do for random keys (SURVEY §2.5)."""
+    import ray.data as rd
+    from cuckoofilter_ray.kernels import filter_to_row
+    from cuckoofilter_ray.pipelines.build import build_single_filter
+    from cuckoofilter_ray.pipelines.membership import measure_single_filter
+
+    n = int(os.environ.get("BENCH_ADV_KEYS", 250_000))
+    seq = np.arange(1, n + 1, dtype=np.uint64)
+    # 64-bit bit-reversal (the reference's byteswap+nibble swaps)
+    x = seq.copy()
+    for sh, m in ((32, 0xFFFFFFFF00000000), (16, 0xFFFF0000FFFF0000),
+                  (8, 0xFF00FF00FF00FF00), (4, 0xF0F0F0F0F0F0F0F0),
+                  (2, 0xCCCCCCCCCCCCCCCC), (1, 0xAAAAAAAAAAAAAAAA)):
+        x = ((x & np.uint64(m)) >> np.uint64(sh)) | \
+            ((x & np.uint64(~m & ((1 << 64) - 1))) << np.uint64(sh))
+    table = {}
+    t_all = time.perf_counter()
+    for name, keys in (("sequential", seq), ("bitrev", x)):
+        for fam in ("mix", "tims"):
+            keyed = rd.from_numpy(keys).map_batches(
+                lambda b: pa.table({"key_hi64": b.column("data")}),
+                batch_format="pyarrow", batch_size=None) \
+                .repartition(max(16, NUM_CPUS)).materialize()
+            t0 = time.perf_counter()
+            filt = build_single_filter(keyed, capacity=n, kind="cuckoo",
+                                       bits_per_tag=12, seed=SEED,
+                                       hash_family=fam)
+            build_s = time.perf_counter() - t0
+            fref = ray.put(filter_to_row(filt, packed=False))
+            iref = ray.put(keys)
+            t0 = time.perf_counter()
+            m = measure_single_filter(iref, fref, n, p=0.5, seed=55,
+                                      num_blocks=max(16, NUM_CPUS))
+            probe_s = time.perf_counter() - t0
+            assert m["recall"] == 1.0, \
+                f"adversarial {name}/{fam}: recall {m['recall']}"
+            table[f"{name}-{fam}"] = {
+                "adds_mps": round(n / build_s / 1e6, 2),
+                "finds_mps": round(n / probe_s / 1e6, 2),
+                "fpr": round(m["fpr"], 6),
+            }
+    extras["adversarial"] = table
+    results["adversarial_total"] = round(time.perf_counter() - t_all, 4)
 
 
 def bench_fill(extras: dict) -> None:
@@ -377,6 +427,7 @@ def run(headline_only: bool) -> dict:
         bench_fill(extras)
         bench_at_capacity(ray, results, extras)
         bench_config_sweep(ray, results, extras)
+        bench_adversarial(ray, results, extras)
         bench_full(ray, results, extras)
 
     out = {

@@ -225,7 +225,11 @@ class CountingQuotientFilter:
 
     # ------------------------------------------------------- at-rest codec
 
-    CHUNK = 64
+    # 256-hash chunks: the verbatim first + uint32 lane offset cost ~0.24
+    # bits/item (vs 0.95 at 64), bringing counting8 to ~10.8 bits/item —
+    # the C CQF's slotted layout is ~10.6 at its ideal 95% load (gqf.c).
+    # Decode stays lane-lockstep vectorized, just with more rounds.
+    CHUNK = 256
 
     def pack_payload(self) -> bytes:
         """Compressed at-rest form: chunked Golomb-Rice.
@@ -250,7 +254,17 @@ class CountingQuotientFilter:
         keep[ch - 1::ch] = False              # chunk-boundary gaps excluded
         deltas = d[keep]
         mean_gap = max(1, (1 << self.nhashbits) // max(1, n))
-        hshift = max(1, int(mean_gap).bit_length() - 1)
+        # pick the shift by MEASURED stream cost around the log2(mean) hint
+        # (the Golomb-optimal k for geometric gaps is ~log2(mean·ln2); ±1
+        # around the hint covers it, subject to the 63-quotient cap)
+        hint = max(1, int(mean_gap).bit_length() - 1)
+        hshift, best_cost = hint, None
+        for k in range(max(1, hint - 2), hint + 3):
+            if len(deltas) and int(deltas.max()) >> k >= 63:
+                continue
+            cost = int((deltas >> k).sum()) + len(deltas) * (k + 1)
+            if best_cost is None or cost < best_cost:
+                hshift, best_cost = k, cost
         while len(deltas) and int(deltas.max()) >> hshift >= 63:
             hshift += 1
         hstream, hbits, hstart = rice_pack(deltas, hshift)
@@ -267,7 +281,7 @@ class CountingQuotientFilter:
             raise ValueError("counting shard Rice stream exceeds 2^32 bits "
                              "— split the build into more shards")
         out = {
-            "n": n, "hshift": hshift,
+            "n": n, "ch": ch, "hshift": hshift,
             "firsts": pack_width64(firsts, self.nhashbits),
             "hstream": hstream, "hbits": hbits,
             "hlanes": h_lane_bits.astype(np.uint32),
@@ -302,7 +316,7 @@ class CountingQuotientFilter:
         from .gcs import rice_unpack, unpack_width64
         d = pickle.loads(payload)
         n = d["n"]
-        ch = self.CHUNK
+        ch = int(d.get("ch", self.CHUNK))
         if n == 0:
             self.hashes = np.empty(0, dtype=np.uint64)
             self.counts = np.empty(0, dtype=np.int64)

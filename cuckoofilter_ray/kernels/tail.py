@@ -35,11 +35,16 @@ engine's determinism rule); the un-masked eviction-index reconstruction in
 SetLocal's force branch (quotient-dysect.hpp:237) is masked to the array
 size (the reference would compute a wrapped uint64 there).
 
-The core is sequential Python by the structure's nature (random-walk
-cuckoo with per-bucket growth); batch entry points amortize the hashing
-vectorized.  At engine scale each GROUP/shard owns one TailFilter built
-inside ``map_groups`` — parallelism comes from partitioning, as with the
-other per-group kernels.
+Build paths: ``add_batch`` is a vectorized bulk build (dedup lookups,
+epoch-segmented bulk QD inserts, scatter-race eviction walk — the
+kernels/cuckoo.py ``_insert_pairs`` pattern) that is ENTRY-SET faithful to
+the reference's per-key walk (same ndv/ok/epoch schedule and lookup
+behavior; only slot layout and walk-triggered upsize counts may differ,
+since the reference does not prescribe insertion order).
+``add_batch_sequential`` keeps the verbatim per-key order and is the
+growth-schedule parity oracle vs the g++ build.  At engine scale each
+GROUP/shard owns one TailFilter built inside ``map_groups`` — parallelism
+comes from partitioning, as with the other per-group kernels.
 """
 
 from __future__ import annotations
@@ -165,6 +170,35 @@ class QuotientDysect:
 
     def hash_inverse(self, arena: int, key: int) -> int:
         return self._bij[arena - 1][1](key)
+
+    def hash_batch_inv(self, arena: int, keys: np.ndarray) -> np.ndarray:
+        """Vectorized BACKWARD Feistel (mirror of :meth:`hash_batch`) — used
+        by the bulk eviction walk to recover original keys from arena keys."""
+        k = self.k
+        smallk = k // 2
+        if smallk > 32:
+            f = self._bij[arena - 1][1]
+            return np.array([f(int(x)) for x in np.asarray(keys)],
+                            dtype=np.uint64)
+        bigk = k - smallk
+        sm = np.uint64((1 << smallk) - 1)
+        bm = np.uint64((1 << bigk) - 1)
+        c_hi, c_lo = self.hash_consts[arena - 1]
+        chi = np.uint64(c_hi & M64)
+        clo_hi = np.uint64((c_lo >> 32) & 0xFFFFFFFF)
+        clo_lo = np.uint64(c_lo & 0xFFFFFFFF)
+        r = np.asarray(keys, dtype=np.uint64)
+        for _ in range(4):
+            eab = r & bm
+            tmp = r >> np.uint64(bigk)
+            e = eab >> np.uint64(smallk)
+            ab = eab & sm
+            t = (ab * clo_lo) >> np.uint64(32)
+            fab = ab * chi + ((ab * clo_hi + t) >> np.uint64(32))
+            cd = (fab & sm) ^ tmp
+            r = (ab << np.uint64(bigk)) | \
+                (cd << np.uint64(bigk - smallk)) | e
+        return r
 
     def _ell(self, arr: np.ndarray) -> int:
         return self.log_little + (len(arr) > (1 << self.log_little))
@@ -302,6 +336,357 @@ class QuotientDysect:
                 return True
         return False
 
+    # ----------------------------------------------------------- bulk build
+    #
+    # The bulk path (insert_bulk / upsize_bulk) places the SAME entry set the
+    # per-key reference walk would (placement order within a batch is not
+    # prescribed by the reference — any permutation is a valid execution):
+    # same slot codec, same home/displacement candidate order, same
+    # load-trigger upsize COUNT (simulated up front), d-ary eviction walk as
+    # vectorized scatter-race rounds (the kernels/cuckoo.py:213 pattern).
+    # Deviations: eviction randomness is a fresh seeded splitmix stream (not
+    # the scalar _rand counter) and walk-triggered upsizes may differ — both
+    # affect only slot layout / capacity, never the entry set (pinned by
+    # test_tail_bulk_entry_set_matches_sequential).
+
+    def _flat_arena(self, p: int):
+        lens = np.array([len(a) for a in self.payload[p]], dtype=np.int64)
+        starts = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
+        return lens, starts, np.concatenate(self.payload[p])
+
+    def _writeback(self, p: int, lens: np.ndarray, flat: np.ndarray) -> None:
+        self.payload[p] = list(np.split(flat, np.cumsum(lens)[:-1]))
+
+    def _decode_flat(self, lens, starts, flat):
+        """(arena_key, value, flat_idx) for every occupied slot — the
+        vectorized GetRaw (quotient-dysect.hpp:249-263)."""
+        occ = np.flatnonzero(flat)
+        if not len(occ):
+            e = np.empty(0, dtype=np.uint64)
+            return e, e, occ
+        q = (np.searchsorted(starts, occ, side="right") - 1)
+        Lq = lens[q]
+        L0 = 1 << self.log_little
+        ellq = (self.log_little + (Lq > L0)).astype(np.uint64)
+        slots = flat[occ]
+        r = (occ - starts[q]).astype(np.uint64)
+        maskq = (Lq - 1).astype(np.uint64)
+        smask = np.uint64((1 << self.s) - 1)
+        r_adj = (r - (slots & smask)) & maskq
+        sh1 = np.maximum(0, self.k - ellq.astype(np.int64) - self.w) \
+            .astype(np.uint64)
+        sh3 = np.maximum(0, ellq.astype(np.int64) + self.w - self.k) \
+            .astype(np.uint64)
+        key = ((q.astype(np.uint64) << ellq) | r_adj) >> sh3
+        key = (key << sh1) | (slots >> np.uint64(self.v + self.s))
+        value = (slots >> np.uint64(self.s)) & np.uint64((1 << self.v) - 1)
+        return key, value, occ
+
+    def entries_arrays(self):
+        """Vectorized :meth:`entries`: (original_keys, values) arrays."""
+        ks, vs = [], []
+        for p in range(self.d):
+            lens, starts, flat = self._flat_arena(p)
+            key, value, _ = self._decode_flat(lens, starts, flat)
+            if p > 0 and len(key):
+                key = self.hash_batch_inv(p, key)
+            ks.append(key)
+            vs.append(value)
+        return np.concatenate(ks), np.concatenate(vs)
+
+    def contains_pairs(self, keys: np.ndarray, values: np.ndarray
+                       ) -> np.ndarray:
+        """Exact (key, value) membership per pair — the vectorized form of
+        ``any(v == value for v in find_values(key))`` used by merge dedup.
+        Probe-style candidate-offset walk: O(probes × candidate slots), not
+        O(table capacity), so a merge fold over many partials stays linear
+        in total entries."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        values = np.asarray(values, dtype=np.uint64)
+        n = len(keys)
+        out = np.zeros(n, dtype=bool)
+        if n == 0 or self.ndv == 0:
+            return out
+        k, w, s, v = self.k, self.w, self.s, self.v
+        smask = np.uint64((1 << s) - 1)
+        vmask = np.uint64((1 << v) - 1)
+        kw_mask = np.uint64((1 << (k - w)) - 1)
+        L0 = 1 << self.log_little
+        for p in range(self.d):
+            ck = keys if p == 0 else self.hash_batch(p, keys)
+            q = (ck >> np.uint64(k - w)).astype(np.int64) if k > w \
+                else ck.astype(np.int64)
+            lens, starts, flat = self._flat_arena(p)
+            Lq = lens[q]
+            ellq = self.log_little + (Lq > L0)
+            sh1 = np.maximum(0, k - ellq - w).astype(np.uint64)
+            sh2 = np.maximum(0, w + ellq - k).astype(np.uint64)
+            sh3 = np.maximum(0, ellq + w - k).astype(np.uint64)
+            home = ((ck & kw_mask) >> sh1) << sh2
+            width = np.int64(1) << np.maximum(0, w + ellq - k)
+            end = np.minimum(width + (1 << s) - 1, Lq)
+            maskq = (Lq - 1).astype(np.uint64)
+            base = starts[q]
+            ell_u = ellq.astype(np.uint64)
+            vs_shift = np.uint64(v + s)
+            for off in range(int(end.max())):
+                idx = (home + np.uint64(off)) & maskq
+                slot = flat[base + idx.astype(np.int64)]
+                cand = (slot != 0) & (off < end) & ~out
+                if not cand.any():
+                    continue
+                r_adj = (idx - (slot & smask)) & maskq
+                k2 = ((q.astype(np.uint64) << ell_u) | r_adj) >> sh3
+                k2 = (k2 << sh1) | (slot >> vs_shift)
+                v2 = (slot >> np.uint64(s)) & vmask
+                out |= cand & (k2 == ck) & (v2 == values)
+        return out
+
+    def _count_load_upsizes(self, n: int) -> int:
+        """How many load-trigger upsizes (capacity/ndv < 1.1, one per
+        insert, quotient-dysect.hpp:134-140) the per-key path would fire
+        across ``n`` inserts — simulated arithmetically in O(upsizes)."""
+        cap, ndv, ll = self.capacity, self.ndv, self.log_little
+        total_arrays = self.d << self.w
+        small = sum(1 for p in range(self.d) for q in range(1 << self.w)
+                    if len(self.payload[p][q]) == (1 << ll))
+        last = ndv + n - 1                   # final pre-insert ndv checked
+        U = 0
+        t = max(ndv, 1)                      # ndv == 0 never triggers
+        while t <= last:
+            if cap / t >= 1.1:
+                # jump to the smallest ndv with cap/ndv < 1.1 (float-edge
+                # safe in both directions: cap/(nxt+1) == 1.1 exactly is
+                # NOT a trigger and must advance past)
+                nxt = int(cap / 1.1)
+                while cap / (nxt + 1) >= 1.1:
+                    nxt += 1
+                while nxt >= 1 and cap / nxt < 1.1:
+                    nxt -= 1
+                t = max(t + 1, nxt + 1)
+                continue
+            cap += 1 << ll
+            U += 1
+            small -= 1
+            if small == 0:
+                ll += 1
+                small = total_arrays
+            t += 1                           # one upsize per insert check
+        return U
+
+    def upsize_bulk(self) -> bool:
+        """:meth:`upsize` with a vectorized rebuild of the doubled array
+        (same (p, q) scan order, same capacity/log_little bookkeeping —
+        only the rebuilt slot layout may differ from the scalar force
+        walk)."""
+        for p in range(self.d):
+            for q in range(1 << self.w):
+                arr = self.payload[p][q]
+                if len(arr) != (1 << self.log_little):
+                    continue
+                lens = np.array([len(arr)], dtype=np.int64)
+                starts = np.array([0, len(arr)], dtype=np.int64)
+                key, value, _ = self._decode_flat(lens, starts, arr)
+                repl = np.zeros(2 << self.log_little, dtype=np.uint64)
+                self.payload[p][q] = repl
+                if len(key):
+                    rlens = np.array([len(repl)], dtype=np.int64)
+                    rstarts = np.array([0, len(repl)], dtype=np.int64)
+                    qv = np.zeros(len(key), dtype=np.int64)
+                    placed = self._scatter_place(rlens, rstarts, repl,
+                                                 qv, key, value)
+                    for i in np.flatnonzero(~placed):
+                        self.set_local(repl, int(key[i]), int(value[i]),
+                                       True)
+                self.capacity += 1 << self.log_little
+                if p + 1 == self.d and q + 1 == (1 << self.w):
+                    self.log_little += 1
+                return True
+        return False
+
+    def _scatter_place(self, lens, starts, flat, q, keys, values
+                       ) -> np.ndarray:
+        """Vectorized non-force set_local over one arena's flat buffer:
+        home range then displacement candidates in the scalar order, one
+        first-writer-wins scatter round per candidate offset.  Mutates
+        ``flat``; returns the placed mask.  Entries in a width>8 class are
+        left unplaced (caller falls back to the scalar walk)."""
+        k, w, s, v = self.k, self.w, self.s, self.v
+        n = len(keys)
+        placed = np.zeros(n, dtype=bool)
+        if n == 0:
+            return placed
+        L0 = 1 << self.log_little
+        Lq = lens[q]
+        ell_all = self.log_little + (Lq > L0)
+        kw_mask = np.uint64((1 << (k - w)) - 1)
+        for ell in np.unique(ell_all):
+            ell = int(ell)
+            pow_ell = 1 << ell
+            width = 1 << max(0, w + ell - k)
+            if width > 8:
+                continue
+            ncand = width + min(pow_ell, 1 << s) - 1
+            cls = np.flatnonzero(ell_all == ell)
+            mask = np.uint64(pow_ell - 1)
+            sh1 = np.uint64(max(0, k - ell - w))
+            sh2 = np.uint64(max(0, w + ell - k))
+            ckeys = keys[cls]
+            home = ((ckeys & kw_mask) >> sh1) << sh2
+            leftover = ckeys & np.uint64((1 << max(0, k - w - ell)) - 1)
+            base_val = (values[cls] << np.uint64(s)) | \
+                (leftover << np.uint64(s + v))
+            gbase = starts[q[cls]]
+            live = np.arange(len(cls))
+            # one-writer-per-slot dedup: marker scatter is O(candidates) but
+            # allocates an arena-sized array — worth it only for big batches
+            marker = np.full(starts[-1], -1, dtype=np.int64) \
+                if len(cls) * 8 >= starts[-1] else None
+            for j in range(ncand):
+                if not len(live):
+                    break
+                if j < width:
+                    idx = (home[live] + np.uint64(j)) & mask
+                    disp = np.uint64(0)
+                else:
+                    i = j - width + 1
+                    idx = (home[live] + np.uint64(width - 1 + i)) & mask
+                    disp = np.uint64(i)
+                g = gbase[live] + idx.astype(np.int64)
+                cand = np.flatnonzero(flat[g] == 0)
+                if not len(cand):
+                    continue
+                if marker is not None:
+                    gc = g[cand]
+                    marker[gc] = cand
+                    win = cand[marker[gc] == cand]
+                else:
+                    _, first = np.unique(g[cand], return_index=True)
+                    win = cand[first]
+                flat[g[win]] = base_val[live[win]] | disp
+                placed[cls[live[win]]] = True
+                live = np.delete(live, win)
+        return placed
+
+    def insert_bulk(self, keys: np.ndarray, values: np.ndarray) -> None:
+        """Bulk multi-insert: load-trigger upsizes up front (same count the
+        per-key checks would fire), vectorized scatter placement, then a
+        scatter-race d-ary eviction walk for the collision tail."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        values = np.asarray(values, dtype=np.uint64)
+        n = len(keys)
+        if n == 0:
+            return
+        for _ in range(self._count_load_upsizes(n)):
+            self.upsize_bulk()
+        self._insert_walk(keys, values)
+        self.ndv += n
+
+    def _insert_walk(self, keys: np.ndarray, values: np.ndarray) -> None:
+        """Scatter-race d-ary eviction walk (the vectorized form of the
+        per-key random walk in quotient-dysect.hpp:134-197): every round,
+        walkers try the non-force candidate slots in their current arena;
+        the stuck ones each evict one random resident (first-writer-wins on
+        slot conflicts; losers retry) and carry the evictee to the next
+        arena.  No-progress rounds trigger upsizes, mirroring the scalar
+        ``iterations > ndv`` growth rule."""
+        d, k, w, s, v = self.d, self.k, self.w, self.s, self.v
+        arenas = [list(self._flat_arena(p)) for p in range(d)]
+        wp = np.zeros(len(keys), dtype=np.int64)     # walker arena
+        wk = np.asarray(keys, dtype=np.uint64).copy()
+        wv = np.asarray(values, dtype=np.uint64).copy()
+        smask = np.uint64((1 << s) - 1)
+        vmask = np.uint64((1 << v) - 1)
+        kw_mask = np.uint64((1 << (k - w)) - 1)
+        rounds = 0
+
+        def flush():
+            for p in range(d):
+                self._writeback(p, arenas[p][0], arenas[p][2])
+
+        def arena_q(akeys: np.ndarray) -> np.ndarray:
+            return (akeys >> np.uint64(k - w)).astype(np.int64) if k > w \
+                else akeys.astype(np.int64)
+
+        while len(wk):
+            progressed = False
+            for p in range(d):
+                sel = np.flatnonzero(wp == p)
+                if not len(sel):
+                    continue
+                lens, starts, flat = arenas[p]
+                qv = arena_q(wk[sel])
+                placed = self._scatter_place(lens, starts, flat, qv,
+                                             wk[sel], wv[sel])
+                if placed.any():
+                    progressed = True
+                    wp[sel[placed]] = -1            # done
+                fail = sel[~placed]
+                if not len(fail):
+                    continue
+                # evict one seeded-random candidate slot per stuck walker
+                # (deviation: fresh splitmix stream, not the scalar _rand)
+                qf = qv[~placed]
+                Lq = lens[qf]
+                L0 = 1 << self.log_little
+                ellq = self.log_little + (Lq > L0)
+                widthq = np.int64(1) << np.maximum(0, w + ellq - k)
+                ncand = np.minimum(Lq, widthq + (1 << s) - 1)
+                sh1 = np.maximum(0, k - ellq - w).astype(np.uint64)
+                sh2 = np.maximum(0, w + ellq - k).astype(np.uint64)
+                sh3 = np.maximum(0, ellq + w - k).astype(np.uint64)
+                home = ((wk[fail] & kw_mask) >> sh1) << sh2
+                rnd = splitmix64(len(fail),
+                                 seed=(self.seed ^ 0xE71C) + rounds * d + p)
+                i = (rnd % ncand.astype(np.uint64)).astype(np.int64)
+                maskq = (Lq - 1).astype(np.uint64)
+                idx = (home + i.astype(np.uint64)) & maskq
+                g = starts[qf] + idx.astype(np.int64)
+                _, first = np.unique(g, return_index=True)
+                win = first                          # losers retry next round
+                gw = g[win]
+                slots = flat[gw]
+                # decode the evicted entries (occupied: nothing ever frees)
+                r_adj = (idx[win] - (slots & smask)) & maskq[win]
+                ek = ((qf[win].astype(np.uint64) <<
+                       ellq[win].astype(np.uint64)) | r_adj) >> sh3[win]
+                ek = (ek << sh1[win]) | (slots >> np.uint64(v + s))
+                ev = (slots >> np.uint64(s)) & vmask
+                # write ours (disp = i - width + 1 past the home range)
+                lo_bits = np.maximum(0, k - w - ellq[win]).astype(np.uint64)
+                lo_mask = (np.uint64(1) << lo_bits) - np.uint64(1)
+                leftover = wk[fail][win] & lo_mask
+                disp = np.maximum(0, i[win] - widthq[win] + 1) \
+                    .astype(np.uint64)
+                flat[gw] = (wv[fail][win] << np.uint64(s)) | \
+                    (leftover << np.uint64(s + v)) | disp
+                progressed = True
+                # winners continue the walk carrying the evicted entry
+                fidx = fail[win]
+                okey = self.hash_batch_inv(p, ek) if p > 0 else ek
+                p2 = (p + 1) % d
+                wk[fidx] = self.hash_batch(p2, okey) if p2 > 0 else okey
+                wv[fidx] = ev
+                wp[fidx] = p2
+            alive = wp >= 0
+            wk, wv, wp = wk[alive], wv[alive], wp[alive]
+            rounds += 1
+            if len(wk) and (not progressed or rounds % 64 == 0):
+                flush()
+                self.upsize_bulk()          # the iterations>ndv growth analog
+                arenas = [list(self._flat_arena(pp)) for pp in range(d)]
+            if len(wk) and rounds > 4096:   # paranoia: scalar last resort
+                flush()
+                for t in range(len(wk)):
+                    pcur = int(wp[t])
+                    okey = int(self.hash_inverse(pcur, int(wk[t]))) \
+                        if pcur > 0 else int(wk[t])
+                    self.ndv -= 1           # insert() re-increments
+                    self.insert(okey, int(wv[t]))
+                return
+        flush()
+
     # ---------------------------------------------------------------- query
 
     def find_values(self, key: int) -> list:
@@ -434,6 +819,38 @@ class TailFilter:
         self.bitset = sa
         self.epoch += 1
 
+    def upsize_bulk(self) -> None:
+        """Epoch bump with vectorized entry decode + bulk re-insert — the
+        same per-entry transform as :meth:`upsize` (shrink the fingerprint
+        into the key, graduate exhausted entries to the bitset), so the
+        post-upsize entry set is identical; only the QD slot layout may
+        differ."""
+        qd2 = self._new_qd(self.qd.k + 1)
+        qd2.log_little = self.qd.log_little
+        qd2.payload = [[np.zeros(1 << qd2.log_little, dtype=np.uint64)
+                        for _ in range(1 << qd2.w)] for _ in range(qd2.d)]
+        qd2.capacity = qd2.d * (1 << qd2.w) * (1 << qd2.log_little)
+        sa = None
+        if self.bitset is not None:
+            sa = np.repeat(self.bitset, 2)       # index gains one LOW bit
+        keys, values = self.qd.entries_arrays()
+        sentinel = np.uint64(1 << (self.lgme - self.lgm))
+        vmask = np.uint64((1 << (1 + self.lgme - self.lgm)) - 1)
+        grad = values == sentinel
+        if grad.any():
+            if sa is None:
+                sa = np.zeros(1 << (self.lgm + self.epoch), dtype=np.uint8)
+            sa[keys[grad].astype(np.int64)] = 1
+        keep = ~grad
+        if keep.any():
+            nk = (keys[keep] << np.uint64(1)) + \
+                (values[keep] >> np.uint64(self.lgme - self.lgm))
+            nv = (values[keep] << np.uint64(1)) & vmask
+            qd2.insert_bulk(nk, nv)
+        self.qd = qd2
+        self.bitset = sa
+        self.epoch += 1
+
     def insert_hash(self, h: int) -> bool:
         """tail-filter.hpp:118-133: dedup-lookup, power-of-two Upsize
         trigger, terminator-tagged insert."""
@@ -461,14 +878,79 @@ class TailFilter:
         return hash_key64(np.asarray(keys, dtype=np.uint64), self.seed,
                           self.hash_family)
 
-    def add_batch(self, keys) -> BulkResult:
+    def _key_value_batch(self, hs: np.ndarray):
+        key = hs >> np.uint64(64 - self.lgm - self.epoch)
+        value = (hs >> np.uint64(64 - self.epoch - self.lgme)) & \
+            np.uint64((1 << (self.lgme - self.lgm)) - 1)
+        return key, value
+
+    def add_batch_sequential(self, keys) -> BulkResult:
+        """Per-key reference walk (tail-filter.hpp:118-133 verbatim order) —
+        kept as the growth-schedule parity oracle vs the g++ build; the
+        default :meth:`add_batch` is the bulk path."""
         ok = 0
         for h in self._hashes(keys):
             ok += self.insert_hash(int(h))
         return BulkResult(ok=ok, overflow=0)
 
+    def add_batch(self, keys) -> BulkResult:
+        """Bulk build: vectorized dedup-lookup + epoch-segmented bulk QD
+        inserts (VERDICT r3 #2).
+
+        Entry-set faithful to the sequential walk: the dedup decision for a
+        key depends only on the SET of stored (key, value) entries (lookup
+        prefix-matches entries; within an epoch segment newly inserted
+        fingerprints are full-length, so an in-segment match is an exact
+        (key, value) duplicate), and that set evolves identically — so ndv,
+        ok, the epoch schedule, and all lookup/FPR behavior match the
+        per-key path bit-for-bit (pinned by test).  Only the QD slot layout
+        and the count of walk-triggered QD upsizes may differ (insertion
+        order within a batch is not prescribed by the reference).
+        """
+        hs = self._hashes(keys)
+        n = len(hs)
+        ok = 0
+        pos = 0
+        while pos < n:
+            seg = hs[pos:]
+            hits = self._contain_hashes(seg)
+            k_arr, v_arr = self._key_value_batch(seg)
+            # first-occurrence (key, value) dedup among misses, stable order
+            miss = np.flatnonzero(~hits)
+            km, vm = k_arr[miss], v_arr[miss]
+            order = np.lexsort((miss, vm, km))
+            dup = np.zeros(len(order), dtype=bool)
+            ks_, vs_ = km[order], vm[order]
+            dup[1:] = (ks_[1:] == ks_[:-1]) & (vs_[1:] == vs_[:-1])
+            surv = np.sort(miss[order[~dup]])
+            # next power-of-two epoch trigger (insert_hash's rule): fires
+            # when a survivor arrives at pre-insert ndv == B
+            B = max(1 << (self.lgm + 1),
+                    1 << (max(1, self.ndv) - 1).bit_length())
+            room = B - self.ndv
+            if len(surv) <= room:
+                take = surv
+            else:
+                take = surv[:room]
+            if len(take):
+                self.qd.insert_bulk(k_arr[take],
+                                    (v_arr[take] << np.uint64(1)) |
+                                    np.uint64(1))
+                self.ndv += len(take)
+                ok += len(take)
+            if len(surv) <= room:
+                break
+            t_i = int(surv[room])            # the trigger survivor
+            self.upsize_bulk()
+            key, value = self._key_value(int(seg[t_i]))   # post-upsize epoch
+            self.qd.insert(key, (2 * value) | 1)
+            self.ndv += 1
+            ok += 1
+            pos += t_i + 1
+        return BulkResult(ok=ok, overflow=0)
+
     def add(self, key: int) -> bool:
-        return bool(self.add_batch(np.array([key], dtype=np.uint64)).ok)
+        return self.insert_hash(int(self._hashes([key])[0]))
 
     def contain_batch_scalar(self, keys) -> np.ndarray:
         """Reference scalar probe (tail-filter.hpp:70-88 verbatim walk) —
@@ -478,11 +960,13 @@ class TailFilter:
                            dtype=bool, count=len(hs))
 
     def contain_batch(self, keys) -> np.ndarray:
+        return self._contain_hashes(self._hashes(keys))
+
+    def _contain_hashes(self, hs: np.ndarray) -> np.ndarray:
         """Vectorized probe: batch bitset gather, per-arena batch Feistel,
         flattened little-array gather + offset-lockstep GetRaw decode, and
         the terminator prefix match via an exact power-of-two log2
         (pinned equal to :meth:`contain_batch_scalar`)."""
-        hs = self._hashes(keys)
         n = len(hs)
         out = np.zeros(n, dtype=bool)
         if n == 0:
@@ -491,6 +975,8 @@ class TailFilter:
             shift_out = np.uint64(64 - (len(self.bitset).bit_length() - 1))
             out |= self.bitset[(hs >> shift_out).astype(np.int64)] \
                 .astype(bool)
+        if self.qd.ndv == 0:                 # fresh build: nothing stored yet
+            return out
         key = hs >> np.uint64(64 - self.lgm - self.epoch)
         value = (hs >> np.uint64(64 - self.epoch - self.lgme)) \
             & np.uint64((1 << (self.lgme - self.lgm)) - 1)
@@ -573,24 +1059,25 @@ class TailFilter:
             raise ValueError("tail merge requires identical geometry/seed")
         if other.epoch > self.epoch:
             while self.epoch < other.epoch:
-                self.upsize()
+                self.upsize_bulk()
         elif self.epoch > other.epoch:
             other = other._clone()
             while other.epoch < self.epoch:
-                other.upsize()
+                other.upsize_bulk()
         if other.bitset is not None:
             if self.bitset is None:
                 self.bitset = other.bitset.copy()
             else:
                 np.bitwise_or(self.bitset, other.bitset, out=self.bitset)
-        ok = 0
-        for key, value in other.qd.entries():
-            if not any(v == value for v in self.qd.find_values(key)):
-                self.qd.insert(key, value)
-                ok += 1
+        keys, values = other.qd.entries_arrays()
+        new = ~self.qd.contains_pairs(keys, values) if len(keys) else \
+            np.zeros(0, dtype=bool)
+        if new.any():
+            self.qd.insert_bulk(keys[new], values[new])
+        ok = int(new.sum())
         self.ndv += other.ndv
         while self.ndv > (1 << (self.lgm + self.epoch + 1)):
-            self.upsize()
+            self.upsize_bulk()
         return BulkResult(ok=ok, overflow=0)
 
     # --------------------------------------------------------------- stats

@@ -151,6 +151,13 @@ NOT_MERGEABLE = {"xor", "xor2", "gcs", "xorplus", "xor2n", "crate"}
 def sparse_limit_for(kind: str, capacity: int) -> int:
     if kind in NOT_MERGEABLE:
         return 1 << 62
+    if kind == "tail":
+        # dynamic structure at a 0.909 load target: incremental adds pay
+        # long eviction cascades, so one bulk build from raw keys is ~4x
+        # faster than add_batch-per-combine — stay sparse up to the full
+        # expected capacity (8 B/key shuffle vs ~2.4 B/key dense: the
+        # trade is bounded and the merge path still handles dense blobs)
+        return max(64, int(capacity))
     return max(64, int(capacity) // 4)
 
 

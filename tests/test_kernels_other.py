@@ -732,7 +732,7 @@ def test_tail_filter_no_false_negatives_across_epochs():
     from cuckoofilter_ray.kernels import TailFilter
     tf = TailFilter(5, 1.0 / 512, seed=11)       # tiny lgm => many epochs
     keys = splitmix64(5000, seed=12)
-    res = tf.add_batch(keys)
+    res = tf.add_batch_sequential(keys)          # reference per-key walk
     assert tf.epoch >= 5, "upsizes must have happened"
     assert tf.contain_batch(keys).all(), "false negative"
     # Insert dedups via Lookup (tail-filter.hpp:119): ok counts distinct-
@@ -742,6 +742,45 @@ def test_tail_filter_no_false_negatives_across_epochs():
     # (g++ run of tail-filter.hpp at lgm=5, eps=1/512, n=5000:
     # qd_capacity 5440, epoch 7)
     assert tf.qd.capacity == 5440 and tf.epoch == 7
+    # the bulk path must land the SAME entry set / dedup count / epoch —
+    # only capacity (walk-triggered upsize count) and slot layout may differ
+    tb = TailFilter(5, 1.0 / 512, seed=11)
+    resb = tb.add_batch(keys)
+    assert (resb.ok, tb.ndv, tb.epoch) == (res.ok, tf.ndv, tf.epoch)
+    ka, va = tb.qd.entries_arrays()
+    assert sorted(zip(ka.tolist(), va.tolist())) == sorted(tf.qd.entries())
+    assert (tb.bitset is None) == (tf.bitset is None)
+    if tf.bitset is not None:
+        assert (tb.bitset == tf.bitset).all()
+
+
+def test_tail_bulk_entry_set_matches_sequential():
+    """add_batch (vectorized scatter build, VERDICT r3 #2) is entry-set
+    faithful to the per-key reference walk: identical (key, value) entry
+    multiset, ndv, ok, epoch schedule and probe behavior — across configs
+    with epoch upsizes, bitset graduation, and heavy QD growth."""
+    from cuckoofilter_ray.kernels import TailFilter
+    rng = np.random.default_rng(5)
+    for n, eps, cap, seed in [(2000, 2.0 ** -8, 500, 11),
+                              (6000, 2.0 ** -4, 300, 17),   # deep epochs
+                              (20000, 2.0 ** -12, 20000, 23)]:
+        keys = rng.integers(0, 2 ** 64, n, dtype=np.uint64)
+        tb = TailFilter.create(cap, seed=seed, epsilon=eps)
+        ts = TailFilter.create(cap, seed=seed, epsilon=eps)
+        rb = tb.add_batch(keys)
+        rs = ts.add_batch_sequential(keys)
+        assert (rb.ok, tb.ndv, tb.epoch) == (rs.ok, ts.ndv, ts.epoch)
+        ka, va = tb.qd.entries_arrays()
+        assert sorted(zip(ka.tolist(), va.tolist())) == \
+            sorted(ts.qd.entries())
+        probes = np.concatenate(
+            [keys, rng.integers(0, 2 ** 64, n, dtype=np.uint64)])
+        assert (tb.contain_batch(probes) == ts.contain_batch(probes)).all()
+        # incremental bulk adds (the UDAF accumulate pattern) stay faithful
+        more = rng.integers(0, 2 ** 64, n // 2, dtype=np.uint64)
+        rb2, rs2 = tb.add_batch(more), ts.add_batch_sequential(more)
+        assert (rb2.ok, tb.ndv, tb.epoch) == (rs2.ok, ts.ndv, ts.epoch)
+        assert (tb.contain_batch(probes) == ts.contain_batch(probes)).all()
 
 
 def test_tail_vectorized_probe_matches_scalar():
