@@ -135,7 +135,7 @@ class GcsFilter:
     __slots__ = ("capacity", "bits_per_item", "seed", "hash_family",
                  "fingerprint_bits", "golomb_shift", "bucket_count",
                  "stream", "stream_bits", "starts", "num_items", "_built",
-                 "_decoded")
+                 "_decoded", "_lazy_touched")
 
     def __init__(self, capacity: int, bits_per_item: int = 8,
                  seed: int = DEFAULT_SEED, hash_family: str = "mix"):
@@ -152,6 +152,7 @@ class GcsFilter:
         self.num_items = 0
         self._built = False
         self._decoded = None
+        self._lazy_touched = 0
 
     # ------------------------------------------------------------------- hash
 
@@ -205,40 +206,62 @@ class GcsFilter:
 
     # ----------------------------------------------------------------- decode
 
+    def _decode_lanes(self, bucket_ids: np.ndarray) -> np.ndarray:
+        """Decode just the given buckets' code lanes → sorted int64
+        ``bucket << fp_bits | fp`` probe index.  ``rice_unpack`` already
+        operates per independent lane, so decode cost (time AND memory) is
+        bounded by the touched buckets, not the filter size."""
+        starts = self.starts.astype(np.int64)
+        lane, delta = rice_unpack(self.stream, self.stream_bits,
+                                  starts[bucket_ids], starts[bucket_ids + 1],
+                                  self.golomb_shift)
+        if not len(lane):
+            return np.zeros(0, dtype=np.int64)
+        # lane-major deltas → per-bucket cumulative fingerprints
+        cum = np.cumsum(delta)
+        seg_start = np.flatnonzero(np.concatenate(
+            ([True], lane[1:] != lane[:-1])))
+        base = np.zeros(len(lane), dtype=np.int64)
+        base[seg_start] = cum[seg_start] - delta[seg_start]
+        np.maximum.accumulate(base, out=base)
+        fp = cum - base
+        b = np.asarray(bucket_ids, dtype=np.int64)[lane]
+        return np.sort((b << self.fingerprint_bits) | fp)
+
     def _decode(self) -> np.ndarray:
         """Decode the full stream once → sorted int64 (bucket << fp_bits | fp)
         probe index (cached).  Vectorized in rounds: every bucket reads its
         k-th code in lockstep; unary runs end at the next zero bit."""
-        if self._decoded is not None:
-            return self._decoded
-        starts = self.starts.astype(np.int64)
-        lane, delta = rice_unpack(self.stream, self.stream_bits,
-                                  starts[:-1], starts[1:], self.golomb_shift)
-        # lane-major deltas → per-bucket cumulative fingerprints
-        if len(lane):
-            cum = np.cumsum(delta)
-            seg_start = np.flatnonzero(np.concatenate(
-                ([True], lane[1:] != lane[:-1])))
-            base = np.zeros(len(lane), dtype=np.int64)
-            base[seg_start] = cum[seg_start] - delta[seg_start]
-            np.maximum.accumulate(base, out=base)
-            fp = cum - base
-            self._decoded = np.sort((lane << self.fingerprint_bits) | fp)
-        else:
-            self._decoded = np.zeros(0, dtype=np.int64)
+        if self._decoded is None:
+            self._decoded = self._decode_lanes(
+                np.arange(self.bucket_count, dtype=np.int64))
         return self._decoded
 
     # ------------------------------------------------------------------ query
 
     def contain_batch(self, keys) -> np.ndarray:
+        """Probe-few workloads decode lazily: only the buckets this batch
+        touches are unpacked (gcs.h:344-368 walks exactly one bucket's codes
+        per Contain — the full-index decode was an engine-side cache, not
+        reference semantics).  Once the cumulative touched-bucket count
+        crosses half the filter, later batches flip to the cached full
+        decode, which repeated heavy probing amortizes."""
         keys = np.asarray(keys, dtype=np.uint64)
         if len(keys) == 0 or not self._built:
             return np.zeros(len(keys), dtype=bool)
-        idx = self._decode()
-        if len(idx) == 0:
-            return np.zeros(len(keys), dtype=bool)
         b, fp = self._bucket_fp(keys)
         want = (b << self.fingerprint_bits) | fp
+        if self._decoded is None:
+            touched = np.unique(b)
+            self._lazy_touched += len(touched)
+            if self._lazy_touched <= self.bucket_count // 2:
+                idx = self._decode_lanes(touched)
+            else:
+                idx = self._decode()
+        else:
+            idx = self._decoded
+        if len(idx) == 0:
+            return np.zeros(len(keys), dtype=bool)
         pos = np.minimum(np.searchsorted(idx, want), len(idx) - 1)
         return idx[pos] == want
 

@@ -485,6 +485,36 @@ def test_gcs_decode_matches_model():
     assert len(idx) == n
 
 
+def test_gcs_lazy_bucket_decode():
+    """Probe-few path decodes only touched buckets (gcs.h:344-368 walks one
+    bucket per Contain) — answers identical to the cached full decode, no
+    full index materialized, and decode memory bounded by touched buckets."""
+    from cuckoofilter_ray.kernels import GcsFilter
+    n = 60_000
+    keys = splitmix64(n, seed=60)
+    f = GcsFilter(n, bits_per_item=8, seed=61)
+    f.add_all(keys)
+    probes = np.concatenate([keys[:400], splitmix64(400, seed=62)])
+    got = f.contain_batch(probes)
+    assert f._decoded is None, "small probe must not trigger full decode"
+    g = GcsFilter(n, bits_per_item=8, seed=61)
+    g.add_all(keys)
+    full = g._decode()
+    assert (got == g.contain_batch(probes)).all()
+    assert got[:400].all()
+    # lane decode == the full index restricted to those buckets
+    ub = np.unique(f._bucket_fp(probes)[0])
+    lanes = f._decode_lanes(ub)
+    assert (lanes == full[np.isin(full >> f.fingerprint_bits, ub)]).all()
+    # hammering past half the buckets flips to the cached full decode
+    for s in range(120):
+        f.contain_batch(splitmix64(2_000, seed=1_000 + s))
+        if f._decoded is not None:
+            break
+    assert f._decoded is not None
+    assert (f.contain_batch(probes) == got).all()
+
+
 def test_gcs_serde_and_immutability():
     from cuckoofilter_ray.kernels import GcsFilter, deserialize, serialize
     keys = splitmix64(10_000, seed=57)
