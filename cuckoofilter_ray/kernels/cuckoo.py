@@ -83,7 +83,8 @@ class CuckooFilter:
 
     __slots__ = ("num_buckets", "bits_per_tag", "seed", "variant", "tags",
                  "num_items", "victim_index", "victim_tag", "victim_used",
-                 "_rng", "_kick_counter", "occ", "_scratch", "hash_family")
+                 "_rng", "_kick_counter", "occ", "_scratch", "hash_family",
+                 "_rand_pool", "_rand_pos")
 
     def __init__(self, num_buckets: int, bits_per_tag: int = 12,
                  seed: int = DEFAULT_SEED, variant: str = "pow2",
@@ -116,6 +117,8 @@ class CuckooFilter:
         # Deterministic kick RNG (replaces the reference's global rand()).
         self._rng = np.random.default_rng((self.seed, self.num_buckets, self.bits_per_tag))
         self._kick_counter = 0
+        self._rand_pool = None   # pre-drawn kick-slot picks (see _rand_slots)
+        self._rand_pos = 0
 
     # ------------------------------------------------------------------ sizing
 
@@ -210,13 +213,81 @@ class CuckooFilter:
         full = winner & (occ_w >= TAGS_PER_BUCKET)
         return placed, full
 
+    def _rand_slots(self, n: int) -> np.ndarray:
+        """Kick-slot picks from a pre-drawn pool (one Generator call per
+        ~4096 picks instead of one per kick round)."""
+        pool = self._rand_pool
+        if pool is None or self._rand_pos + n > len(pool):
+            self._rand_pool = pool = self._rng.integers(
+                0, TAGS_PER_BUCKET, size=max(4096, n), dtype=np.int64)
+            self._rand_pos = 0
+        out = pool[self._rand_pos:self._rand_pos + n]
+        self._rand_pos += n
+        return out
+
+    # below this chain count the fixed cost of a vectorized round (~15 numpy
+    # calls) exceeds a scalar walk over every remaining chain
+    _SEQ_TAIL = 64
+
+    def _finish_chains(self, cur_i, cur_t, kicks, phase) -> tuple[int, int, int]:
+        """Scalar AddImpl walk (cuckoofilter.h:156-181) for the residual
+        chains once the vectorized rounds have thinned the batch — the long
+        kick cascades near full load are inherently sequential, and plain
+        int arithmetic beats a 15-op numpy round at <~64 chains."""
+        ok = parked = overflow = 0
+        tags, occ = self.tags, self.occ
+        nb = self.num_buckets
+        pow2 = self.variant == "pow2"
+        mask_nb = nb - 1
+        half = nb >> 1
+        m64 = (1 << 64) - 1
+        rand = self._rand_slots
+        for j in range(len(cur_i)):
+            i, t = int(cur_i[j]), int(cur_t[j])
+            kc, ph = int(kicks[j]), int(phase[j])
+            while True:
+                o = occ[i]
+                if o < TAGS_PER_BUCKET:
+                    tags[i, o] = t
+                    occ[i] = o + 1
+                    ok += 1
+                    break
+                if kc >= MAX_KICKS:
+                    if not self.victim_used:
+                        self.victim_index, self.victim_tag = i, t
+                        self.victim_used = True
+                        parked += 1   # Ok but not in num_items_
+                                      # (src/cuckoofilter.h:177-181)
+                    else:
+                        overflow += 1
+                    break
+                if ph == 1:           # kick a random resident, carry it
+                    r = int(rand(1)[0])
+                    old = int(tags[i, r])
+                    tags[i, r] = t
+                    t = old
+                    kc += 1
+                else:
+                    ph = 1
+                # scalar alt_index (involutions identical to the vector form)
+                if pow2:
+                    i = (i ^ (t * _MURMUR_C)) & mask_nb
+                else:
+                    h = (t * _STABLE_C) & m64
+                    r2 = (((h & 0xFFFFFFFF) * half) >> 32) * 2 + 1
+                    i = nb - i - r2
+                    if i < 0:
+                        i += nb
+        return ok, parked, overflow
+
     def _insert_pairs(self, idx: np.ndarray, tags: np.ndarray) -> BulkResult:
         """AddImpl over vectors of (first-choice bucket, tag) (cuckoofilter.h:156-181).
 
         Chains run in vectorized rounds: grouped empty-slot placement, then a
         move to the alternate bucket, then kick rounds (one kick per distinct
-        bucket per round).  Chains whose kick count exceeds MAX_KICKS park in
-        the victim cache (one) or overflow (NotEnoughSpace).
+        bucket per round).  Once the batch thins below _SEQ_TAIL the residual
+        chains finish on the scalar walk.  Chains whose kick count exceeds
+        MAX_KICKS park in the victim cache (one) or overflow (NotEnoughSpace).
         """
         cur_i = np.asarray(idx, dtype=np.int64).copy()
         cur_t = np.asarray(tags, dtype=np.uint16).copy()
@@ -226,6 +297,12 @@ class CuckooFilter:
         parked = 0
         overflow = 0
         while len(cur_i):
+            if len(cur_i) <= self._SEQ_TAIL:
+                o, p, of = self._finish_chains(cur_i, cur_t, kicks, phase)
+                ok += o
+                parked += p
+                overflow += of
+                break
             placed, full = self._place_empty(cur_i, cur_t)
             ok += int(placed.sum())
             if placed.all():
@@ -241,13 +318,16 @@ class CuckooFilter:
                 cur_i[fresh] = self.alt_index(cur_i[fresh], cur_t[fresh])
                 phase[fresh] = 1
             # kick step: one chain per distinct confirmed-full alt bucket
+            # (dedup by scatter race — O(n), no sort; the arbitrary winner
+            # replaces np.unique's first-occurrence pick, equally valid)
             kickable = full & (phase == 1) & ~fresh
             if kickable.any():
                 kidx = np.flatnonzero(kickable)
-                _, first_pos = np.unique(cur_i[kidx], return_index=True)
-                sel = kidx[first_pos]
+                b_all = cur_i[kidx]
+                self._scratch[b_all] = kidx
+                sel = kidx[self._scratch[b_all] == kidx]
                 b = cur_i[sel]
-                r = self._rng.integers(0, TAGS_PER_BUCKET, size=len(sel))
+                r = self._rand_slots(len(sel))
                 old = self.tags[b, r].copy()
                 self.tags[b, r] = cur_t[sel]
                 cur_t[sel] = old
