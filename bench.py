@@ -405,6 +405,41 @@ def bench_fill(extras: dict) -> None:
     }
 
 
+def _online_cpus_after_warmup(ray) -> int:
+    """The sandbox hypervisor hot-plugs vCPUs on demand: a bench that starts
+    while most are offline runs uniformly ~2x slower (the source of the
+    r1-r3 'host noise' drift).  Burn all cores briefly to trigger the
+    hot-plug, then record how many actually came online — readers of the
+    bench JSON can discount runs where this is below NUM_CPUS."""
+    import multiprocessing
+
+    def _count() -> int:
+        try:
+            with open("/sys/devices/system/cpu/online") as f:
+                spans = f.read().strip().split(",")
+            total = 0
+            for s in spans:
+                a, _, b = s.partition("-")
+                total += (int(b) - int(a) + 1) if b else 1
+            return total
+        except OSError:
+            return multiprocessing.cpu_count()
+
+    @ray.remote(num_cpus=1)
+    def _burn(ms: float) -> int:
+        t_end = time.perf_counter() + ms / 1000
+        x = 1.0
+        while time.perf_counter() < t_end:
+            x = x * 1.0000001 % 1e9
+        return int(x)
+
+    for _ in range(3):
+        if _count() >= NUM_CPUS:
+            break
+        ray.get([_burn.remote(300) for _ in range(NUM_CPUS)])
+    return _count()
+
+
 def run(headline_only: bool) -> dict:
     import ray
     from ray.data import DataContext
@@ -422,6 +457,7 @@ def run(headline_only: bool) -> dict:
 
     results: dict = {}
     extras: dict = {}
+    extras["online_cpus"] = _online_cpus_after_warmup(ray)
     bench_headline(ray, results, extras)
     if not headline_only:
         bench_fill(extras)
@@ -507,7 +543,7 @@ def run_scaling() -> dict:
 _COMPACT_KEYS = ("metric", "value", "unit", "queries", "sf", "num_cpus",
                  "n_items", "n_probes", "adds_mps", "adds_mps_8m",
                  "finds_mps", "recall", "fpr", "num_shards",
-                 "throughput_mps")
+                 "throughput_mps", "online_cpus")
 
 
 def _emit(out: dict, detail_name: str) -> None:
