@@ -735,11 +735,24 @@ def q_fpr_measure(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+_GT_CACHE: dict = {}
+
+
 def _gt_pairs(sf_dir: str, threshold: float) -> set:
-    """Exact all-pairs n-gram Jaccard ground truth (in-repo oracle path)."""
-    from cuckoofilter_ray.stages.dedup import exact_jaccard_pairs
-    gt = exact_jaccard_pairs(_docs(sf_dir), threshold=threshold).to_pandas()
-    return set(zip(gt["lo_id"].astype(int), gt["hi_id"].astype(int)))
+    """Exact all-pairs n-gram Jaccard ground truth (in-repo oracle path).
+
+    The quadratic sweep runs ONCE per sf_dir at the lowest threshold any
+    caller uses (0.3); higher thresholds filter the cached (pair, jaccard)
+    frame — the gate's five ground-truth requests share one sweep."""
+    base = _GT_CACHE.get(sf_dir)
+    if base is None or base[0] > threshold:
+        from cuckoofilter_ray.stages.dedup import exact_jaccard_pairs
+        tau = min(0.3, threshold)
+        df = exact_jaccard_pairs(_docs(sf_dir), threshold=tau).to_pandas()
+        base = _GT_CACHE[sf_dir] = (tau, df)
+    df = base[1]
+    sel = df[df["jaccard"] >= threshold]
+    return set(zip(sel["lo_id"].astype(int), sel["hi_id"].astype(int)))
 
 
 def _n_docs(sf_dir: str) -> int:
