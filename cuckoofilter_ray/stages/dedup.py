@@ -186,31 +186,64 @@ def _batch_signatures(texts: list, num_perm: int, shingle_k: int,
     return sigs
 
 
-def minhash_band_rows(batch: pa.Table, *, column: str = "text",
-                      id_col: str = "doc_id", num_perm: int = 64,
-                      shingle_k: int = 5, bands: int = 16,
-                      seed: int = 777) -> pa.Table:
-    """Stateless task stage: per-doc minhash signature + LSH band keys,
-    exploded to one row per (doc, band) for the downstream groupby."""
+def minhash_sig_rows(batch: pa.Table, *, column: str = "text",
+                     id_col: str = "doc_id", num_perm: int = 64,
+                     shingle_k: int = 5, seed: int = 777) -> pa.Table:
+    """Stateless task stage: one (id, signature) row per doc — the content
+    column is dropped here; everything downstream moves ids, band hashes
+    and (for final candidates only) signatures."""
+    texts = batch.column(column).to_pylist()
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+        .astype(np.int64, copy=False)
+    sigs = _batch_signatures(texts, num_perm, shingle_k, seed)
+    # signatures ride as fixed-width binary blobs (num_perm x 8 LE bytes):
+    # Acero hash joins accept binary payloads but not (fixed-size) lists
+    blob = sigs.astype("<u8").tobytes()
+    width = num_perm * 8
+    return pa.table({
+        id_col: pa.array(ids, pa.int64()),
+        "signature": pa.array([blob[i * width:(i + 1) * width]
+                               for i in range(len(ids))], pa.large_binary()),
+    })
+
+
+def _sig_matrix(col) -> np.ndarray:
+    """(n, num_perm) uint64 view of a signature blob column."""
+    raw = b"".join(col.to_pylist())
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.uint64)
+    return np.frombuffer(raw, dtype="<u8").reshape(n, -1)
+
+
+def minhash_band_rows(batch: pa.Table, *, id_col: str = "doc_id",
+                      bands: int = 16, seed: int = 777,
+                      num_parts: int = 64) -> pa.Table:
+    """LSH band keys from (id, signature) rows: one ~18-byte
+    (id, band_id, band_hash, _part) row per (doc, band).  The full
+    signature does NOT ride along (it used to — 512 B × bands per doc
+    through the groupby sort, 8 KB/doc of shuffle; the estimate is now
+    computed by joining signatures onto the small candidate set instead)."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+        .astype(np.int64, copy=False)
+    sigs = _sig_matrix(batch.column("signature"))
+    ndocs, num_perm = sigs.shape
     assert num_perm % bands == 0
     rows = num_perm // bands
-    texts = batch.column(column).to_pylist()
-    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-    sigs = _batch_signatures(texts, num_perm, shingle_k, seed)
-    # band hashes: hash each band's row-slice to one uint64
-    band_mat = sigs.reshape(len(texts), bands, rows)
-    bh = np.zeros((len(texts), bands), dtype=np.uint64)
+    band_mat = sigs.reshape(ndocs, bands, rows)
+    bh = np.zeros((ndocs, bands), dtype=np.uint64)
     for j in range(rows):
         bh = bh * np.uint64(0x100000001B3) + band_mat[:, :, j]
-    bh = mix_split(bh.ravel(), seed + 3).reshape(len(texts), bands)
-    out_ids = np.repeat(ids, bands)
-    band_ids = np.tile(np.arange(bands, dtype=np.int32), len(texts))
+    bh = mix_split(bh.ravel(), seed + 3).reshape(ndocs, bands)
+    band_ids = np.tile(np.arange(bands, dtype=np.uint64), ndocs)
+    bh = bh.ravel()
+    part = ((bh ^ (band_ids * np.uint64(0x9E3779B97F4A7C15)))
+            % np.uint64(num_parts)).astype(np.int32)
     return pa.table({
-        id_col: pa.array(out_ids),
-        "band_id": pa.array(band_ids, pa.int32()),
-        "band_hash": pa.array(bh.ravel(), pa.uint64()),
-        "signature": pa.array(list(np.repeat(sigs, bands, axis=0)),
-                              pa.list_(pa.uint64())),
+        id_col: pa.array(np.repeat(ids, bands), pa.int64()),
+        "band_id": pa.array(band_ids.astype(np.int32), pa.int32()),
+        "band_hash": pa.array(bh, pa.uint64()),
+        "_part": pa.array(part, pa.int32()),
     })
 
 
@@ -222,123 +255,114 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", column: str = "text",
                       max_bucket_reps: int = 4096) -> "ray.data.Dataset":
     """Candidate near-dup pairs with signature-estimated Jaccard ≥ threshold.
 
-    shingle→minhash→band (map, actor pool) → groupby(band_id, band_hash)
-    (the ONLY shuffle, over (id, band, sig) rows — content never shuffles)
-    → within-bucket pairs → estimate Jaccard from signatures → threshold.
-    Pairs are emitted (lo_id, hi_id) and deduplicated.
+    shingle→minhash (map; content dropped) → materialized (id, signature)
+    table → ~18-byte (id, band, band_hash) rows → groupby(band hash
+    partition) (the ONLY wide shuffle — signatures do NOT ride along; r4
+    cut the shuffle from 8 KB/doc to ~0.3 KB/doc, which was 10x the wall
+    time at 500 k docs) → within-bucket candidate ids (star + capped
+    all-pairs) → global pair dedup (tiny) → hash-join signatures onto the
+    candidates → estimate Jaccard → threshold.
 
-    Hot-bucket safety: identical-signature docs collapse to a star on their
-    min-id representative (O(g) pairs, same connectivity), and at most
-    ``max_bucket_reps`` signature-distinct docs are compared per bucket
-    (surplus dropped with a logged warning) — one degenerate boilerplate
-    bucket can no longer go quadratic.
+    Hot-bucket safety: every bucket always emits its min-id star (O(g),
+    connectivity-preserving for mass-duplicate classes) and at most
+    ``max_bucket_reps`` members join the all-pairs comparison (surplus
+    logged) — one degenerate boilerplate bucket cannot go quadratic.
     """
     # the hash stage is CPU-bound per doc: split small inputs so the task
-    # pool can use every core (a single-file parquet read is ONE block)
-    banded = ds.repartition(num_blocks).map_batches(
-        minhash_band_rows, batch_format="pyarrow", batch_size=None,
+    # pool can use every core (a single-file parquet read is ONE block).
+    # Materialized because three stages consume it (band rows + two joins).
+    sig = ds.repartition(num_blocks).map_batches(
+        minhash_sig_rows, batch_format="pyarrow", batch_size=None,
         fn_kwargs={"column": column, "id_col": id_col, "num_perm": num_perm,
-                   "shingle_k": shingle_k, "bands": bands, "seed": seed})
+                   "shingle_k": shingle_k, "seed": seed}).materialize()
 
-    rows_per_band = num_perm // bands
+    banded = sig.map_batches(
+        minhash_band_rows, batch_format="pyarrow", batch_size=None,
+        fn_kwargs={"id_col": id_col, "bands": bands, "seed": seed})
 
-    def one_bucket(ids, sigs, band_id, los, his, ests):
-        """Pairs within one bucket (ids unique + ascending).  Appends to the
-        output lists.  Identical-signature docs collapse to a star on the
-        min-id representative (linear output for mass-duplicated buckets —
-        VERDICT r1 #4); signature-distinct reps compare as a chunked matrix
-        with a ``max_bucket_reps`` cap; each pair is emitted only from the
-        FIRST band whose slices agree (exact cross-band dedup, no second
-        shuffle)."""
-        n = len(ids)
-        if n > 8:
-            # rep-collapse only when it can pay for its np.unique cost
-            _, inv = np.unique(sigs, axis=0, return_inverse=True)
-            first = np.full(inv.max() + 1, n, dtype=np.int64)
-            np.minimum.at(first, inv, np.arange(n))
-            rep_of = first[inv]
-            members = np.flatnonzero(rep_of != np.arange(n))
-            if band_id == 0 and len(members):
-                los.append(ids[rep_of[members]])
-                his.append(ids[members])
-                ests.append(np.ones(len(members)))
-            rep_idx = np.flatnonzero(rep_of == np.arange(n))
-            if len(rep_idx) > max_bucket_reps:
-                import logging
-                logging.getLogger(__name__).warning(
-                    "minhash bucket (band=%d) capped: %d of %d reps",
-                    band_id, max_bucket_reps, len(rep_idx))
-                rep_idx = rep_idx[:max_bucket_reps]
-            rids, R = ids[rep_idx], sigs[rep_idx]
-        else:
-            rids, R = ids, sigs
-        m = len(rids)
-        CH = 128
-        for i0 in range(0, max(0, m - 1), CH):
-            i1 = min(m, i0 + CH)
-            eq = R[i0:i1, None, :] == R[None, :, :]
-            match = eq.mean(axis=2)
-            ii, jj = np.nonzero(match >= threshold)
-            keep = jj > ii + i0
-            ii, jj = ii[keep], jj[keep]
-            if len(ii) == 0:
-                continue
-            be = eq[ii, jj].reshape(-1, bands, rows_per_band).all(axis=2)
-            sel = be.any(axis=1) & (be.argmax(axis=1) == band_id)
-            if not sel.any():
-                continue
-            los.append(rids[ii[sel] + i0])
-            his.append(rids[jj[sel]])
-            ests.append(match[ii[sel], jj[sel]])
-
-    def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
-        """All buckets of one hash partition, vectorized prep ONCE per
-        partition (signature stack, lexsort, boundary scan) — tens of
-        map_groups calls instead of one per bucket, which dominated r1's
-        dedup_minhash wall time."""
+    def partition_cand_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        """Candidate id pairs for every bucket of one hash partition —
+        vectorized prep ONCE per partition (lexsort + boundary scan).
+        Per bucket: a min-id star over all g members plus all-pairs over
+        the first ``max_bucket_reps`` members.  Ids only — no signatures
+        in this stage."""
         ids_all = part[id_col].to_numpy().astype(np.int64, copy=False)
         b_id = part["band_id"].to_numpy().astype(np.int64, copy=False)
         b_hash = part["band_hash"].to_numpy().astype(np.uint64, copy=False)
-        sigs_all = np.stack(part["signature"].to_numpy()).astype(np.uint64,
-                                                                 copy=False)
         order = np.lexsort((ids_all, b_hash, b_id))
         b_id, b_hash, ids_all = b_id[order], b_hash[order], ids_all[order]
-        sigs_all = sigs_all[order]
         bound = np.flatnonzero(np.concatenate((
             [True], (b_id[1:] != b_id[:-1]) | (b_hash[1:] != b_hash[:-1]),
             [True])))
-        los, his, ests = [], [], []
+        los, his = [], []
         for s, e in zip(bound[:-1], bound[1:]):
             if e - s < 2:
                 continue
             ids = ids_all[s:e]
             keep = np.concatenate(([True], ids[1:] != ids[:-1]))  # dedup ids
             ids = ids[keep]
-            if len(ids) < 2:
+            g = len(ids)
+            if g < 2:
                 continue
-            one_bucket(ids, sigs_all[s:e][keep], int(b_id[s]),
-                       los, his, ests)
+            los.append(np.full(g - 1, ids[0]))     # min-id star: O(g)
+            his.append(ids[1:])
+            m = min(g, max_bucket_reps)
+            if g > max_bucket_reps:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "minhash bucket (band=%d) capped: all-pairs over %d of "
+                    "%d members (star edges kept for all)",
+                    int(b_id[s]), max_bucket_reps, g)
+            if m > 2:
+                ii, jj = np.triu_indices(m, k=1)
+                nz = ii > 0                        # (0, j) already in star
+                los.append(ids[ii[nz]])
+                his.append(ids[jj[nz]])
         if not los:
             return pd.DataFrame({"lo_id": pd.Series(dtype=np.int64),
-                                 "hi_id": pd.Series(dtype=np.int64),
-                                 "est_jaccard": pd.Series(dtype=np.float64)})
+                                 "hi_id": pd.Series(dtype=np.int64)})
         return pd.DataFrame({
             "lo_id": np.concatenate(los).astype(np.int64),
             "hi_id": np.concatenate(his).astype(np.int64),
-            "est_jaccard": np.concatenate(ests).astype(np.float64)})
+        }).drop_duplicates()
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        bh = batch.column("band_hash").to_numpy(zero_copy_only=False) \
-            .astype(np.uint64, copy=False)
-        bi = batch.column("band_id").to_numpy(zero_copy_only=False) \
-            .astype(np.uint64, copy=False)
-        part = ((bh ^ (bi * np.uint64(0x9E3779B97F4A7C15)))
-                % np.uint64(64)).astype(np.int32)
-        return batch.append_column("_part", pa.array(part, pa.int32()))
+    cand = banded.groupby("_part").map_groups(partition_cand_pairs,
+                                              batch_format="pandas")
+    # global pair dedup (a pair can surface from several bands/partitions);
+    # the candidate set is tiny next to the corpus, so this groupby is cheap
+    cand = cand.groupby(["lo_id", "hi_id"]).map_groups(
+        lambda df: df.head(1), batch_format="pandas")
 
-    return banded.map_batches(add_part, batch_format="pyarrow",
-                              batch_size=None) \
-        .groupby("_part").map_groups(partition_pairs, batch_format="pandas")
+    # join signatures onto candidates (hash-shuffle join, both sides small
+    # relative to the corpus: |cand| pairs + the two referenced sig rows)
+    sig_lo = sig.map_batches(
+        lambda t: t.rename_columns(["lo_id", "sig_lo"]),
+        batch_format="pyarrow", batch_size=None)
+    sig_hi = sig.map_batches(
+        lambda t: t.rename_columns(["hi_id", "sig_hi"]),
+        batch_format="pyarrow", batch_size=None)
+    nparts = max(4, num_blocks // 4)
+    j = cand.join(sig_lo, join_type="inner", num_partitions=nparts,
+                  on=("lo_id",))
+    j = j.join(sig_hi, join_type="inner", num_partitions=nparts,
+               on=("hi_id",))
+
+    def est_filter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"lo_id": pa.array([], pa.int64()),
+                             "hi_id": pa.array([], pa.int64()),
+                             "est_jaccard": pa.array([], pa.float64())})
+        lo = _sig_matrix(t.column("sig_lo"))
+        hi = _sig_matrix(t.column("sig_hi"))
+        est = (lo == hi).mean(axis=1)
+        keep = est >= threshold
+        return pa.table({
+            "lo_id": t.column("lo_id").take(np.flatnonzero(keep)),
+            "hi_id": t.column("hi_id").take(np.flatnonzero(keep)),
+            "est_jaccard": pa.array(est[keep], pa.float64()),
+        })
+
+    return j.map_batches(est_filter, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------------- simhash
