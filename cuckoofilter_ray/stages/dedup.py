@@ -163,6 +163,31 @@ def _batch_signatures(texts: list, num_perm: int, shingle_k: int,
     if ndocs == 0:
         return np.empty((0, num_perm), dtype=np.uint64)
     lens = np.array([a.size for a in arrs], dtype=np.int64)
+    a = splitmix64(num_perm, seed=seed + 2) | np.uint64(1)
+    b = splitmix64(num_perm, seed=seed + 3)
+    sigs = np.empty((ndocs, num_perm), dtype=np.uint64)
+    # Doc chunks sized so the window-hash array stays cache-resident: the
+    # num_perm permutation passes each stream it end-to-end, and letting it
+    # grow to tens of MB turns every pass into a DRAM round-trip (measured
+    # 8x slower at 8k docs/batch than at 2k).  ~150k windows ≈ 1.2 MB.
+    WINDOW_CHUNK = 150_000
+    csum = np.cumsum(lens - k + 1)
+    bounds = [0]
+    while bounds[-1] < ndocs:
+        nxt = int(np.searchsorted(
+            csum, (csum[bounds[-1] - 1] if bounds[-1] else 0)
+            + WINDOW_CHUNK)) + 1
+        bounds.append(min(max(nxt, bounds[-1] + 1), ndocs))
+    for s0, e0 in zip(bounds[:-1], bounds[1:]):
+        sigs[s0:e0] = _sig_chunk(arrs[s0:e0], lens[s0:e0], k, num_perm,
+                                 seed, a, b)
+    return sigs
+
+
+def _sig_chunk(arrs: list, lens: np.ndarray, k: int, num_perm: int,
+               seed: int, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Signature core over one cache-sized chunk of docs."""
+    ndocs = len(arrs)
     big = np.concatenate(arrs).astype(np.uint64)
     n_sh = lens - k + 1                      # ≥1 per doc (padded above)
     off = np.zeros(ndocs, dtype=np.int64)
@@ -178,11 +203,12 @@ def _batch_signatures(texts: list, num_perm: int, shingle_k: int,
     idx = np.arange(int(n_sh.sum()), dtype=np.int64) \
         - np.repeat(sh_start, n_sh) + np.repeat(off, n_sh)
     hv = mix_split(h[idx], seed)
-    a = splitmix64(num_perm, seed=seed + 2) | np.uint64(1)
-    b = splitmix64(num_perm, seed=seed + 3)
     sigs = np.empty((ndocs, num_perm), dtype=np.uint64)
+    scratch = np.empty_like(hv)
     for p in range(num_perm):
-        sigs[:, p] = np.minimum.reduceat(hv * a[p] + b[p], sh_start)
+        np.multiply(hv, a[p], out=scratch)
+        scratch += b[p]
+        sigs[:, p] = np.minimum.reduceat(scratch, sh_start)
     return sigs
 
 
