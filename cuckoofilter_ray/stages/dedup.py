@@ -359,27 +359,48 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", column: str = "text",
     cand = cand.groupby(["lo_id", "hi_id"]).map_groups(
         lambda df: df.head(1), batch_format="pandas")
 
-    # join signatures onto candidates (hash-shuffle join, both sides small
-    # relative to the corpus: |cand| pairs + the two referenced sig rows)
-    sig_lo = sig.map_batches(
-        lambda t: t.rename_columns(["lo_id", "sig_lo"]),
-        batch_format="pyarrow", batch_size=None)
-    sig_hi = sig.map_batches(
-        lambda t: t.rename_columns(["hi_id", "sig_hi"]),
-        batch_format="pyarrow", batch_size=None)
-    nparts = max(4, num_blocks // 4)
-    j = cand.join(sig_lo, join_type="inner", num_partitions=nparts,
-                  on=("lo_id",))
-    j = j.join(sig_hi, join_type="inner", num_partitions=nparts,
-               on=("hi_id",))
+    def _force_pair_schema(t: pa.Table) -> pa.Table:
+        # groupby partitions that received zero groups emit SCHEMALESS empty
+        # blocks; Acero's join cannot resolve key fields over those
+        if "lo_id" not in t.column_names:
+            return pa.table({"lo_id": pa.array([], pa.int64()),
+                             "hi_id": pa.array([], pa.int64())})
+        return t.select(["lo_id", "hi_id"])
+
+    cand = cand.map_batches(_force_pair_schema, batch_format="pyarrow",
+                            batch_size=None)
+
+    # join signatures onto candidates (hash-shuffle join; right_on avoids a
+    # rename pass that would copy the whole sig table, and the right key
+    # column is dropped by the join).  Ray's join operator builds a
+    # SCHEMALESS table for any hash partition that received zero left rows
+    # and Acero then can't resolve the key (ray 2.49 join.py:102-118), so
+    # the candidate set — tiny next to the corpus — is materialized and
+    # num_partitions sized to keep every partition non-empty: 1 while the
+    # candidate set is small, 1 per ~50k pairs beyond (at that density the
+    # probability of an empty partition is ~k*(1-1/k)^n ≈ 0).
+    cand = cand.materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
+        import ray.data as _rd
+        return _rd.from_arrow(pa.table({
+            "lo_id": pa.array([], pa.int64()),
+            "hi_id": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64())}))
+    nparts = min(max(1, n_cand // 50_000), max(8, num_blocks // 2))
+    j = cand.join(sig, join_type="inner", num_partitions=nparts,
+                  on=("lo_id",), right_on=(id_col,))
+    j = j.join(sig, join_type="inner", num_partitions=nparts,
+               on=("hi_id",), right_on=(id_col,),
+               left_suffix="_lo", right_suffix="_hi")
 
     def est_filter(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"lo_id": pa.array([], pa.int64()),
                              "hi_id": pa.array([], pa.int64()),
                              "est_jaccard": pa.array([], pa.float64())})
-        lo = _sig_matrix(t.column("sig_lo"))
-        hi = _sig_matrix(t.column("sig_hi"))
+        lo = _sig_matrix(t.column("signature_lo"))
+        hi = _sig_matrix(t.column("signature_hi"))
         est = (lo == hi).mean(axis=1)
         keep = est >= threshold
         return pa.table({
