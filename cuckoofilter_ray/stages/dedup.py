@@ -260,6 +260,13 @@ def minhash_band_rows(batch: pa.Table, *, id_col: str = "doc_id",
     bh = np.zeros((ndocs, bands), dtype=np.uint64)
     for j in range(rows):
         bh = bh * np.uint64(0x100000001B3) + band_mat[:, :, j]
+    # full-signature hash: lets buckets collapse identical-signature docs
+    # to a min-id star WITHOUT shipping the signatures themselves (8 B vs
+    # 512 B per row; collision odds 2^-64 — a collision only merges a star)
+    sig_hash = np.zeros(ndocs, dtype=np.uint64)
+    for p in range(num_perm := sigs.shape[1]):
+        sig_hash = sig_hash * np.uint64(0x100000001B3) + sigs[:, p]
+    sig_hash = mix_split(sig_hash, seed + 5)
     bh = mix_split(bh.ravel(), seed + 3).reshape(ndocs, bands)
     band_ids = np.tile(np.arange(bands, dtype=np.uint64), ndocs)
     bh = bh.ravel()
@@ -269,6 +276,7 @@ def minhash_band_rows(batch: pa.Table, *, id_col: str = "doc_id",
         id_col: pa.array(np.repeat(ids, bands), pa.int64()),
         "band_id": pa.array(band_ids.astype(np.int32), pa.int32()),
         "band_hash": pa.array(bh, pa.uint64()),
+        "sig_hash": pa.array(np.repeat(sig_hash, bands), pa.uint64()),
         "_part": pa.array(part, pa.int32()),
     })
 
@@ -309,14 +317,20 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", column: str = "text",
     def partition_cand_pairs(part: pd.DataFrame) -> pd.DataFrame:
         """Candidate id pairs for every bucket of one hash partition —
         vectorized prep ONCE per partition (lexsort + boundary scan).
-        Per bucket: a min-id star over all g members plus all-pairs over
-        the first ``max_bucket_reps`` members.  Ids only — no signatures
-        in this stage."""
+        Per bucket: identical-``sig_hash`` docs collapse to a min-id star
+        (O(g) for mass-duplicate buckets — old rep-collapse semantics,
+        reconstructed from the 8-byte hash instead of the signatures), then
+        all-pairs over the first ``max_bucket_reps`` signature-distinct
+        reps.  Ids only — no signatures in this stage."""
         ids_all = part[id_col].to_numpy().astype(np.int64, copy=False)
         b_id = part["band_id"].to_numpy().astype(np.int64, copy=False)
         b_hash = part["band_hash"].to_numpy().astype(np.uint64, copy=False)
-        order = np.lexsort((ids_all, b_hash, b_id))
-        b_id, b_hash, ids_all = b_id[order], b_hash[order], ids_all[order]
+        sh_all = part["sig_hash"].to_numpy().astype(np.uint64, copy=False)
+        # within a bucket, members sort by (sig_hash, id): identical-sig
+        # groups are contiguous with their min id first
+        order = np.lexsort((ids_all, sh_all, b_hash, b_id))
+        b_id, b_hash = b_id[order], b_hash[order]
+        ids_all, sh_all = ids_all[order], sh_all[order]
         bound = np.flatnonzero(np.concatenate((
             [True], (b_id[1:] != b_id[:-1]) | (b_hash[1:] != b_hash[:-1]),
             [True])))
@@ -324,26 +338,30 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", column: str = "text",
         for s, e in zip(bound[:-1], bound[1:]):
             if e - s < 2:
                 continue
-            ids = ids_all[s:e]
-            keep = np.concatenate(([True], ids[1:] != ids[:-1]))  # dedup ids
-            ids = ids[keep]
-            g = len(ids)
-            if g < 2:
+            ids, sh = ids_all[s:e], sh_all[s:e]
+            first = np.concatenate(([True], sh[1:] != sh[:-1]))
+            rep_pos = np.flatnonzero(first)
+            rep_of = ids[rep_pos[np.cumsum(first) - 1]]
+            members = ~first
+            if members.any():          # identical-signature star edges
+                los.append(rep_of[members])
+                his.append(ids[members])
+            reps = ids[first]
+            m = len(reps)
+            if m < 2:
                 continue
-            los.append(np.full(g - 1, ids[0]))     # min-id star: O(g)
-            his.append(ids[1:])
-            m = min(g, max_bucket_reps)
-            if g > max_bucket_reps:
+            if m > max_bucket_reps:
                 import logging
                 logging.getLogger(__name__).warning(
-                    "minhash bucket (band=%d) capped: all-pairs over %d of "
-                    "%d members (star edges kept for all)",
-                    int(b_id[s]), max_bucket_reps, g)
-            if m > 2:
-                ii, jj = np.triu_indices(m, k=1)
-                nz = ii > 0                        # (0, j) already in star
-                los.append(ids[ii[nz]])
-                his.append(ids[jj[nz]])
+                    "minhash bucket (band=%d) capped: %d of %d sig-distinct "
+                    "reps compared (star edges kept for all)",
+                    int(b_id[s]), max_bucket_reps, m)
+                reps = reps[:max_bucket_reps]
+                m = max_bucket_reps
+            ii, jj = np.triu_indices(m, k=1)
+            a, c = reps[ii], reps[jj]
+            los.append(np.minimum(a, c))
+            his.append(np.maximum(a, c))
         if not los:
             return pd.DataFrame({"lo_id": pd.Series(dtype=np.int64),
                                  "hi_id": pd.Series(dtype=np.int64)})
