@@ -440,6 +440,27 @@ def _online_cpus_after_warmup(ray) -> int:
     return _count()
 
 
+def _effective_cores(ray) -> float:
+    """Measured effective parallelism: fixed CPU work timed solo, then on
+    all NUM_CPUS at once.  The sandbox has been observed backing 32 online
+    vCPUs with ~6 physical cores (32-way numpy ran 5.6x slower per task
+    than solo while 1-core speed was normal) — `online_cpus` alone cannot
+    detect that, this ratio can."""
+
+    @ray.remote(num_cpus=1)
+    def _work() -> float:
+        t0 = time.perf_counter()
+        x = 1.0
+        for _ in range(2_000_000):
+            x = x * 1.0000001 % 1e9
+        return time.perf_counter() - t0
+
+    solo = ray.get(_work.remote())
+    walls = ray.get([_work.remote() for _ in range(NUM_CPUS)])
+    mean = sum(walls) / len(walls)
+    return round(NUM_CPUS * solo / mean, 1) if mean else float(NUM_CPUS)
+
+
 def run(headline_only: bool) -> dict:
     import ray
     from ray.data import DataContext
@@ -458,6 +479,7 @@ def run(headline_only: bool) -> dict:
     results: dict = {}
     extras: dict = {}
     extras["online_cpus"] = _online_cpus_after_warmup(ray)
+    extras["effective_cores"] = _effective_cores(ray)
     bench_headline(ray, results, extras)
     if not headline_only:
         bench_fill(extras)
@@ -543,7 +565,7 @@ def run_scaling() -> dict:
 _COMPACT_KEYS = ("metric", "value", "unit", "queries", "sf", "num_cpus",
                  "n_items", "n_probes", "adds_mps", "adds_mps_8m",
                  "finds_mps", "recall", "fpr", "num_shards",
-                 "throughput_mps", "online_cpus")
+                 "throughput_mps", "online_cpus", "effective_cores")
 
 
 def _emit(out: dict, detail_name: str) -> None:

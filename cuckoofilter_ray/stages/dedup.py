@@ -372,10 +372,29 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", column: str = "text",
 
     cand = banded.groupby("_part").map_groups(partition_cand_pairs,
                                               batch_format="pandas")
-    # global pair dedup (a pair can surface from several bands/partitions);
-    # the candidate set is tiny next to the corpus, so this groupby is cheap
-    cand = cand.groupby(["lo_id", "hi_id"]).map_groups(
-        lambda df: df.head(1), batch_format="pandas")
+
+    # global pair dedup (a pair can surface from several bands/partitions):
+    # shuffle by a pair-hash partition and drop_duplicates ONCE per
+    # partition — groupby((lo,hi)).map_groups would pay Ray's per-group
+    # dispatch (~40 ms/group) for every pair
+    def _pair_part(t: pa.Table) -> pa.Table:
+        if "lo_id" not in t.column_names:        # schemaless empty block
+            return pa.table({"lo_id": pa.array([], pa.int64()),
+                             "hi_id": pa.array([], pa.int64()),
+                             "_pk": pa.array([], pa.int32())})
+        lo = t.column("lo_id").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        hi = t.column("hi_id").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        pk = ((lo * np.uint64(0x9E3779B97F4A7C15) ^ hi)
+              % np.uint64(64)).astype(np.int32)
+        return t.append_column("_pk", pa.array(pk, pa.int32()))
+
+    cand = cand.map_batches(_pair_part, batch_format="pyarrow",
+                            batch_size=None) \
+        .groupby("_pk").map_groups(
+            lambda df: df.drop_duplicates(["lo_id", "hi_id"]),
+            batch_format="pandas")
 
     def _force_pair_schema(t: pa.Table) -> pa.Table:
         # groupby partitions that received zero groups emit SCHEMALESS empty
