@@ -264,7 +264,7 @@ def minhash_band_rows(batch: pa.Table, *, id_col: str = "doc_id",
     # to a min-id star WITHOUT shipping the signatures themselves (8 B vs
     # 512 B per row; collision odds 2^-64 — a collision only merges a star)
     sig_hash = np.zeros(ndocs, dtype=np.uint64)
-    for p in range(num_perm := sigs.shape[1]):
+    for p in range(num_perm):
         sig_hash = sig_hash * np.uint64(0x100000001B3) + sigs[:, p]
     sig_hash = mix_split(sig_hash, seed + 5)
     bh = mix_split(bh.ravel(), seed + 3).reshape(ndocs, bands)
