@@ -127,6 +127,19 @@ def main() -> None:
         "planted_recall": round(recall, 4),
     }
 
+    # ---- connected components over the candidate pairs
+    from cuckoofilter_ray.stages.dedup import neardup_clusters
+    pairs_ds = ray.data.from_pandas(pairs[["lo_id", "hi_id"]])
+    t0 = time.perf_counter()
+    cl = neardup_clusters(pairs_ds, id_col="doc_id").to_pandas()
+    cc_s = time.perf_counter() - t0
+    n_clusters = int(cl["cluster_id"].nunique())
+    out["clusters"] = {
+        "sec": round(cc_s, 2),
+        "labeled_nodes": int(len(cl)),
+        "clusters": n_clusters,
+    }
+
     # ---- exact dedup on sha256(text): narrow (key, id) shuffle
     keyed = docs.map_batches(
         add_content_keys, batch_format="pyarrow",
