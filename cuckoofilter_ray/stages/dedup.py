@@ -424,10 +424,39 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", column: str = "text",
             "lo_id": pa.array([], pa.int64()),
             "hi_id": pa.array([], pa.int64()),
             "est_jaccard": pa.array([], pa.float64())}))
+    # semi-join reduction before the joins: the joins would otherwise
+    # hash-shuffle the ENTIRE sig table against a candidate set that is
+    # orders of magnitude smaller.  Candidate ids broadcast once
+    # (sorted int64 via ray.put — "broadcast the small side" pattern) and
+    # each sig block keeps only referenced rows; the join then shuffles
+    # O(candidates).  Above the driver-bytes bound, fall back to the
+    # direct join (at that many pairs the sig shuffle is no longer the
+    # dominant term).
+    if n_cand <= 4_000_000:
+        pair_tbl = pa.concat_tables(
+            [t for t in (ray.get(r) for r in cand.to_arrow_refs())
+             if t.num_rows])             # skip schemaless empty blocks
+        cand_ids = np.unique(np.concatenate([
+            pair_tbl.column("lo_id").to_numpy(zero_copy_only=False),
+            pair_tbl.column("hi_id").to_numpy(zero_copy_only=False)]))
+        ids_ref = ray.put(cand_ids)
+
+        def _sig_prefilter(t: pa.Table, ref=ids_ref) -> pa.Table:
+            wanted = ray.get(ref)
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(wanted, ids)
+            pos[pos >= len(wanted)] = 0
+            keep = np.flatnonzero(wanted[pos] == ids)
+            return t.take(keep)
+
+        sig_small = sig.map_batches(_sig_prefilter, batch_format="pyarrow",
+                                    batch_size=None)
+    else:
+        sig_small = sig
     nparts = min(max(1, n_cand // 50_000), max(8, num_blocks // 2))
-    j = cand.join(sig, join_type="inner", num_partitions=nparts,
+    j = cand.join(sig_small, join_type="inner", num_partitions=nparts,
                   on=("lo_id",), right_on=(id_col,))
-    j = j.join(sig, join_type="inner", num_partitions=nparts,
+    j = j.join(sig_small, join_type="inner", num_partitions=nparts,
                on=("hi_id",), right_on=(id_col,),
                left_suffix="_lo", right_suffix="_hi")
 
