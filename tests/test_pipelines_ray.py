@@ -666,6 +666,36 @@ def test_batch_signatures_match_per_doc_path():
         assert (got[i] == exp).all(), f"doc {i} signature mismatch"
 
 
+def test_sig_blob_roundtrip_and_band_rows():
+    """(id, signature-blob) rows decode back to the exact signature matrix,
+    and band rows carry only fixed-width key columns (the 8-byte sig_hash,
+    never the 512-byte signature)."""
+    from cuckoofilter_ray.stages.dedup import (_batch_signatures, _sig_matrix,
+                                               minhash_band_rows,
+                                               minhash_sig_rows)
+    texts = [f"document number {i} with some shared boilerplate text"
+             for i in range(37)] + ["", None, "ab"]
+    ids = list(range(len(texts)))
+    batch = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array([t or "" for t in texts])})
+    rows = minhash_sig_rows(batch, column="text", id_col="doc_id",
+                            num_perm=64, shingle_k=5, seed=777)
+    sigs = _sig_matrix(rows.column("signature"))
+    exp = _batch_signatures(texts, num_perm=64, shingle_k=5, seed=777)
+    assert (sigs == exp).all()
+    banded = minhash_band_rows(rows, id_col="doc_id", bands=16, seed=777)
+    assert set(banded.column_names) == {
+        "doc_id", "band_id", "band_hash", "sig_hash", "_part"}
+    assert banded.num_rows == len(texts) * 16
+    # identical docs share sig_hash; distinct docs don't (w.h.p.)
+    sh = banded.column("sig_hash").to_numpy()
+    assert sh[0 * 16] != sh[1 * 16]
+    # empty batch degrades to an empty table, not an error
+    empty = minhash_band_rows(rows.slice(0, 0), id_col="doc_id",
+                              bands=16, seed=777)
+    assert empty.num_rows == 0
+
+
 def test_degenerate_identical_bucket_is_linear(ray_mod):
     """VERDICT r1 #4: a mass-duplicated bucket (10^4 identical docs) must
     finish in seconds with O(n) star pairs, not O(n^2) all-pairs."""
