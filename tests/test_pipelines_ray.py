@@ -666,6 +666,35 @@ def test_batch_signatures_match_per_doc_path():
         assert (got[i] == exp).all(), f"doc {i} signature mismatch"
 
 
+def test_minhash_pairs_invariant_to_partitioning(ray_mod):
+    """The candidate pair set must not depend on num_blocks (block sizing
+    is an executor knob, not a semantic one) — guards the bucket-boundary
+    and pair-dedup logic across partition layouts."""
+    ray = ray_mod
+    from cuckoofilter_ray.stages.dedup import minhash_lsh_pairs
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = []
+    for i in range(120):
+        base = " ".join(rng.choice(vocab, 60))
+        texts.append(base)
+        if i % 7 == 0:
+            texts.append(base + " tailtok")
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)}))
+    ref = None
+    for nb in (2, 8, 32):
+        p = minhash_lsh_pairs(docs, column="text", id_col="doc_id",
+                              num_perm=64, bands=16, threshold=0.5,
+                              num_blocks=nb).to_pandas()
+        cur = sorted(zip(p.lo_id.astype(int), p.hi_id.astype(int)))
+        if ref is None:
+            ref = cur
+            assert len(ref) > 10          # the corpus plants ~18 pairs
+        assert cur == ref, f"num_blocks={nb} changed the pair set"
+
+
 def test_sig_blob_roundtrip_and_band_rows():
     """(id, signature-blob) rows decode back to the exact signature matrix,
     and band rows carry only fixed-width key columns (the 8-byte sig_hash,
