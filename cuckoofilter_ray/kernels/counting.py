@@ -318,7 +318,9 @@ class CountingQuotientFilter:
         from .gcs import rice_unpack, unpack_width64
         d = pickle.loads(payload)
         n = d["n"]
-        ch = int(d.get("ch", self.CHUNK))
+        # legacy blobs (pre-"ch" key) were always packed at chunk=64; falling
+        # back to the CURRENT class constant would mis-frame their lanes
+        ch = int(d.get("ch", 64))
         if n == 0:
             self.hashes = np.empty(0, dtype=np.uint64)
             self.counts = np.empty(0, dtype=np.int64)

@@ -246,12 +246,10 @@ class CuckooFilter:
             i, t = int(cur_i[j]), int(cur_t[j])
             kc, ph = int(kicks[j]), int(phase[j])
             while True:
-                o = occ[i]
-                if o < TAGS_PER_BUCKET:
-                    tags[i, o] = t
-                    occ[i] = o + 1
-                    ok += 1
-                    break
+                # budget check FIRST: the chain parks at the alt bucket of the
+                # kick that exhausted the budget, with no placement attempt
+                # there — matching the vectorized dead-check above and the
+                # reference loop bound (src/cuckoofilter.h:156-181).
                 if kc >= MAX_KICKS:
                     if not self.victim_used:
                         self.victim_index, self.victim_tag = i, t
@@ -260,6 +258,12 @@ class CuckooFilter:
                                       # (src/cuckoofilter.h:177-181)
                     else:
                         overflow += 1
+                    break
+                o = occ[i]
+                if o < TAGS_PER_BUCKET:
+                    tags[i, o] = t
+                    occ[i] = o + 1
+                    ok += 1
                     break
                 if ph == 1:           # kick a random resident, carry it
                     r = int(rand(1)[0])

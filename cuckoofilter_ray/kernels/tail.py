@@ -596,6 +596,8 @@ class QuotientDysect:
         wp = np.zeros(len(keys), dtype=np.int64)     # walker arena
         wk = np.asarray(keys, dtype=np.uint64).copy()
         wv = np.asarray(values, dtype=np.uint64).copy()
+        wit = np.zeros(len(keys), dtype=np.int64)    # per-walker iterations
+        n0 = len(keys)
         smask = np.uint64((1 << s) - 1)
         vmask = np.uint64((1 << v) - 1)
         kw_mask = np.uint64((1 << (k - w)) - 1)
@@ -670,12 +672,21 @@ class QuotientDysect:
                 wv[fidx] = ev
                 wp[fidx] = p2
             alive = wp >= 0
-            wk, wv, wp = wk[alive], wv[alive], wp[alive]
+            wit += 1
+            wk, wv, wp, wit = wk[alive], wv[alive], wp[alive], wit[alive]
             rounds += 1
-            if len(wk) and (not progressed or rounds % 64 == 0):
+            # growth rule: scaled analog of the scalar ``iterations > ndv_``
+            # check (quotient-dysect.hpp:147-157) — each walker carries its
+            # own iteration count (evictions continue the same walk, as in
+            # the scalar loop) against the CURRENT entry count; counters
+            # reset after an upsize like the scalar ``iterations = 0``.
+            # A no-progress round still forces growth (dead-batch escape).
+            eff_ndv = self.ndv + (n0 - len(wk))
+            if len(wk) and (not progressed or int(wit.max()) > eff_ndv):
                 flush()
-                self.upsize_bulk()          # the iterations>ndv growth analog
+                self.upsize_bulk()
                 arenas = [list(self._flat_arena(pp)) for pp in range(d)]
+                wit[:] = 0
             if len(wk) and rounds > 4096:   # paranoia: scalar last resort
                 flush()
                 for t in range(len(wk)):

@@ -35,6 +35,15 @@ from ray.data.aggregate import Min
 
 from ..kernels.hashing import mix_split, splitmix64
 
+# per-worker-process cache for broadcast objects fetched inside map_batches
+# (same pattern as similarity._CENTROID_CACHE): one plasma get per worker
+# per ObjectRef instead of one per batch
+_BCAST_CACHE: dict = {}
+
+# candidate-signature broadcast bound for minhash_lsh_pairs' small-candidate
+# fast path (skip-the-joins); module-level so tests can force the join path
+_SIG_BCAST_BYTES = 64 << 20
+
 # byte-popcount LUT (numpy <2 has no bitwise_count); uint64 popcount =
 # view as uint8, LUT, sum the 8 lanes
 _POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
@@ -432,6 +441,7 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", column: str = "text",
     # O(candidates).  Above the driver-bytes bound, fall back to the
     # direct join (at that many pairs the sig shuffle is no longer the
     # dominant term).
+    cand_ids = None
     if n_cand <= 4_000_000:
         pair_tbl = pa.concat_tables(
             [t for t in (ray.get(r) for r in cand.to_arrow_refs())
@@ -439,10 +449,15 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", column: str = "text",
         cand_ids = np.unique(np.concatenate([
             pair_tbl.column("lo_id").to_numpy(zero_copy_only=False),
             pair_tbl.column("hi_id").to_numpy(zero_copy_only=False)]))
+
+    if cand_ids is not None:
         ids_ref = ray.put(cand_ids)
 
         def _sig_prefilter(t: pa.Table, ref=ids_ref) -> pa.Table:
-            wanted = ray.get(ref)
+            key = ref.hex()
+            wanted = _BCAST_CACHE.get(key)
+            if wanted is None:
+                wanted = _BCAST_CACHE[key] = ray.get(ref)
             ids = t.column(id_col).to_numpy(zero_copy_only=False)
             pos = np.searchsorted(wanted, ids)
             pos[pos >= len(wanted)] = 0
@@ -453,6 +468,44 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", column: str = "text",
                                     batch_size=None)
     else:
         sig_small = sig
+
+    # small-candidate fast path: the two hash joins below are pure fixed
+    # stage latency when the candidate set is tiny (the sf0.1 5k-doc corpus
+    # regressed 1.0 -> 3.4 s on them).  Gather the candidates' signatures
+    # (one parallel filter pass over the materialized sig table), broadcast
+    # the (sorted ids, sig matrix) blob once, and estimate Jaccard in-task
+    # over the pair rows — zero additional shuffles.  The join path remains
+    # for large candidate sets where the blob would not fit a broadcast.
+    if cand_ids is not None and \
+            len(cand_ids) * (8 + num_perm * 8) <= _SIG_BCAST_BYTES:
+        sig_tbl = pa.concat_tables(
+            [t for t in (ray.get(r) for r in sig_small.to_arrow_refs())
+             if t.num_rows])
+        bids = sig_tbl.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        bmat = _sig_matrix(sig_tbl.column("signature"))
+        order = np.argsort(bids)
+        blob_ref = ray.put((bids[order], bmat[order]))
+
+        def _est_bcast(t: pa.Table, ref=blob_ref) -> pa.Table:
+            key = ref.hex()
+            blob = _BCAST_CACHE.get(key)
+            if blob is None:
+                blob = _BCAST_CACHE[key] = ray.get(ref)
+            sids, smat = blob
+            lo = t.column("lo_id").to_numpy(zero_copy_only=False)
+            hi = t.column("hi_id").to_numpy(zero_copy_only=False)
+            est = (smat[np.searchsorted(sids, lo)] ==
+                   smat[np.searchsorted(sids, hi)]).mean(axis=1)
+            keep = np.flatnonzero(est >= threshold)
+            return pa.table({
+                "lo_id": t.column("lo_id").take(keep),
+                "hi_id": t.column("hi_id").take(keep),
+                "est_jaccard": pa.array(est[keep], pa.float64()),
+            })
+
+        return cand.map_batches(_est_bcast, batch_format="pyarrow",
+                                batch_size=None)
     nparts = min(max(1, n_cand // 50_000), max(8, num_blocks // 2))
     j = cand.join(sig_small, join_type="inner", num_partitions=nparts,
                   on=("lo_id",), right_on=(id_col,))
@@ -700,19 +753,68 @@ def simhash_pairs(ds: "ray.data.Dataset", column: str = "text",
 
 # ------------------------------------------------------ near-dup clustering
 
+def _local_cc_minlabel(src: np.ndarray, dst: np.ndarray):
+    """Min-label connected components over driver-resident edge arrays:
+    vectorized min-propagation + pointer jumping (O(E) numpy work per
+    round, O(log n) rounds).  Returns (nodes, root) with root = the min
+    node id of each component."""
+    nodes = np.unique(np.concatenate([src, dst]))
+    a = np.searchsorted(nodes, src)
+    b = np.searchsorted(nodes, dst)
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        old = lab
+        lab = lab.copy()
+        np.minimum.at(lab, a, lab[b])
+        np.minimum.at(lab, b, lab[a])
+        while True:                      # pointer jumping to the chain root
+            nl = lab[lab]
+            if np.array_equal(nl, lab):
+                break
+            lab = nl
+        if np.array_equal(lab, old):
+            break
+    return nodes, nodes[lab]
+
+
+def _gather_blocks(ds) -> "pa.Table | None":
+    """Driver-side concat of a (small) Dataset's non-empty arrow blocks
+    (schemaless empties skipped).  None when every block is empty."""
+    tbls = [t for t in (ray.get(r) for r in ds.to_arrow_refs())
+            if t.num_rows and t.num_columns]
+    return pa.concat_tables(tbls) if tbls else None
+
+
 def neardup_clusters(pairs: "ray.data.Dataset", id_col: str = "doc_id",
-                     max_rounds: int = 10) -> "ray.data.Dataset":
+                     max_rounds: int = 32,
+                     local_edge_bound: int = 2_000_000,
+                     bcast_node_bound: int = 2_000_000) -> "ray.data.Dataset":
     """Connected components over near-dup pairs → (id, cluster_id = min id).
 
-    Iterative min-label propagation on the PAIR graph (nodes = only ids that
-    appear in a pair — tiny relative to the corpus), each round a
-    ``hash_join`` of edges against labels plus a ``groupby(dst).min``; stops
-    at fixpoint or ``max_rounds`` (propagation needs O(diameter) rounds —
-    near-dup clusters are shallow in practice).  Keep-one dedup = keep rows
-    whose id == cluster_id.
+    Borůvka-style star contraction (r5 rework — the r4 one-sided min-label
+    propagation paid ~4 shuffle stages × O(diameter) rounds):
+
+    - Each distributed round computes the min-forest map
+      D(v) = min(v, neighbors) with ONE groupby, transitively closes D's
+      chains (decreasing ⇒ acyclic) driver-side when D fits a broadcast,
+      and relabels the edge set through the closed map — every min-forest
+      tree (≥2 nodes) contracts to its root, so component node counts at
+      least HALVE per round: O(log n) rounds regardless of id ordering
+      (sorted chains, the O(diameter) adversary, close in one round).
+    - Once the contracted edge set fits ``local_edge_bound`` it finishes
+      with one vectorized union-find pass on the driver (the standard
+      local-finish of distributed CC) — near-dup pair graphs are tiny
+      relative to the corpus, so this is round 1 in practice.
+    - Labels that leave the edge set are final (their component fully
+      contracted), so the running (node → label) map composes with each
+      round's D under identity-default lookup.
+    - Beyond ``bcast_node_bound`` nodes, D closes by pointer-doubling
+      left-outer self-joins and edges/labels relabel through outer joins —
+      all-to-all only, never the driver.
+
+    Keep-one dedup = keep rows whose id == cluster_id.
     """
-    from .relational import hash_join
-    from ray.data.aggregate import Min
+    import ray.data as _rd
 
     edges = pairs.map_batches(
         lambda t: pa.table({
@@ -724,62 +826,227 @@ def neardup_clusters(pairs: "ray.data.Dataset", id_col: str = "doc_id",
                 t.column("lo_id").combine_chunks().cast(pa.int64())]),
         }), batch_format="pyarrow", batch_size=None)
 
-    def _norm(t) -> pa.Table:
-        """Schema-normalizer for non-empty blocks (dtype pinning).  Ray's
-        sort-based groupby also emits SCHEMA-LESS empty blocks for empty
-        reduce partitions, and ``map_batches`` skips the UDF on empty
-        blocks entirely — those are scrubbed by the ``repartition`` that
-        follows (an all-to-all over the tiny label set, never the driver;
-        VERDICT r2 #1)."""
-        if isinstance(t, pd.DataFrame):       # pandas blocks slip through
-            t = pa.Table.from_pandas(t, preserve_index=False)
-        if t.num_columns < 2 or len(t) == 0:
-            return pa.table({"node": pa.array([], pa.int64()),
-                             "label": pa.array([], pa.int64())})
-        return pa.table({"node": t.column("node").cast(pa.int64()),
-                         "label": t.column("label").cast(pa.int64())})
+    def _lookup(keys, vals, x):
+        """vals[keys.searchsorted(x)] with identity default (keys sorted)."""
+        if len(keys) == 0:
+            return x
+        pos = np.searchsorted(keys, x)
+        pos[pos >= len(keys)] = 0
+        hit = keys[pos] == x
+        return np.where(hit, vals[pos], x)
 
-    def _labelize(ds):
-        """aggregate output → clean (node,label) Dataset, pinned in the
-        object store.  materialize() per round caps lineage (labels feed
-        both the join and the union — unbounded lineage would re-execute
-        the whole history each round) and keeps blocks distributed."""
-        return ds.map_batches(_norm, batch_format="pyarrow",
-                              batch_size=None).repartition(8).materialize()
+    def _relabel_edges_bcast(E, ref):
+        def f(t: pa.Table, ref=ref) -> pa.Table:
+            kv = _BCAST_CACHE.get(ref.hex())
+            if kv is None:
+                kv = _BCAST_CACHE[ref.hex()] = ray.get(ref)
+            k, v = kv
+            s = _lookup(k, v, t.column("src").to_numpy(zero_copy_only=False))
+            d = _lookup(k, v, t.column("dst").to_numpy(zero_copy_only=False))
+            keep = s != d
+            s, d = s[keep], d[keep]
+            if len(s):
+                o = np.lexsort((d, s))   # per-batch pair dedup (cheap)
+                s, d = s[o], d[o]
+                first = np.concatenate(
+                    ([True], (s[1:] != s[:-1]) | (d[1:] != d[:-1])))
+                s, d = s[first], d[first]
+            return pa.table({"src": pa.array(s, pa.int64()),
+                             "dst": pa.array(d, pa.int64())})
+        return E.map_batches(f, batch_format="pyarrow", batch_size=None)
 
-    labels = _labelize(edges.map_batches(
-        lambda t: pa.table({"node": t.column("src"),
-                            "label": t.column("src")}),
-        batch_format="pyarrow", batch_size=None)
-        .groupby("node").aggregate(Min("label", alias_name="label")))
+    def _relabel_labels_bcast(M, ref):
+        def f(t: pa.Table, ref=ref) -> pa.Table:
+            kv = _BCAST_CACHE.get(ref.hex())
+            if kv is None:
+                kv = _BCAST_CACHE[ref.hex()] = ray.get(ref)
+            k, v = kv
+            lab = _lookup(k, v,
+                          t.column("label").to_numpy(zero_copy_only=False))
+            return pa.table({
+                "node": t.column("node").cast(pa.int64()),
+                "label": pa.array(lab.astype(np.int64), pa.int64())})
+        return M.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+    E = edges.materialize()
+    M = None                   # Dataset["node","label"]; None ⇒ identity
 
     for _ in range(max_rounds):
-        msgs = hash_join(edges, labels, left_key="src", right_key="node",
-                         num_buckets=8)
-        # candidate label for dst = neighbor's label; keep own via union
-        cand = msgs.map_batches(
-            lambda t: pa.table({"node": t.column("dst"),
-                                "label": t.column("label")}),
-            batch_format="pyarrow", batch_size=None).union(labels)
-        new_labels = _labelize(
-            cand.groupby("node").aggregate(Min("label", alias_name="label")))
-        # convergence: distributed count of changed labels, reduced by an
-        # aggregate — only the scalar reaches the driver
-        n_changed = hash_join(new_labels, labels, left_key="node",
-                              right_key="node", suffixes=("_new", "_old"),
-                              num_buckets=8).map_batches(
-            lambda t: pa.table({"n": pa.array(
-                [int((pa.compute.not_equal(t.column("label_new"),
-                                           t.column("label_old"))
-                      ).to_numpy(zero_copy_only=False).sum())], pa.int64())}),
-            batch_format="pyarrow", batch_size=None).sum("n")
-        labels = new_labels
-        if not n_changed:
+        n_e = E.count()
+        if n_e == 0:
             break
-    return labels.map_batches(
-        lambda t: pa.table({id_col: t.column("node"),
-                            "cluster_id": t.column("label")}),
+        if n_e <= local_edge_bound:
+            # ---- local finish: one union-find pass over the contracted set
+            tbl = _gather_blocks(E)
+            nodes, roots = _local_cc_minlabel(
+                tbl.column("src").to_numpy(zero_copy_only=False)
+                   .astype(np.int64),
+                tbl.column("dst").to_numpy(zero_copy_only=False)
+                   .astype(np.int64))
+            if M is None:
+                M = _rd.from_arrow(pa.table({
+                    "node": pa.array(nodes, pa.int64()),
+                    "label": pa.array(roots, pa.int64())}))
+            else:
+                ref = ray.put((nodes, roots))
+                M = _relabel_labels_bcast(M, ref).materialize()
+            break
+        # ---- distributed star-contraction round: ONE groupby builds the
+        # single-step min map D(v) = min(v, min neighbor)
+        def _d_norm(t) -> pa.Table:
+            if isinstance(t, pd.DataFrame):
+                t = pa.Table.from_pandas(t, preserve_index=False)
+            if t.num_columns < 2 or len(t) == 0:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "label": pa.array([], pa.int64())})
+            node = t.column("src").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            lab = t.column("label").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({"node": pa.array(node, pa.int64()),
+                             "label": pa.array(np.minimum(node, lab),
+                                               pa.int64())})
+
+        D = E.groupby("src").aggregate(Min("dst", alias_name="label")) \
+            .map_batches(_d_norm, batch_format="pyarrow",
+                         batch_size=None).materialize()
+        n_d = D.count()
+        if n_d <= bcast_node_bound:
+            dt = _gather_blocks(D)
+            k = dt.column("node").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            v = dt.column("label").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            o = np.argsort(k)
+            k, v = k[o], v[o]
+            while True:          # close the min-forest chains (acyclic)
+                v2 = _lookup(k, v, v)
+                if np.array_equal(v2, v):
+                    break
+                v = v2
+            ref = ray.put((k, v))
+            E = _relabel_edges_bcast(E, ref).materialize()
+            if M is None:
+                M = _rd.from_arrow(pa.table({
+                    "node": pa.array(k, pa.int64()),
+                    "label": pa.array(v, pa.int64())}))
+            else:
+                M = _relabel_labels_bcast(M, ref).materialize()
+        else:
+            # scale path: close D by pointer-doubling left-outer self-joins
+            # (chain depth halves per doubling; labels outside the map are
+            # final and pass through), then outer-relabel E and M.  All
+            # stages are hash exchanges over the (shrinking) node set —
+            # nothing reaches the driver but scalars.  num_partitions sized
+            # ~50k rows/partition so no hash partition is empty (Ray's join
+            # builds a schemaless table for empty partitions and Acero then
+            # cannot resolve the key — ray 2.49 join.py:102-118).
+            nparts = int(max(1, min(256, n_d // 50_000)))
+
+            def _as_map(ds, out_col):
+                """(node,label) → (node, <out_col>) for collision-free
+                right sides."""
+                return ds.map_batches(
+                    lambda t, c=out_col: pa.table({
+                        "node": t.column("node").cast(pa.int64()),
+                        c: t.column("label").cast(pa.int64())}),
+                    batch_format="pyarrow", batch_size=None)
+
+            for _ in range(16):
+                j = D.join(_as_map(D, "labr"), "left_outer",
+                           num_partitions=nparts,
+                           on=("label",), right_on=("node",)) \
+                    .map_batches(_compose_label, batch_format="pyarrow",
+                                 batch_size=None).materialize()
+                changed = j.map_batches(
+                    lambda t: pa.table({"n": pa.array(
+                        [int((t.column("label").to_numpy(
+                            zero_copy_only=False) !=
+                            t.column("label0").to_numpy(
+                                zero_copy_only=False)).sum())], pa.int64())}),
+                    batch_format="pyarrow", batch_size=None).sum("n")
+                D = j.map_batches(
+                    lambda t: (t.select(["node", "label"])
+                               if t.num_columns else t),
+                    batch_format="pyarrow", batch_size=None).materialize()
+                if not changed:
+                    break
+
+            def _one_side(Ecur, col):
+                other = "dst" if col == "src" else "src"
+                jj = Ecur.join(_as_map(D, "labr"), "left_outer",
+                               num_partitions=nparts,
+                               on=(col,), right_on=("node",))
+
+                def fix(t: pa.Table, c=col, o=other) -> pa.Table:
+                    if t.num_columns == 0 or len(t) == 0:
+                        return pa.table({"src": pa.array([], pa.int64()),
+                                         "dst": pa.array([], pa.int64())})
+                    return pa.table({
+                        c: pa.compute.coalesce(
+                            t.column("labr").cast(pa.int64()),
+                            t.column(c).cast(pa.int64())),
+                        o: t.column(o).cast(pa.int64())})
+                return jj.map_batches(fix, batch_format="pyarrow",
+                                      batch_size=None)
+
+            def _drop_loops(t: pa.Table) -> pa.Table:
+                if t.num_columns == 0 or len(t) == 0:
+                    return pa.table({"src": pa.array([], pa.int64()),
+                                     "dst": pa.array([], pa.int64())})
+                s = t.column("src").to_numpy(zero_copy_only=False)
+                d = t.column("dst").to_numpy(zero_copy_only=False)
+                keep = np.flatnonzero(s != d)
+                return pa.table({"src": pa.array(s[keep], pa.int64()),
+                                 "dst": pa.array(d[keep], pa.int64())})
+
+            E = _one_side(_one_side(E, "src"), "dst") \
+                .map_batches(_drop_loops, batch_format="pyarrow",
+                             batch_size=None).materialize()
+            if M is None:
+                M = D
+            else:
+                jm = M.join(_as_map(D, "labr"), "left_outer",
+                            num_partitions=nparts,
+                            on=("label",), right_on=("node",))
+                M = jm.map_batches(_compose_label, batch_format="pyarrow",
+                                   batch_size=None) \
+                    .map_batches(
+                        lambda t: (t.select(["node", "label"])
+                                   if t.num_columns else t),
+                        batch_format="pyarrow", batch_size=None) \
+                    .materialize()
+    else:
+        raise RuntimeError(
+            "neardup_clusters did not converge within max_rounds=%d "
+            "(components halve per round — this indicates a bug, not "
+            "an input property)" % max_rounds)
+
+    if M is None:                        # no edges at all
+        return _rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64())}))
+    return M.map_batches(
+        lambda t: pa.table({id_col: t.column("node").cast(pa.int64()),
+                            "cluster_id": t.column("label").cast(pa.int64())}),
         batch_format="pyarrow", batch_size=None)
+
+
+def _compose_label(t: pa.Table) -> pa.Table:
+    """(node, label, labr?) → (node, label0=input label, label=composed):
+    left-outer map-composition block — absent right rows keep their label
+    (labels outside the map are final)."""
+    if t.num_columns == 0 or len(t) == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "label": pa.array([], pa.int64()),
+                         "label0": pa.array([], pa.int64())})
+    lab = t.column("label").cast(pa.int64())
+    if "labr" in t.column_names:
+        new = pa.compute.coalesce(t.column("labr").cast(pa.int64()), lab)
+    else:
+        new = lab
+    return pa.table({"node": t.column("node").cast(pa.int64()),
+                     "label": new, "label0": lab})
 
 
 # ----------------------------------------------------- exact jaccard verify

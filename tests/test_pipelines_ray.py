@@ -1224,3 +1224,94 @@ def test_exact_dedup_fullrow_matches_ids_winners(ray_mod):
     # winner rows carry their own payload
     assert (full["payload"] == full["doc_id"].map(lambda i: f"p{i}")).all()
     assert full["key_hi64"].is_unique
+
+
+def test_neardup_clusters_distributed_rounds_match_local(ray_mod):
+    """Tiny bounds force the distributed star-contraction rounds (broadcast
+    D closure) instead of the immediate local finish — labels must equal the
+    local union-find answer, including on a SORTED chain (the O(diameter)
+    adversary the r5 Borůvka closure is built to kill in O(log n))."""
+    ray = ray_mod
+    from cuckoofilter_ray.stages.dedup import (neardup_clusters,
+                                               _local_cc_minlabel)
+    rng = np.random.default_rng(13)
+    # sorted chain of 400 + random clusters
+    lo1 = np.arange(400)
+    hi1 = lo1 + 1
+    extra = rng.integers(500, 1500, (600, 2))
+    extra = extra[extra[:, 0] != extra[:, 1]]
+    lo = np.concatenate([lo1, np.minimum(extra[:, 0], extra[:, 1])])
+    hi = np.concatenate([hi1, np.maximum(extra[:, 0], extra[:, 1])])
+    pairs = ray.data.from_arrow(pa.table({
+        "lo_id": pa.array(lo, pa.int64()),
+        "hi_id": pa.array(hi, pa.int64())})).repartition(6)
+    out = neardup_clusters(pairs, max_rounds=8,
+                           local_edge_bound=10,       # never small enough
+                           bcast_node_bound=1 << 20).to_pandas()
+    nodes, roots = _local_cc_minlabel(lo.astype(np.int64),
+                                      hi.astype(np.int64))
+    exp = dict(zip(nodes, roots))
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == exp
+    # the chain must have closed well inside 8 rounds (halving, not -1/round)
+    assert got[400] == 0
+
+
+def test_neardup_clusters_join_scale_path_matches_local(ray_mod):
+    """bcast_node_bound=0 forces the outer-join pointer-doubling scale path
+    end-to-end (the 100TB shape); labels must equal local union-find."""
+    ray = ray_mod
+    from cuckoofilter_ray.stages.dedup import (neardup_clusters,
+                                               _local_cc_minlabel)
+    rng = np.random.default_rng(29)
+    lo1 = np.arange(60)                       # sorted chain (adversary)
+    hi1 = lo1 + 1
+    extra = rng.integers(100, 400, (150, 2))
+    extra = extra[extra[:, 0] != extra[:, 1]]
+    lo = np.concatenate([lo1, np.minimum(extra[:, 0], extra[:, 1])])
+    hi = np.concatenate([hi1, np.maximum(extra[:, 0], extra[:, 1])])
+    pairs = ray.data.from_arrow(pa.table({
+        "lo_id": pa.array(lo, pa.int64()),
+        "hi_id": pa.array(hi, pa.int64())})).repartition(4)
+    out = neardup_clusters(pairs, max_rounds=8,
+                           local_edge_bound=0,        # no local finish
+                           bcast_node_bound=0).to_pandas()
+    nodes, roots = _local_cc_minlabel(lo.astype(np.int64),
+                                      hi.astype(np.int64))
+    assert dict(zip(out["doc_id"], out["cluster_id"])) == \
+        dict(zip(nodes, roots))
+
+
+def test_minhash_broadcast_and_join_paths_agree(ray_mod):
+    """The r5 small-candidate broadcast fast path must produce the exact
+    pair set and est_jaccard values of the join path it replaces."""
+    ray = ray_mod
+    from cuckoofilter_ray.stages import dedup as dd
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = []
+    for i in range(100):
+        base = " ".join(rng.choice(vocab, 60))
+        texts.append(base)
+        if i % 5 == 0:
+            texts.append(base + " tailtok")
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)}))
+
+    def run():
+        p = dd.minhash_lsh_pairs(docs, column="text", id_col="doc_id",
+                                 num_perm=64, bands=16, threshold=0.5,
+                                 num_blocks=4).to_pandas()
+        return sorted(zip(p.lo_id.astype(int), p.hi_id.astype(int),
+                          p.est_jaccard.round(9)))
+
+    fast = run()
+    assert len(fast) > 5
+    old = dd._SIG_BCAST_BYTES
+    dd._SIG_BCAST_BYTES = 0                   # force the join path
+    try:
+        slow = run()
+    finally:
+        dd._SIG_BCAST_BYTES = old
+    assert fast == slow
