@@ -1315,3 +1315,38 @@ def test_minhash_broadcast_and_join_paths_agree(ray_mod):
     finally:
         dd._SIG_BCAST_BYTES = old
     assert fast == slow
+
+
+def test_measure_filters_batched_matches_single(ray_mod):
+    """The r5 batched probe pass must report the exact FPR/recall counts of
+    the per-config measure_single_filter pipelines it replaces."""
+    ray = ray_mod
+    from cuckoofilter_ray.kernels import filter_to_row
+    from cuckoofilter_ray.kernels.hashing import splitmix64
+    from cuckoofilter_ray.pipelines.build import build_single_filter
+    from cuckoofilter_ray.pipelines.membership import (
+        measure_filters_batched, measure_single_filter)
+    import ray.data as rd
+
+    n = 20_000
+    keys = splitmix64(n, seed=5)
+    ins_ref = ray.put(keys)
+    keyed = rd.from_numpy(keys).map_batches(
+        lambda b: pa.table({"key_hi64": b.column("data")}),
+        batch_format="pyarrow", batch_size=None).repartition(4).materialize()
+    configs = []
+    for kind, bits in [("cuckoo", 12), ("bloom", 12), ("xor", 8)]:
+        filt = build_single_filter(keyed, capacity=n, kind=kind,
+                                   bits_per_tag=bits, seed=9)
+        configs.append((f"{kind}{bits}",
+                        ray.put(filter_to_row(filt, packed=False)), ins_ref))
+    batched = measure_filters_batched(configs, 50_000, p=0.5, seed=31,
+                                      num_blocks=4)
+    for name, fref, iref in configs:
+        solo = measure_single_filter(iref, fref, 50_000, p=0.5, seed=31,
+                                     num_blocks=4)
+        b = batched[name]
+        assert b["recall"] == solo["recall"] == 1.0
+        assert b["fpr"] == solo["fpr"], name
+        assert b["n_probes"] == solo["n_probes"] == 50_000
+        assert b["contain_s"] > 0
