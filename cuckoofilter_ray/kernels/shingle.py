@@ -144,7 +144,8 @@ class ShingleFilter:
                     arr[idx + 1] = 1 | (fp << 1)
                     self.filled += 1
                     return True
-                if (v2 & 1) == 0 and arr[idx + 3] == 0:
+                if (v2 & 1) == 0 and idx + 3 < len(arr) \
+                        and arr[idx + 3] == 0:
                     arr[idx + 3] = 1 | v2
                     arr[idx + 2] = 1 | v1
                     arr[idx + 1] = 1 | (fp << 1)
@@ -214,6 +215,64 @@ class ShingleFilter:
                     self.filled += len(w)
                     keep = np.ones(len(pend), dtype=bool)
                     keep[np.searchsorted(pend, w)] = False
+                    pend = pend[keep]
+            if len(pend) == 0:
+                break
+            # robin-hood local shift (shingle.h:109-128), vectorized (r5 —
+            # previously sequential-tail-only): shift the base-position
+            # resident at q+1 (and possibly q+2) one slot right and claim
+            # q+1.  A chain's READ set equals its WRITE set (q+1..q+2/3),
+            # so the scatter race marks every involved slot and a chain
+            # wins only if it holds ALL its marks — overlapping windows
+            # (including cross-side aliases of the same buffer indices)
+            # cannot partially interleave.
+            for side, arr in ((True, self.A), (False, self.B)):
+                sel = pend[on_a[pend] == side]
+                if len(sel) == 0:
+                    continue
+                q = cur[sel]
+                v1 = arr[q + 1].astype(np.int64)
+                v2 = arr[q + 2].astype(np.int64)
+                base1 = (v1 != 0) & ((v1 & 1) == 0)
+                cond1 = base1 & (v2 == 0)
+                in3 = q + 3 < len(arr)        # idx+3 exists only off the
+                v3 = np.where(in3, arr[np.minimum(q + 3, len(arr) - 1)], 1)
+                cond2 = base1 & (v2 != 0) & ((v2 & 1) == 0) & (v3 == 0) & in3
+                c1 = np.flatnonzero(cond1)
+                c2 = np.flatnonzero(cond2)
+                if not (len(c1) or len(c2)):
+                    continue
+                s1, s2 = sel[c1], sel[c2]
+                q1, q2 = q[c1], q[c2]
+                self._scratch[q1 + 1] = s1
+                self._scratch[q1 + 2] = s1
+                self._scratch[q2 + 1] = s2
+                self._scratch[q2 + 2] = s2
+                self._scratch[q2 + 3] = s2
+                ok1 = (self._scratch[q1 + 1] == s1) & \
+                      (self._scratch[q1 + 2] == s1)
+                ok2 = (self._scratch[q2 + 1] == s2) & \
+                      (self._scratch[q2 + 2] == s2) & \
+                      (self._scratch[q2 + 3] == s2)
+                done = []
+                if ok1.any():
+                    w, qw = s1[ok1], q1[ok1]
+                    arr[qw + 2] = (1 | v1[c1][ok1]).astype(np.uint16)
+                    arr[qw + 1] = (1 | (cfp[w].astype(np.int64) << 1)) \
+                        .astype(np.uint16)
+                    done.append(w)
+                if ok2.any():
+                    w, qw = s2[ok2], q2[ok2]
+                    arr[qw + 3] = (1 | v2[c2][ok2]).astype(np.uint16)
+                    arr[qw + 2] = (1 | v1[c2][ok2]).astype(np.uint16)
+                    arr[qw + 1] = (1 | (cfp[w].astype(np.int64) << 1)) \
+                        .astype(np.uint16)
+                    done.append(w)
+                if done:
+                    w = np.concatenate(done)
+                    self.filled += len(w)
+                    keep = np.ones(len(pend), dtype=bool)
+                    keep[np.searchsorted(pend, np.sort(w))] = False
                     pend = pend[keep]
             if len(pend) == 0:
                 break
