@@ -241,12 +241,11 @@ def bench_at_capacity(ray, results: dict, extras: dict) -> None:
 
 def bench_config_sweep(ray, results: dict, extras: dict) -> None:
     """Reference bulk-insert-and-query table analog: per filter config,
-    distributed build of N synthetic keys + mixed p=0.5 lookups, reporting
-    M adds/s, M finds/s, FPR and bits/item (BASELINE.md §bulk rows)."""
-    import ray.data as rd
+    single-core build of N synthetic keys (in-task timed, 16 tasks in
+    parallel) + ONE batched mixed p=0.5 probe pass, reporting per-core
+    M adds/s and M finds/s, FPR and bits/item (BASELINE.md §bulk rows)."""
     from cuckoofilter_ray.kernels import filter_to_row
     from cuckoofilter_ray.kernels.hashing import splitmix64
-    from cuckoofilter_ray.pipelines.build import build_single_filter
     from cuckoofilter_ray.pipelines.membership import \
         measure_filters_batched
 
@@ -256,10 +255,6 @@ def bench_config_sweep(ray, results: dict, extras: dict) -> None:
     n_probes = n
     keys = splitmix64(n, seed=123)          # driver-side once; broadcast
     inserted_ref = ray.put(keys)
-    keyed = rd.from_numpy(keys).map_batches(
-        lambda b: pa.table({"key_hi64": b.column("data")}),
-        batch_format="pyarrow", batch_size=None) \
-        .repartition(max(16, NUM_CPUS)).materialize()
 
     table = {}
     sweep_t0 = time.perf_counter()
@@ -268,10 +263,6 @@ def bench_config_sweep(ray, results: dict, extras: dict) -> None:
     # dynamic structure's growth (array doublings + dedup lookups) costs
     # ~5x a static build; rates are per its own n (noted by n_keys)
     n_tail = int(os.environ.get("BENCH_TAIL_KEYS", 200_000))
-    keyed_tail = rd.from_numpy(keys[:n_tail]).map_batches(
-        lambda b: pa.table({"key_hi64": b.column("data")}),
-        batch_format="pyarrow", batch_size=None) \
-        .repartition(max(16, NUM_CPUS)).materialize()
     tail_ins = ray.put(keys[:n_tail])
 
     CFGS = [("cuckoo", 8), ("cuckoo", 12), ("cuckoo", 16),
@@ -282,21 +273,34 @@ def bench_config_sweep(ray, results: dict, extras: dict) -> None:
             ("xorplus", 8), ("tail", 12), ("crate", 8),
             ("xor2", 12)]
 
-    # builds stay SEQUENTIAL: each is a real distributed construction whose
-    # per-config wall is the reported adds_mps — running them concurrently
-    # was measured to save no wall (the aggregates serialize on the final
-    # merge) while corrupting every per-config rate.
-    def _one_build(cfg):
-        kind, bits = cfg
-        cfg_n = n_tail if kind == "tail" else n
-        cfg_keyed = keyed_tail if kind == "tail" else keyed
-        t0 = time.perf_counter()
-        filt = build_single_filter(cfg_keyed, capacity=cfg_n, kind=kind,
-                                   bits_per_tag=bits, seed=SEED)
-        build_s = time.perf_counter() - t0
-        return kind, bits, cfg_n, filt, build_s
+    # r5: each config builds in ONE single-core Ray task, all 16 in
+    # parallel, with the construction timed INSIDE the task — adds_core_mps
+    # is a per-core rate directly comparable to the reference's
+    # single-thread M adds/s (the old per-config distributed aggregates
+    # paid 16 sequential stage latencies and their wall rates compared to
+    # nothing).  The distributed build path keeps its own evidence in the
+    # headline rows (build_lineitem / corpus_build_200k / 8M synthetic).
+    from cuckoofilter_ray.kernels import make_filter
 
-    built = [_one_build(cfg) for cfg in CFGS]
+    @ray.remote(num_cpus=1)
+    def _build_one(kind, bits, cfg_n, keys_ref):
+        import time as _t
+        ks = keys_ref[:cfg_n]
+        t0 = _t.perf_counter()
+        filt = make_filter(kind, cfg_n, SEED, bits)
+        filt.add_batch(ks)
+        build_s = _t.perf_counter() - t0
+        return (filter_to_row(filt, packed=False),
+                len(filter_to_row(filt)["table_bytes"]), build_s)
+
+    futs = [_build_one.remote(kind, bits,
+                              n_tail if kind == "tail" else n, inserted_ref)
+            for kind, bits in CFGS]
+    built = []
+    for (kind, bits), (row_raw, at_rest_bytes, build_s) in \
+            zip(CFGS, ray.get(futs)):
+        cfg_n = n_tail if kind == "tail" else n
+        built.append((kind, bits, cfg_n, row_raw, at_rest_bytes, build_s))
     build_wall = time.perf_counter() - sweep_t0
 
     # ONE batched probe pass: every workload batch is generated once per
@@ -306,12 +310,11 @@ def bench_config_sweep(ray, results: dict, extras: dict) -> None:
     # rate, directly comparable to the reference's single-thread numbers.
     configs = []
     rows_at_rest = {}
-    for kind, bits, cfg_n, filt, build_s in built:
+    for kind, bits, cfg_n, row_raw, at_rest_bytes, build_s in built:
         name = f"{kind}{bits}"
-        configs.append((name, ray.put(filter_to_row(filt, packed=False)),
+        configs.append((name, ray.put(row_raw),
                         tail_ins if cfg_n == n_tail else inserted_ref))
-        rows_at_rest[name] = (cfg_n, build_s,
-                              len(filter_to_row(filt)["table_bytes"]))
+        rows_at_rest[name] = (cfg_n, build_s, at_rest_bytes)
     t0 = time.perf_counter()
     measures = measure_filters_batched(configs, n_probes, p=0.5, seed=321,
                                        num_blocks=max(16, NUM_CPUS))
@@ -321,7 +324,7 @@ def bench_config_sweep(ray, results: dict, extras: dict) -> None:
         cfg_n, build_s, nbytes = rows_at_rest[name]
         assert m["recall"] == 1.0, f"{name}: recall {m['recall']}"
         table[name] = {
-            "adds_mps": round(cfg_n / build_s / 1e6, 2),
+            "adds_core_mps": round(cfg_n / build_s / 1e6, 2),
             "finds_core_mps": round(m["n_probes"] / m["contain_s"] / 1e6, 2),
             "fpr": round(m["fpr"], 6),
             "bits_per_item": round(nbytes * 8 / cfg_n, 2),
@@ -329,7 +332,9 @@ def bench_config_sweep(ray, results: dict, extras: dict) -> None:
         }
     extras["config_sweep"] = table
     extras["config_sweep_mode"] = {
-        "builds": "sequential (honest per-config adds_mps)",
+        "builds": "16 parallel single-core tasks, construction timed "
+                  "in-task; adds_core_mps compares 1:1 with the "
+                  "reference's single-thread adds",
         "probes": "one batched map_batches pass over all configs; "
                   "finds_core_mps = keys / contain_batch core-seconds",
         "build_wall_s": round(build_wall, 4),

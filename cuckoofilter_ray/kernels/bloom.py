@@ -87,15 +87,26 @@ class BloomFilter:
         steps = np.arange(self.k, dtype=np.uint64)
         av = (a[:, None] + b[:, None] * steps[None, :]) & U64(0xFFFFFFFF)  # a += b, 32-bit wrap
         words = (av * U64(self.array_length)) >> U64(32)                   # Lemire reduce
-        masks = U64(1) << (av & U64(63))
-        return words.astype(np.int64), masks
+        bidx = av & U64(63)
+        masks = U64(1) << bidx
+        return words.astype(np.int64), masks, bidx.astype(np.int64)
 
     def add_batch(self, keys) -> int:
         keys = np.asarray(keys, dtype=np.uint64)
         if len(keys) == 0:
             return 0
-        words, masks = self._probes(keys)
-        np.bitwise_or.at(self.words, words.ravel(), masks.ravel())
+        words, masks, bidx = self._probes(keys)
+        if len(keys) * self.k * 8 >= self.array_length:
+            # big batch: every probe sets ONE bit, so a plain boolean
+            # scatter (duplicate-safe: pure stores) + packbits replaces
+            # ufunc.at, whose per-element C loop is ~10x slower and
+            # collapses under concurrent memory traffic
+            bits = np.zeros(self.array_length * 64, dtype=bool)
+            bits[(words * 64 + bidx).ravel()] = True
+            neww = np.packbits(bits, bitorder="little").view(np.uint64)
+            np.bitwise_or(self.words, neww, out=self.words)
+        else:
+            np.bitwise_or.at(self.words, words.ravel(), masks.ravel())
         self.num_items += len(keys)
         return len(keys)
 
@@ -103,7 +114,7 @@ class BloomFilter:
         keys = np.asarray(keys, dtype=np.uint64)
         if len(keys) == 0:
             return np.zeros(0, dtype=bool)
-        words, masks = self._probes(keys)
+        words, masks, _ = self._probes(keys)
         return ((self.words[words] & masks) == masks).all(axis=1)
 
     def add(self, key: int) -> str:
@@ -179,15 +190,26 @@ class BlockedBloomFilter:
         prod = (lanes_in[:, None] * _BLOCK_SALTS[None, :]) & U64(0xFFFFFFFF)
         bitpos = (prod >> U64(27)).astype(np.uint32)
         masks = (np.uint32(1) << bitpos).astype(np.uint32)
-        return block.astype(np.int64), masks
+        return block.astype(np.int64), masks, bitpos.astype(np.int64)
 
     def add_batch(self, keys) -> int:
         keys = np.asarray(keys, dtype=np.uint64)
         if len(keys) == 0:
             return 0
-        block, masks = self._block_and_masks(keys)
-        lane_idx = np.broadcast_to(np.arange(8), masks.shape)
-        np.bitwise_or.at(self.lanes, (block.repeat(8), lane_idx.ravel()), masks.ravel())
+        block, masks, bitpos = self._block_and_masks(keys)
+        if len(keys) * 64 >= self.num_blocks * 8:
+            # boolean scatter + packbits (see BloomFilter.add_batch): each
+            # key sets ONE bit per lane, duplicate stores are idempotent
+            bits = np.zeros(self.num_blocks * 256, dtype=bool)
+            gpos = (block[:, None] * 8 + np.arange(8)[None, :]) * 32 + bitpos
+            bits[gpos.ravel()] = True
+            neww = np.packbits(bits, bitorder="little").view(np.uint32) \
+                .reshape(self.num_blocks, 8)
+            np.bitwise_or(self.lanes, neww, out=self.lanes)
+        else:
+            lane_idx = np.broadcast_to(np.arange(8), masks.shape)
+            np.bitwise_or.at(self.lanes, (block.repeat(8), lane_idx.ravel()),
+                             masks.ravel())
         self.num_items += len(keys)
         return len(keys)
 
@@ -195,7 +217,7 @@ class BlockedBloomFilter:
         keys = np.asarray(keys, dtype=np.uint64)
         if len(keys) == 0:
             return np.zeros(0, dtype=bool)
-        block, masks = self._block_and_masks(keys)
+        block, masks, _ = self._block_and_masks(keys)
         return ((self.lanes[block] & masks) == masks).all(axis=1)
 
     def add(self, key: int) -> str:
