@@ -282,7 +282,10 @@ def bench_config_sweep(ray, results: dict, extras: dict) -> None:
     # headline rows (build_lineitem / corpus_build_200k / 8M synthetic).
     from cuckoofilter_ray.kernels import make_filter
 
-    @ray.remote(num_cpus=1)
+    # num_cpus=4 shapes concurrency to ~8 builds at once: each build is
+    # single-core but bandwidth-hungry (bit arrays + packbits); 16-way
+    # sharing was measured to halve every per-core rate again
+    @ray.remote(num_cpus=4)
     def _build_one(kind, bits, cfg_n, keys_ref):
         import time as _t
         ks = keys_ref[:cfg_n]

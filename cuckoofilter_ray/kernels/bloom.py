@@ -95,17 +95,22 @@ class BloomFilter:
         keys = np.asarray(keys, dtype=np.uint64)
         if len(keys) == 0:
             return 0
-        words, masks, bidx = self._probes(keys)
         if len(keys) * self.k * 8 >= self.array_length:
             # big batch: every probe sets ONE bit, so a plain boolean
             # scatter (duplicate-safe: pure stores) + packbits replaces
             # ufunc.at, whose per-element C loop is ~10x slower and
-            # collapses under concurrent memory traffic
+            # collapses under concurrent memory traffic.  Keys chunk so the
+            # (n, k) probe temporaries stay cache-sized; the bit array is
+            # shared across chunks and packs once.
             bits = np.zeros(self.array_length * 64, dtype=bool)
-            bits[(words * 64 + bidx).ravel()] = True
+            CH = 1 << 17
+            for s in range(0, len(keys), CH):
+                words, _, bidx = self._probes(keys[s:s + CH])
+                bits[(words * 64 + bidx).ravel()] = True
             neww = np.packbits(bits, bitorder="little").view(np.uint64)
             np.bitwise_or(self.words, neww, out=self.words)
         else:
+            words, masks, _ = self._probes(keys)
             np.bitwise_or.at(self.words, words.ravel(), masks.ravel())
         self.num_items += len(keys)
         return len(keys)
@@ -196,17 +201,22 @@ class BlockedBloomFilter:
         keys = np.asarray(keys, dtype=np.uint64)
         if len(keys) == 0:
             return 0
-        block, masks, bitpos = self._block_and_masks(keys)
         if len(keys) * 64 >= self.num_blocks * 8:
             # boolean scatter + packbits (see BloomFilter.add_batch): each
-            # key sets ONE bit per lane, duplicate stores are idempotent
+            # key sets ONE bit per lane, duplicate stores are idempotent;
+            # chunked so the (n, 8) temporaries stay cache-sized
             bits = np.zeros(self.num_blocks * 256, dtype=bool)
-            gpos = (block[:, None] * 8 + np.arange(8)[None, :]) * 32 + bitpos
-            bits[gpos.ravel()] = True
+            lane8 = np.arange(8)[None, :]
+            CH = 1 << 17
+            for s in range(0, len(keys), CH):
+                block, _, bitpos = self._block_and_masks(keys[s:s + CH])
+                gpos = (block[:, None] * 8 + lane8) * 32 + bitpos
+                bits[gpos.ravel()] = True
             neww = np.packbits(bits, bitorder="little").view(np.uint32) \
                 .reshape(self.num_blocks, 8)
             np.bitwise_or(self.lanes, neww, out=self.lanes)
         else:
+            block, masks, _ = self._block_and_masks(keys)
             lane_idx = np.broadcast_to(np.arange(8), masks.shape)
             np.bitwise_or.at(self.lanes, (block.repeat(8), lane_idx.ravel()),
                              masks.ravel())
