@@ -1089,3 +1089,56 @@ def test_bob_spooky_keying_families():
         .column("key_hi64").to_pylist()
     assert got_sp == [int(v) for v in spooky_bytes(texts, seed=0)]
     assert len(set(got_bob)) == len(set(got_sp)) == 5
+
+
+def test_qd_upsize_to_matches_chained_upsize_bulk():
+    """upsize_to(k) must reproduce the sizes/capacity/log_little of k
+    chained upsize_bulk calls AND preserve the entry set, from a non-fresh
+    QD state (entries already placed)."""
+    from cuckoofilter_ray.kernels.tail import QuotientDysect
+    import numpy as np
+    consts = [(3, 5), (7, 9), (11, 13)]
+    keys = splitmix64(3000, seed=41) >> np.uint64(64 - 14)
+    vals = (splitmix64(3000, seed=43) & np.uint64(15)) | np.uint64(1)
+
+    def fresh():
+        qd = QuotientDysect(14, 5, 4, 3, 2, 1, consts, seed=9)
+        qd.insert_bulk(keys[:500], vals[:500])
+        return qd
+
+    for k in (1, 7, 32, 64, 140):
+        a, b = fresh(), fresh()
+        base_entries = sorted(zip(*map(lambda x: x.tolist(),
+                                       a.entries_arrays())))
+        for _ in range(k):
+            b.upsize_bulk()
+        a.upsize_to(k)
+        assert a.capacity == b.capacity, k
+        assert a.log_little == b.log_little, k
+        sa = [[len(a.payload[p][q]) for q in range(1 << a.w)]
+              for p in range(a.d)]
+        sb = [[len(b.payload[p][q]) for q in range(1 << b.w)]
+              for p in range(b.d)]
+        assert sa == sb, k
+        ea = sorted(zip(*map(lambda x: x.tolist(), a.entries_arrays())))
+        eb = sorted(zip(*map(lambda x: x.tolist(), b.entries_arrays())))
+        assert ea == eb == base_entries, k
+
+
+def test_bloom_scatter_path_matches_ufunc_path():
+    """The big-batch boolean-scatter adds must produce the exact word/lane
+    arrays of the small-batch ufunc.at path, for both bloom kinds."""
+    from cuckoofilter_ray.kernels.bloom import (BlockedBloomFilter,
+                                                BloomFilter)
+    import numpy as np
+    keys = splitmix64(200_000, seed=77)
+    for cls, bits in ((BloomFilter, 12), (BlockedBloomFilter, 8)):
+        big = cls.create(200_000, bits_per_item=bits, seed=5)
+        big.add_batch(keys)                       # scatter path
+        small = cls.create(200_000, bits_per_item=bits, seed=5)
+        for s in range(0, len(keys), 500):        # ufunc.at path
+            small.add_batch(keys[s:s + 500])
+        a1 = big.words if hasattr(big, "words") else big.lanes
+        a2 = small.words if hasattr(small, "words") else small.lanes
+        assert np.array_equal(a1, a2), cls.__name__
+        assert big.contain_batch(keys).all()
