@@ -37,8 +37,20 @@ from ..kernels.hashing import mix_split, splitmix64
 
 # per-worker-process cache for broadcast objects fetched inside map_batches
 # (same pattern as similarity._CENTROID_CACHE): one plasma get per worker
-# per ObjectRef instead of one per batch
+# per ObjectRef instead of one per batch.  Bounded: long-lived workers see
+# many broadcasts across queries — evict oldest entries past the cap.
 _BCAST_CACHE: dict = {}
+_BCAST_CACHE_MAX = 8
+
+
+def _bcast_get(ref):
+    key = ref.hex()
+    val = _BCAST_CACHE.get(key)
+    if val is None:
+        while len(_BCAST_CACHE) >= _BCAST_CACHE_MAX:
+            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
+        val = _BCAST_CACHE[key] = ray.get(ref)
+    return val
 
 # candidate-signature broadcast bound for minhash_lsh_pairs' small-candidate
 # fast path (skip-the-joins); module-level so tests can force the join path
@@ -483,10 +495,7 @@ def _minhash_estimate(cand, n_cand: int, cand_ids, sig, id_col: str,
         ids_ref = ray.put(cand_ids)
 
         def _sig_prefilter(t: pa.Table, ref=ids_ref) -> pa.Table:
-            key = ref.hex()
-            wanted = _BCAST_CACHE.get(key)
-            if wanted is None:
-                wanted = _BCAST_CACHE[key] = ray.get(ref)
+            wanted = _bcast_get(ref)
             ids = t.column(id_col).to_numpy(zero_copy_only=False)
             pos = np.searchsorted(wanted, ids)
             pos[pos >= len(wanted)] = 0
@@ -517,11 +526,7 @@ def _minhash_estimate(cand, n_cand: int, cand_ids, sig, id_col: str,
         blob_ref = ray.put((bids[order], bmat[order]))
 
         def _est_bcast(t: pa.Table, ref=blob_ref) -> pa.Table:
-            key = ref.hex()
-            blob = _BCAST_CACHE.get(key)
-            if blob is None:
-                blob = _BCAST_CACHE[key] = ray.get(ref)
-            sids, smat = blob
+            sids, smat = _bcast_get(ref)
             lo = t.column("lo_id").to_numpy(zero_copy_only=False)
             hi = t.column("hi_id").to_numpy(zero_copy_only=False)
             est = (smat[np.searchsorted(sids, lo)] ==
@@ -866,10 +871,7 @@ def neardup_clusters(pairs: "ray.data.Dataset", id_col: str = "doc_id",
 
     def _relabel_edges_bcast(E, ref):
         def f(t: pa.Table, ref=ref) -> pa.Table:
-            kv = _BCAST_CACHE.get(ref.hex())
-            if kv is None:
-                kv = _BCAST_CACHE[ref.hex()] = ray.get(ref)
-            k, v = kv
+            k, v = _bcast_get(ref)
             s = _lookup(k, v, t.column("src").to_numpy(zero_copy_only=False))
             d = _lookup(k, v, t.column("dst").to_numpy(zero_copy_only=False))
             keep = s != d
@@ -886,10 +888,7 @@ def neardup_clusters(pairs: "ray.data.Dataset", id_col: str = "doc_id",
 
     def _relabel_labels_bcast(M, ref):
         def f(t: pa.Table, ref=ref) -> pa.Table:
-            kv = _BCAST_CACHE.get(ref.hex())
-            if kv is None:
-                kv = _BCAST_CACHE[ref.hex()] = ray.get(ref)
-            k, v = kv
+            k, v = _bcast_get(ref)
             lab = _lookup(k, v,
                           t.column("label").to_numpy(zero_copy_only=False))
             return pa.table({
