@@ -147,6 +147,8 @@ def mixed_workload_distributed(inserted_ref, n_probes: int, p: float,
 # warm worker processes — no per-run actor spawn — so heavy setup (broadcast
 # fetch + filter deserialization) is cached here, keyed by ObjectRef so a new
 # broadcast invalidates naturally.
+from ..util import cache_get
+
 _GEN_CACHE: dict = {}
 _PROBE_CACHE: dict = {}
 
@@ -155,9 +157,8 @@ def workload_gen_fn(batch: pa.Table, *, inserted_ref=None, p=0.25,
                     seed: int = 1234, num_shards: int = 0) -> pa.Table:
     key = (inserted_ref.hex() if inserted_ref is not None else None,
            str(p), seed, num_shards)
-    gen = _GEN_CACHE.get(key)
-    if gen is None:
-        gen = _GEN_CACHE[key] = _WorkloadGen(inserted_ref, p, seed, num_shards)
+    gen = cache_get(_GEN_CACHE, key,
+                    lambda: _WorkloadGen(inserted_ref, p, seed, num_shards))
     return gen(batch)
 
 
@@ -166,10 +167,9 @@ def partitioned_probe_fn(batch: pa.Table, *, filters_ref=None,
                          shard_col: str = "_shard") -> pa.Table:
     from ..stages.membership import PartitionedFilterProbe
     key = (filters_ref.hex(), key_col, shard_col)
-    probe = _PROBE_CACHE.get(key)
-    if probe is None:
-        probe = _PROBE_CACHE[key] = PartitionedFilterProbe(
-            filters_ref, key_col=key_col, shard_col=shard_col)
+    probe = cache_get(_PROBE_CACHE, key,
+                      lambda: PartitionedFilterProbe(
+                          filters_ref, key_col=key_col, shard_col=shard_col))
     return probe(batch)
 
 
@@ -211,15 +211,12 @@ def single_gen_probe_fn(batch: pa.Table, *, inserted_ref=None, filter_ref=None,
     fusable)."""
     from ..kernels import row_to_filter
     key = (filter_ref.hex(),)
-    filt = _SINGLE_CACHE.get(key)
-    if filt is None:
-        row = ray.get(filter_ref)
-        filt = _SINGLE_CACHE[key] = row_to_filter(row)
+    filt = cache_get(_SINGLE_CACHE, key,
+                     lambda: row_to_filter(ray.get(filter_ref)))
     gkey = (inserted_ref.hex() if inserted_ref is not None else None,
             str(p), seed, 0)
-    gen = _GEN_CACHE.get(gkey)
-    if gen is None:
-        gen = _GEN_CACHE[gkey] = _WorkloadGen(inserted_ref, p, seed, 0)
+    gen = cache_get(_GEN_CACHE, gkey,
+                    lambda: _WorkloadGen(inserted_ref, p, seed, 0))
     wl = gen(batch)
     keys = wl.column("key_hi64").to_numpy(zero_copy_only=False) \
         .astype(np.uint64, copy=False)
@@ -255,9 +252,8 @@ def multi_gen_probe_fn(batch: pa.Table, *, configs=None, p=0.5,
         wl = wls.get(ikey)
         if wl is None:
             gkey = (ikey, str(p), seed, 0)
-            gen = _GEN_CACHE.get(gkey)
-            if gen is None:
-                gen = _GEN_CACHE[gkey] = _WorkloadGen(ins_ref, p, seed, 0)
+            gen = cache_get(_GEN_CACHE, gkey,
+                            lambda: _WorkloadGen(ins_ref, p, seed, 0))
             w = gen(batch)
             wl = wls[ikey] = (
                 w.column("key_hi64").to_numpy(zero_copy_only=False)
@@ -265,9 +261,9 @@ def multi_gen_probe_fn(batch: pa.Table, *, configs=None, p=0.5,
                 w.column("expect_member").to_numpy(zero_copy_only=False))
         keys, exp = wl
         fkey = (fref.hex(),)
-        filt = _SINGLE_CACHE.get(fkey)
-        if filt is None:
-            filt = _SINGLE_CACHE[fkey] = row_to_filter(ray.get(fref))
+        filt = cache_get(_SINGLE_CACHE, fkey,
+                         lambda fr=fref: row_to_filter(ray.get(fr)),
+                         maxn=24)
         t0 = _time.perf_counter()
         got = filt.contain_batch(keys)
         dt = _time.perf_counter() - t0

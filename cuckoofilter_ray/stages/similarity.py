@@ -74,6 +74,8 @@ class BatchTopK:
         })
 
 
+from ..util import cache_get
+
 _TOPK_CACHE: dict = {}
 _CENTROID_CACHE: dict = {}
 
@@ -83,10 +85,9 @@ def batch_topk_fn(batch: pa.Table, *, queries_ref=None, id_col: str = "vec_id",
     """Task form of :class:`BatchTopK` with per-worker broadcast caching
     (task pools fuse with the read and reuse warm workers)."""
     key = (queries_ref.hex(), id_col, emb_col, k)
-    st = _TOPK_CACHE.get(key)
-    if st is None:
-        st = _TOPK_CACHE[key] = BatchTopK(queries_ref, id_col=id_col,
-                                          emb_col=emb_col, k=k)
+    st = cache_get(_TOPK_CACHE, key,
+                   lambda: BatchTopK(queries_ref, id_col=id_col,
+                                     emb_col=emb_col, k=k))
     return st(batch)
 
 

@@ -188,6 +188,8 @@ class SweepProber:
         return counts.reshape(5, 2, 2)
 
 
+from ..util import cache_get
+
 _SWEEP_CACHE: dict = {}
 
 
@@ -196,10 +198,9 @@ def sweep_probe_fn(batch: pa.Table, *, inserted_ref=None, filters_ref=None,
                    chunk: int = CHUNK) -> pa.Table:
     """Task-pool batch fn (fuses with ReadRange): ids → per-p count rows."""
     key = (inserted_ref.hex(), filters_ref.hex(), seed, num_shards, chunk)
-    prober = _SWEEP_CACHE.get(key)
-    if prober is None:
-        prober = _SWEEP_CACHE[key] = SweepProber(inserted_ref, filters_ref,
-                                                 seed, num_shards, chunk=chunk)
+    prober = cache_get(_SWEEP_CACHE, key,
+                       lambda: SweepProber(inserted_ref, filters_ref,
+                                           seed, num_shards, chunk=chunk))
     ids = batch.column("id").to_numpy(zero_copy_only=False).astype(np.uint64,
                                                                    copy=False)
     c = prober.run(ids)
