@@ -352,10 +352,8 @@ def bench_adversarial(ray, results: dict, extras: dict) -> None:
     747-767 feeds rotated/bit-reversed SEQUENTIAL keys to stress the hash
     families): build + mixed probe on ordered key streams per hash family;
     FPR and throughput must hold as they do for random keys (SURVEY §2.5)."""
-    import ray.data as rd
-    from cuckoofilter_ray.kernels import filter_to_row
-    from cuckoofilter_ray.pipelines.build import build_single_filter
-    from cuckoofilter_ray.pipelines.membership import measure_single_filter
+    from cuckoofilter_ray.kernels import filter_to_row, make_filter
+    from cuckoofilter_ray.pipelines.membership import measure_filters_batched
 
     n = int(os.environ.get("BENCH_ADV_KEYS", 250_000))
     seq = np.arange(1, n + 1, dtype=np.uint64)
@@ -368,30 +366,37 @@ def bench_adversarial(ray, results: dict, extras: dict) -> None:
             ((x & np.uint64(~m & ((1 << 64) - 1))) << np.uint64(sh))
     table = {}
     t_all = time.perf_counter()
-    for name, keys in (("sequential", seq), ("bitrev", x)):
-        for fam in ("mix", "tims"):
-            keyed = rd.from_numpy(keys).map_batches(
-                lambda b: pa.table({"key_hi64": b.column("data")}),
-                batch_format="pyarrow", batch_size=None) \
-                .repartition(max(16, NUM_CPUS)).materialize()
-            t0 = time.perf_counter()
-            filt = build_single_filter(keyed, capacity=n, kind="cuckoo",
-                                       bits_per_tag=12, seed=SEED,
-                                       hash_family=fam)
-            build_s = time.perf_counter() - t0
-            fref = ray.put(filter_to_row(filt, packed=False))
-            iref = ray.put(keys)
-            t0 = time.perf_counter()
-            m = measure_single_filter(iref, fref, n, p=0.5, seed=55,
-                                      num_blocks=max(16, NUM_CPUS))
-            probe_s = time.perf_counter() - t0
-            assert m["recall"] == 1.0, \
-                f"adversarial {name}/{fam}: recall {m['recall']}"
-            table[f"{name}-{fam}"] = {
-                "adds_mps": round(n / build_s / 1e6, 2),
-                "finds_mps": round(n / probe_s / 1e6, 2),
-                "fpr": round(m["fpr"], 6),
-            }
+
+    # same shape as the config sweep: parallel in-task-timed single-core
+    # builds (adds_core_mps = the single-thread rate the reference quotes)
+    # + ONE batched probe pass over all four (ordering, family) rows
+    @ray.remote(num_cpus=4)
+    def _build_adv(keys, fam):
+        import time as _t
+        t0 = _t.perf_counter()
+        filt = make_filter("cuckoo", n, SEED, 12, hash_family=fam)
+        filt.add_batch(keys)
+        return filter_to_row(filt, packed=False), _t.perf_counter() - t0
+
+    cases = [(name, keys, fam)
+             for name, keys in (("sequential", seq), ("bitrev", x))
+             for fam in ("mix", "tims")]
+    futs = [_build_adv.remote(keys, fam) for _, keys, fam in cases]
+    configs, build_s = [], {}
+    for (name, keys, fam), (row_raw, bs) in zip(cases, ray.get(futs)):
+        cname = f"{name}-{fam}"
+        configs.append((cname, ray.put(row_raw), ray.put(keys)))
+        build_s[cname] = bs
+    measures = measure_filters_batched(configs, n, p=0.5, seed=55,
+                                       num_blocks=max(16, NUM_CPUS))
+    for cname, m in measures.items():
+        assert m["recall"] == 1.0, \
+            f"adversarial {cname}: recall {m['recall']}"
+        table[cname] = {
+            "adds_core_mps": round(n / build_s[cname] / 1e6, 2),
+            "finds_core_mps": round(m["n_probes"] / m["contain_s"] / 1e6, 2),
+            "fpr": round(m["fpr"], 6),
+        }
     extras["adversarial"] = table
     results["adversarial_total"] = round(time.perf_counter() - t_all, 4)
 
