@@ -96,13 +96,27 @@ class XorFilter:
             if len(np.unique(h)) != n:     # 64-bit hash collision: reseed
                 continue
             h0, h1, h2 = self._positions(h)
-            counts = np.zeros(ncells, dtype=np.int64)
+            # initial degree counts via ONE bincount over the concatenated
+            # cell ids (np.add.at's per-element loop was ~10x slower)
+            counts = np.bincount(np.concatenate((h0, h1, h2)),
+                                 minlength=ncells)
             xors = np.zeros(ncells, dtype=np.uint64)
+            # parallel xor of key INDICES: a count-1 cell then yields its
+            # lone key's index directly — no hash->index lookup (a sorted-
+            # array searchsorted here was 45% of the build: random binary
+            # search is a cache-miss per level)
+            ixors = np.zeros(ncells, dtype=np.uint64)
+            ival = np.arange(n, dtype=np.uint64)
             for pos in (h0, h1, h2):
-                np.add.at(counts, pos, 1)
                 np.bitwise_xor.at(xors, pos, h)
-            # vectorized peeling rounds
-            peel_rounds = []        # list of (key_hash_array, cell_array)
+                np.bitwise_xor.at(ixors, pos, ival)
+            # vectorized peeling rounds.  Positions were computed ONCE for
+            # all keys; each round reads its singleton key INDICES straight
+            # out of ``ixors`` and gathers their cells — no per-round
+            # re-hash, no sort (marker dedup instead of np.unique).
+            seen = np.zeros(n, dtype=bool)
+            scratch = np.empty(n, dtype=np.int64)
+            peel_rounds = []        # (key_hashes, cells, p0, p1, p2)
             remaining = n
             while remaining:
                 if getattr(self, "PEEL_SEGMENT_PRIORITY", False):
@@ -120,22 +134,33 @@ class XorFilter:
                     single = np.flatnonzero(counts == 1)
                 if len(single) == 0:
                     break
-                kh = xors[single]                      # the lone key per cell
-                kh_u, first = np.unique(kh, return_index=True)
-                cells = single[first]                  # one cell per peeled key
-                p0, p1, p2 = self._positions(kh_u)
+                ki = ixors[single].astype(np.int64)    # lone key per cell
+                # a key can be the lone entry of up to 3 cells at once:
+                # keep one cell per key (first-writer marker race), and
+                # drop keys already peeled in an earlier round
+                cand = np.flatnonzero(~seen[ki])
+                kic = ki[cand]
+                scratch[kic] = cand
+                win = cand[scratch[kic] == cand]
+                ki_w = ki[win]
+                seen[ki_w] = True
+                kh_u = h[ki_w]
+                cells = single[win]                    # one cell per key
+                p0, p1, p2 = h0[ki_w], h1[ki_w], h2[ki_w]
+                kiw_u = ki_w.astype(np.uint64)
                 for pos in (p0, p1, p2):
                     np.add.at(counts, pos, -1)
                     np.bitwise_xor.at(xors, pos, kh_u)
-                peel_rounds.append((kh_u, cells))
+                    np.bitwise_xor.at(ixors, pos, kiw_u)
+                # positions carry to the reverse pass (skip re-hash there)
+                peel_rounds.append((kh_u, cells, p0, p1, p2))
                 remaining -= len(kh_u)
             if remaining:
                 continue                               # 2-core left: retry
             # reverse-round assignment: B[c] = fp(k) ^ B[o0] ^ B[o1] ^ B[o2] ^ B[c]
             B = self.fingerprints
             B[:] = 0
-            for kh_u, cells in reversed(peel_rounds):
-                p0, p1, p2 = self._positions(kh_u)
+            for kh_u, cells, p0, p1, p2 in reversed(peel_rounds):
                 fp = self._fingerprint(kh_u)
                 B[cells] = 0
                 B[cells] = fp ^ B[p0] ^ B[p1] ^ B[p2]
