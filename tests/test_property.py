@@ -126,3 +126,33 @@ def test_cuckoo_no_false_negatives_any_family(n, seed, family):
     # delete everything → (almost always) empty again; no crash paths
     f.delete_batch(keys)
     assert f.num_items == 0
+
+
+@settings(max_examples=50, deadline=None)
+@given(edges=st.lists(st.tuples(st.integers(0, 120), st.integers(0, 120)),
+                      min_size=1, max_size=200),
+       offset=st.integers(0, 1 << 40))
+def test_local_cc_minlabel_matches_unionfind(edges, offset):
+    """The driver-side CC kernel (min-propagation + pointer jumping) must
+    label every node with its component's min id, for arbitrary graphs
+    including self-loops, duplicates and large sparse ids."""
+    import numpy as np
+    from cuckoofilter_ray.stages.dedup import _local_cc_minlabel
+    src = np.array([a + offset for a, _ in edges], dtype=np.int64)
+    dst = np.array([b + offset for _, b in edges], dtype=np.int64)
+    nodes, roots = _local_cc_minlabel(src, dst)
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(src.tolist(), dst.tolist()):
+        parent[find(a)] = find(b)
+    comp = {}
+    for x in nodes.tolist():
+        comp.setdefault(find(x), []).append(x)
+    expect = {x: min(comp[find(x)]) for x in nodes.tolist()}
+    assert dict(zip(nodes.tolist(), roots.tolist())) == expect
