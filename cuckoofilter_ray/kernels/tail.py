@@ -360,6 +360,12 @@ class QuotientDysect:
     def _writeback(self, p: int, lens: np.ndarray, flat: np.ndarray) -> None:
         self.payload[p] = list(np.split(flat, np.cumsum(lens)[:-1]))
 
+    def _walk_arena(self, p: int) -> list:
+        """[lens, starts, flat, marker] — the eviction walk's per-arena
+        state; marker is the scatter-race scratch (arena-flat-sized)."""
+        lens, starts, flat = self._flat_arena(p)
+        return [lens, starts, flat, np.empty(int(starts[-1]), dtype=np.int64)]
+
     def _decode_flat(self, lens, starts, flat):
         """(arena_key, value, flat_idx) for every occupied slot — the
         vectorized GetRaw (quotient-dysect.hpp:249-263)."""
@@ -669,7 +675,7 @@ class QuotientDysect:
         ``iterations > ndv`` growth rule."""
         d, k, w, s, v = self.d, self.k, self.w, self.s, self.v
         if arenas is None:
-            arenas = [list(self._flat_arena(p)) for p in range(d)]
+            arenas = [self._walk_arena(p) for p in range(d)]
         wp = np.zeros(len(keys), dtype=np.int64)     # walker arena
         wk = np.asarray(keys, dtype=np.uint64).copy()
         wv = np.asarray(values, dtype=np.uint64).copy()
@@ -694,7 +700,7 @@ class QuotientDysect:
                 sel = np.flatnonzero(wp == p)
                 if not len(sel):
                     continue
-                lens, starts, flat = arenas[p]
+                lens, starts, flat = arenas[p][:3]
                 qv = arena_q(wk[sel])
                 placed = self._scatter_place(lens, starts, flat, qv,
                                              wk[sel], wv[sel])
@@ -722,8 +728,13 @@ class QuotientDysect:
                 maskq = (Lq - 1).astype(np.uint64)
                 idx = (home + i.astype(np.uint64)) & maskq
                 g = starts[qf] + idx.astype(np.int64)
-                _, first = np.unique(g, return_index=True)
-                win = first                          # losers retry next round
+                # one evictor per slot via marker race (losers retry next
+                # round) — winner choice is arbitrary, like np.unique's
+                # first-occurrence pick, without the per-round sort
+                marker = arenas[p][3]
+                pos_ids = np.arange(len(g))
+                marker[g] = pos_ids
+                win = pos_ids[marker[g] == pos_ids]
                 gw = g[win]
                 slots = flat[gw]
                 # decode the evicted entries (occupied: nothing ever frees)
@@ -762,7 +773,7 @@ class QuotientDysect:
             if len(wk) and (not progressed or int(wit.max()) > eff_ndv):
                 flush()
                 self.upsize_bulk()
-                arenas = [list(self._flat_arena(pp)) for pp in range(d)]
+                arenas = [self._walk_arena(pp) for pp in range(d)]
                 wit[:] = 0
             if len(wk) and rounds > 4096:   # paranoia: scalar last resort
                 flush()
