@@ -26,6 +26,7 @@ import ray.data
 
 from ..kernels.hashing import splitmix64
 from ..stages.membership import FilterProbe
+from ..util import cache_get
 
 
 def mixed_workload(inserted_keys: np.ndarray, n_probes: int, p: float,
@@ -147,8 +148,6 @@ def mixed_workload_distributed(inserted_ref, n_probes: int, p: float,
 # warm worker processes — no per-run actor spawn — so heavy setup (broadcast
 # fetch + filter deserialization) is cached here, keyed by ObjectRef so a new
 # broadcast invalidates naturally.
-from ..util import cache_get
-
 _GEN_CACHE: dict = {}
 _PROBE_CACHE: dict = {}
 
