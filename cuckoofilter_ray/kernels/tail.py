@@ -568,18 +568,27 @@ class QuotientDysect:
                 return True
         return False
 
-    def _scatter_place(self, lens, starts, flat, q, keys, values
-                       ) -> np.ndarray:
+    def _scatter_place(self, lens, starts, flat, q, keys, values,
+                       marker=None) -> np.ndarray:
         """Vectorized non-force set_local over one arena's flat buffer:
         home range then displacement candidates in the scalar order, one
-        first-writer-wins scatter round per candidate offset.  Mutates
-        ``flat``; returns the placed mask.  Entries in a width>8 class are
-        left unplaced (caller falls back to the scalar walk)."""
+        marker-race scatter round per candidate offset.  Mutates ``flat``;
+        returns the placed mask.  Entries in a width>8 class are left
+        unplaced (caller falls back to the scalar walk).
+
+        Sortless (r5): at a fixed offset two walkers can only collide on a
+        slot when their (q, home) match, so one arena-sized marker race per
+        offset resolves every collision — losers simply advance to the next
+        candidate, which reproduces the run-cursor fill (each (q, home) run
+        places one member per empty candidate slot) without the per-call
+        argsort that dominated the walk at ~10k walkers."""
         k, w, s, v = self.k, self.w, self.s, self.v
         n = len(keys)
         placed = np.zeros(n, dtype=bool)
         if n == 0:
             return placed
+        if marker is None:
+            marker = np.empty(int(starts[-1]), dtype=np.int64)
         L0 = 1 << self.log_little
         Lq = lens[q]
         ell_all = self.log_little + (Lq > L0)
@@ -602,41 +611,30 @@ class QuotientDysect:
             base_val = (values[cls] << np.uint64(s)) | \
                 (leftover << np.uint64(s + v))
             gbase = starts[q[cls]]
-            # ONE sort by (little array, home) per class (r5, VERDICT r4
-            # #4's grouping): walkers with identical (q, home) share the
-            # whole candidate sequence, and at a FIXED offset two walkers
-            # can only collide when (q, home) match — so the per-offset
-            # scatter-race dedup (a sort or an arena-sized marker per
-            # offset) reduces to a per-run cursor that hands each run's
-            # next member the run's next empty candidate slot.
-            gkey = gbase + home.astype(np.int64)
-            order = np.argsort(gkey, kind="stable")
-            gkey_s = gkey[order]
-            cls_s = cls[order]
-            bval_s = base_val[order]
-            run_start = np.flatnonzero(np.concatenate(
-                ([True], gkey_s[1:] != gkey_s[:-1])))
-            run_end = np.concatenate((run_start[1:],
-                                      [len(gkey_s)])).astype(np.int64)
-            home_r = home[order][run_start]
-            gbase_r = gbase[order][run_start]
-            cur = run_start.astype(np.int64).copy()
+            rem = np.arange(len(cls))
             for j in range(ncand):
+                if not len(rem):
+                    break
                 if j < width:
-                    idx = (home_r + np.uint64(j)) & mask
+                    idx = (home[rem] + np.uint64(j)) & mask
                     disp = np.uint64(0)
                 else:
                     i = j - width + 1
-                    idx = (home_r + np.uint64(width - 1 + i)) & mask
+                    idx = (home[rem] + np.uint64(width - 1 + i)) & mask
                     disp = np.uint64(i)
-                g = gbase_r + idx.astype(np.int64)
-                elig = np.flatnonzero((cur < run_end) & (flat[g] == 0))
-                if not len(elig):
+                g = gbase[rem] + idx.astype(np.int64)
+                cand = np.flatnonzero(flat[g] == 0)
+                if not len(cand):
                     continue
-                mem = cur[elig]
-                flat[g[elig]] = bval_s[mem] | disp
-                placed[cls_s[mem]] = True
-                cur[elig] += 1
+                gc = g[cand]
+                marker[gc] = cand
+                win = cand[marker[gc] == cand]
+                rw = rem[win]
+                flat[g[win]] = base_val[rw] | disp
+                placed[cls[rw]] = True
+                keep = np.ones(len(rem), dtype=bool)
+                keep[win] = False
+                rem = rem[keep]
         return placed
 
     def insert_bulk(self, keys: np.ndarray, values: np.ndarray) -> None:
@@ -703,7 +701,8 @@ class QuotientDysect:
                 lens, starts, flat = arenas[p][:3]
                 qv = arena_q(wk[sel])
                 placed = self._scatter_place(lens, starts, flat, qv,
-                                             wk[sel], wv[sel])
+                                             wk[sel], wv[sel],
+                                             marker=arenas[p][3])
                 if placed.any():
                     progressed = True
                     wp[sel[placed]] = -1            # done
@@ -1017,10 +1016,20 @@ class TailFilter:
             # first-occurrence (key, value) dedup among misses, stable order
             miss = np.flatnonzero(~hits)
             km, vm = k_arr[miss], v_arr[miss]
-            order = np.lexsort((miss, vm, km))
-            dup = np.zeros(len(order), dtype=bool)
-            ks_, vs_ = km[order], vm[order]
-            dup[1:] = (ks_[1:] == ks_[:-1]) & (vs_[1:] == vs_[:-1])
+            vbits = self.lgme - self.lgm
+            if self.lgm + self.epoch + vbits <= 64:
+                # single-key stable sort over the packed (key, value)
+                # composite — ~3x cheaper than the 3-key lexsort
+                comp = (km << np.uint64(vbits)) | vm
+                order = np.argsort(comp, kind="stable")
+                cs_ = comp[order]
+                dup = np.zeros(len(order), dtype=bool)
+                dup[1:] = cs_[1:] == cs_[:-1]
+            else:                                # epoch grew past packing
+                order = np.lexsort((miss, vm, km))
+                dup = np.zeros(len(order), dtype=bool)
+                ks_, vs_ = km[order], vm[order]
+                dup[1:] = (ks_[1:] == ks_[:-1]) & (vs_[1:] == vs_[:-1])
             surv = np.sort(miss[order[~dup]])
             # next power-of-two epoch trigger (insert_hash's rule): fires
             # when a survivor arrives at pre-insert ndv == B
