@@ -246,9 +246,10 @@ def bench_at_capacity(ray, results: dict, extras: dict) -> None:
 
 def bench_config_sweep(ray, results: dict, extras: dict) -> None:
     """Reference bulk-insert-and-query table analog: per filter config,
-    single-core build of N synthetic keys (in-task timed, 16 tasks in
-    parallel) + ONE batched mixed p=0.5 probe pass, reporting per-core
-    M adds/s and M finds/s, FPR and bits/item (BASELINE.md §bulk rows)."""
+    sequential solo single-core build of N synthetic keys (machine
+    otherwise idle) + ONE batched mixed p=0.5 probe pass, reporting
+    per-core M adds/s and M finds/s, FPR and bits/item (BASELINE.md
+    §bulk rows)."""
     from cuckoofilter_ray.kernels import filter_to_row
     from cuckoofilter_ray.kernels.hashing import splitmix64
     from cuckoofilter_ray.pipelines.membership import \
@@ -287,28 +288,25 @@ def bench_config_sweep(ray, results: dict, extras: dict) -> None:
     # headline rows (build_lineitem / corpus_build_200k / 8M synthetic).
     from cuckoofilter_ray.kernels import make_filter
 
-    # num_cpus=4 shapes concurrency to ~8 builds at once: each build is
-    # single-core but bandwidth-hungry (bit arrays + packbits); 16-way
-    # sharing was measured to halve every per-core rate again
-    @ray.remote(num_cpus=4)
-    def _build_one(kind, bits, cfg_n, keys_ref):
-        import time as _t
-        ks = keys_ref[:cfg_n]
-        t0 = _t.perf_counter()
+    # Builds run SEQUENTIALLY on the driver, each with the whole machine
+    # free: adds_core_mps is then a stable solo single-core rate, directly
+    # comparable to the reference's single-thread numbers.  Parallel
+    # in-task-timed builds (tried in r5 at 16-way and 8-way) are 2-6x
+    # slower per-core AND swing 2-5x between runs — the bandwidth-hungry
+    # configs (bloom/xor/gcs bit arrays + packbits) contend for DRAM on
+    # this under-backed host, so the measured rates compared to nothing.
+    # Wall cost of sequential-solo over 8-way parallel: ~1.5 s at 1 M keys.
+    built = []
+    for kind, bits in CFGS:
+        cfg_n = n_tail if kind == "tail" else n
+        ks = keys[:cfg_n]
+        t0 = time.perf_counter()
         filt = make_filter(kind, cfg_n, SEED, bits)
         filt.add_batch(ks)
-        build_s = _t.perf_counter() - t0
-        return (filter_to_row(filt, packed=False),
-                len(filter_to_row(filt)["table_bytes"]), build_s)
-
-    futs = [_build_one.remote(kind, bits,
-                              n_tail if kind == "tail" else n, inserted_ref)
-            for kind, bits in CFGS]
-    built = []
-    for (kind, bits), (row_raw, at_rest_bytes, build_s) in \
-            zip(CFGS, ray.get(futs)):
-        cfg_n = n_tail if kind == "tail" else n
-        built.append((kind, bits, cfg_n, row_raw, at_rest_bytes, build_s))
+        build_s = time.perf_counter() - t0
+        built.append((kind, bits, cfg_n, filter_to_row(filt, packed=False),
+                      len(filter_to_row(filt)["table_bytes"]), build_s))
+        del filt
     build_wall = time.perf_counter() - sweep_t0
 
     # ONE batched probe pass: every workload batch is generated once per
@@ -340,9 +338,10 @@ def bench_config_sweep(ray, results: dict, extras: dict) -> None:
         }
     extras["config_sweep"] = table
     extras["config_sweep_mode"] = {
-        "builds": "16 parallel single-core tasks, construction timed "
-                  "in-task; adds_core_mps compares 1:1 with the "
-                  "reference's single-thread adds",
+        "builds": "sequential solo driver-side builds (machine idle); "
+                  "adds_core_mps compares 1:1 with the reference's "
+                  "single-thread adds and is stable run-to-run (parallel "
+                  "in-task timing swung 2-5x on this host)",
         "probes": "one batched map_batches pass over all configs; "
                   "finds_core_mps = keys / contain_batch core-seconds",
         "build_wall_s": round(build_wall, 4),

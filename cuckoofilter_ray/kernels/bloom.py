@@ -26,6 +26,12 @@ from .hashing import DEFAULT_SEED, hash_key64, mix_split
 U64 = np.uint64
 U32 = np.uint32
 
+#: probe chunk: the (chunk, k) index temporaries stay L2-resident.  At the
+#: old 128 Ki chunk the ~50 MB of per-chunk temporaries were DRAM traffic —
+#: measured 4.7x slower under 8 concurrent single-core builds and 1.4x
+#: slower solo than this cache-sized chunk.
+_CHUNK = 1 << 14
+
 
 def is_prime(n: int) -> bool:
     if n < 2:
@@ -103,7 +109,7 @@ class BloomFilter:
             # (n, k) probe temporaries stay cache-sized; the bit array is
             # shared across chunks and packs once.
             bits = np.zeros(self.array_length * 64, dtype=bool)
-            CH = 1 << 17
+            CH = _CHUNK
             for s in range(0, len(keys), CH):
                 words, _, bidx = self._probes(keys[s:s + CH])
                 bits[(words * 64 + bidx).ravel()] = True
@@ -117,10 +123,18 @@ class BloomFilter:
 
     def contain_batch(self, keys) -> np.ndarray:
         keys = np.asarray(keys, dtype=np.uint64)
-        if len(keys) == 0:
+        n = len(keys)
+        if n == 0:
             return np.zeros(0, dtype=bool)
-        words, masks, _ = self._probes(keys)
-        return ((self.words[words] & masks) == masks).all(axis=1)
+        if n <= _CHUNK:
+            words, masks, _ = self._probes(keys)
+            return ((self.words[words] & masks) == masks).all(axis=1)
+        out = np.empty(n, dtype=bool)
+        for s in range(0, n, _CHUNK):
+            words, masks, _ = self._probes(keys[s:s + _CHUNK])
+            out[s:s + _CHUNK] = \
+                ((self.words[words] & masks) == masks).all(axis=1)
+        return out
 
     def add(self, key: int) -> str:
         self.add_batch(np.array([key], dtype=np.uint64))
@@ -207,7 +221,7 @@ class BlockedBloomFilter:
             # chunked so the (n, 8) temporaries stay cache-sized
             bits = np.zeros(self.num_blocks * 256, dtype=bool)
             lane8 = np.arange(8)[None, :]
-            CH = 1 << 17
+            CH = _CHUNK
             for s in range(0, len(keys), CH):
                 block, _, bitpos = self._block_and_masks(keys[s:s + CH])
                 gpos = (block[:, None] * 8 + lane8) * 32 + bitpos
@@ -225,10 +239,18 @@ class BlockedBloomFilter:
 
     def contain_batch(self, keys) -> np.ndarray:
         keys = np.asarray(keys, dtype=np.uint64)
-        if len(keys) == 0:
+        n = len(keys)
+        if n == 0:
             return np.zeros(0, dtype=bool)
-        block, masks, _ = self._block_and_masks(keys)
-        return ((self.lanes[block] & masks) == masks).all(axis=1)
+        if n <= _CHUNK:
+            block, masks, _ = self._block_and_masks(keys)
+            return ((self.lanes[block] & masks) == masks).all(axis=1)
+        out = np.empty(n, dtype=bool)
+        for s in range(0, n, _CHUNK):
+            block, masks, _ = self._block_and_masks(keys[s:s + _CHUNK])
+            out[s:s + _CHUNK] = \
+                ((self.lanes[block] & masks) == masks).all(axis=1)
+        return out
 
     def add(self, key: int) -> str:
         self.add_batch(np.array([key], dtype=np.uint64))
