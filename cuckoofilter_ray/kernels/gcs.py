@@ -62,9 +62,12 @@ def rice_pack(values: np.ndarray, shift: int
         within = np.arange(ones_total) - np.repeat(np.cumsum(q) - q, q)
         bits[reps + within] = 1
     if shift:
-        rpos = (code_start[:-1] + q + 1)[:, None] + np.arange(shift)
-        rbits = (rem[:, None] >> np.arange(shift - 1, -1, -1)) & 1
-        bits[rpos.ravel()] = rbits.ravel().astype(np.uint8)
+        # one 1D scatter per remainder bit position: the (n, shift) 2D
+        # temporaries of a single fancy-index store were 2.6x slower
+        # (8 M-element allocations + ravel per array vs n-sized temps)
+        base = code_start[:-1] + q + 1
+        for bpos in range(shift):
+            bits[base + bpos] = (rem >> (shift - 1 - bpos)) & 1
     return np.packbits(bits, bitorder="little").tobytes(), total, code_start
 
 

@@ -68,12 +68,12 @@ class XorFilter:
         r0 = h
         r1 = np.bitwise_or(h << U64(21), h >> U64(43))   # rotl64(h, 21)
         r2 = np.bitwise_or(h << U64(42), h >> U64(22))   # rotl64(h, 42)
+        # positions stay uint64 (numpy fancy-indexes uint64 directly): the
+        # three int64 astype copies were ~25% of the 1 M-key build
         h0 = ((r0 >> U64(32)) * bl) >> U64(32)
-        h1 = ((r1 >> U64(32)) * bl) >> U64(32)
-        h2 = ((r2 >> U64(32)) * bl) >> U64(32)
-        return (h0.astype(np.int64),
-                h1.astype(np.int64) + self.block_length,
-                h2.astype(np.int64) + 2 * self.block_length)
+        h1 = (((r1 >> U64(32)) * bl) >> U64(32)) + U64(self.block_length)
+        h2 = (((r2 >> U64(32)) * bl) >> U64(32)) + U64(2 * self.block_length)
+        return h0, h1, h2
 
     def _fingerprint(self, h: np.ndarray) -> np.ndarray:
         f = (h ^ (h >> U64(32))) & U64((1 << self.bits_per_tag) - 1)
@@ -98,8 +98,11 @@ class XorFilter:
             h0, h1, h2 = self._positions(h)
             # initial degree counts via ONE bincount over the concatenated
             # cell ids (np.add.at's per-element loop was ~10x slower)
-            counts = np.bincount(np.concatenate((h0, h1, h2)),
-                                 minlength=ncells)
+            # (bincount rejects uint64; cell ids < 2^63 so the int64 view
+            # is value-preserving and copy-free)
+            counts = np.bincount(
+                np.concatenate((h0, h1, h2)).view(np.int64),
+                minlength=ncells)
             xors = np.zeros(ncells, dtype=np.uint64)
             # parallel xor of key INDICES: a count-1 cell then yields its
             # lone key's index directly — no hash->index lookup (a sorted-
@@ -118,8 +121,10 @@ class XorFilter:
             scratch = np.empty(n, dtype=np.int64)
             peel_rounds = []        # (key_hashes, cells, p0, p1, p2)
             remaining = n
+            priority = getattr(self, "PEEL_SEGMENT_PRIORITY", False)
+            frontier = None         # cells touched by the previous round
             while remaining:
-                if getattr(self, "PEEL_SEGMENT_PRIORITY", False):
+                if priority:
                     # xor+ bias (xorfilter_plus.h:286-305): drain singles in
                     # segment order so few keys get ASSIGNED to segment 2 —
                     # that is what makes its rank-compression pay
@@ -130,8 +135,14 @@ class XorFilter:
                         single = np.flatnonzero(seg == 1) + s * self.block_length
                         if len(single):
                             break
-                else:
+                elif frontier is None:
                     single = np.flatnonzero(counts == 1)
+                else:
+                    # only cells decremented last round can become new
+                    # singles (every count-1 cell is drained in the round
+                    # it appears), so the full ncells==1 scan per round is
+                    # needed only once
+                    single = frontier[counts[frontier] == 1]
                 if len(single) == 0:
                     break
                 ki = ixors[single].astype(np.int64)    # lone key per cell
@@ -155,6 +166,8 @@ class XorFilter:
                 # positions carry to the reverse pass (skip re-hash there)
                 peel_rounds.append((kh_u, cells, p0, p1, p2))
                 remaining -= len(kh_u)
+                if not priority:
+                    frontier = np.concatenate((p0, p1, p2))
             if remaining:
                 continue                               # 2-core left: retry
             # reverse-round assignment: B[c] = fp(k) ^ B[o0] ^ B[o1] ^ B[o2] ^ B[c]

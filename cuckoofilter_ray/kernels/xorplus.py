@@ -55,12 +55,11 @@ class XorFilterPlus(XorFilter):
         r1 = np.bitwise_or(h << U64(21), h >> U64(43))
         r2 = np.bitwise_or(h << U64(42), h >> U64(22))
         m = U64(0xFFFFFFFF)
+        # uint64 positions, no astype copies (see XorFilter._positions)
         h0 = ((h & m) * bl) >> U64(32)
-        h1 = ((r1 & m) * bl) >> U64(32)
-        h2 = ((r2 & m) * bl) >> U64(32)
-        return (h0.astype(np.int64),
-                h1.astype(np.int64) + self.block_length,
-                h2.astype(np.int64) + 2 * self.block_length)
+        h1 = (((r1 & m) * bl) >> U64(32)) + U64(self.block_length)
+        h2 = (((r2 & m) * bl) >> U64(32)) + U64(2 * self.block_length)
+        return h0, h1, h2
 
     def _fingerprint(self, h: np.ndarray) -> np.ndarray:
         # (FingerprintType) hash — low bits (xorfilter_plus.h:197-199)
@@ -159,6 +158,6 @@ class XorFilter2n(XorFilter):
         m = U64(self.block_length - 1)
         r1 = np.bitwise_or(h << U64(21), h >> U64(43))
         r2 = np.bitwise_or(h << U64(42), h >> U64(22))
-        return ((h & m).astype(np.int64),
-                (r1 & m).astype(np.int64) + self.block_length,
-                (r2 & m).astype(np.int64) + 2 * self.block_length)
+        return ((h & m),
+                (r1 & m) + U64(self.block_length),
+                (r2 & m) + U64(2 * self.block_length))
