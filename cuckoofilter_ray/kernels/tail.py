@@ -1070,11 +1070,33 @@ class TailFilter:
     def contain_batch(self, keys) -> np.ndarray:
         return self._contain_hashes(self._hashes(keys))
 
+    #: probe batches at least this large decode the stored entry set once
+    #: (cached per filter state) and binary-search it; smaller probes walk
+    #: the candidate offsets directly (decode cost would dominate)
+    _INDEX_PROBE_MIN = 4096
+
+    def _sorted_entries(self) -> tuple[np.ndarray, np.ndarray]:
+        """Stored (original_key, value) pairs sorted by key, cached on the
+        filter state signature.  Every stored entry sits inside its own
+        probe window (displacement <= 2^s-1, run offset < width), so key
+        equality over this set is EXACTLY the walk's reachable-match set —
+        pinned equal to :meth:`contain_batch_scalar` by test."""
+        sig = (self.epoch, self.qd.ndv, self.qd.k, self.qd.capacity)
+        cached = getattr(self, "_entry_idx", None)
+        if cached is not None and cached[0] == sig:
+            return cached[1], cached[2]
+        ks, vs = self.qd.entries_arrays()
+        order = np.argsort(ks, kind="stable")
+        ks, vs = ks[order], vs[order]
+        self._entry_idx = (sig, ks, vs)
+        return ks, vs
+
     def _contain_hashes(self, hs: np.ndarray) -> np.ndarray:
-        """Vectorized probe: batch bitset gather, per-arena batch Feistel,
-        flattened little-array gather + offset-lockstep GetRaw decode, and
-        the terminator prefix match via an exact power-of-two log2
-        (pinned equal to :meth:`contain_batch_scalar`)."""
+        """Vectorized probe: batch bitset gather, then either a sorted
+        entry-index binary search (large batches) or the per-arena batch
+        Feistel + flattened little-array gather + offset-lockstep GetRaw
+        walk, with the terminator prefix match via an exact power-of-two
+        log2 (pinned equal to :meth:`contain_batch_scalar`)."""
         n = len(hs)
         out = np.zeros(n, dtype=bool)
         if n == 0:
@@ -1084,6 +1106,27 @@ class TailFilter:
             out |= self.bitset[(hs >> shift_out).astype(np.int64)] \
                 .astype(bool)
         if self.qd.ndv == 0:                 # fresh build: nothing stored yet
+            return out
+        if n >= self._INDEX_PROBE_MIN or \
+                getattr(self, "_entry_idx", None) is not None:
+            key = hs >> np.uint64(64 - self.lgm - self.epoch)
+            value = (hs >> np.uint64(64 - self.epoch - self.lgme)) \
+                & np.uint64((1 << (self.lgme - self.lgm)) - 1)
+            probe_v = (value << np.uint64(1)) | np.uint64(1)
+            ks, vs = self._sorted_entries()
+            lo = np.searchsorted(ks, key, side="left")
+            hi = np.searchsorted(ks, key, side="right")
+            mult = hi - lo
+            for j in range(int(mult.max(initial=0))):
+                sel = np.flatnonzero((mult > j) & ~out)
+                if not len(sel):
+                    break
+                v2 = vs[lo[sel] + j]
+                good = v2 != 0
+                lsb = np.where(good, v2 & (~v2 + np.uint64(1)), np.uint64(1))
+                tz = np.log2(lsb.astype(np.float64)).astype(np.uint64) \
+                    + np.uint64(1)
+                out[sel] |= good & ((v2 >> tz) == (probe_v[sel] >> tz))
             return out
         key = hs >> np.uint64(64 - self.lgm - self.epoch)
         value = (hs >> np.uint64(64 - self.epoch - self.lgme)) \
