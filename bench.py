@@ -296,6 +296,17 @@ def bench_config_sweep(ray, results: dict, extras: dict) -> None:
     # configs (bloom/xor/gcs bit arrays + packbits) contend for DRAM on
     # this under-backed host, so the measured rates compared to nothing.
     # Wall cost of sequential-solo over 8-way parallel: ~1.5 s at 1 M keys.
+    def _solo_ms() -> float:
+        # single-thread calibration: self-labels the build section against
+        # the hypervisor's per-core throttling (clock oscillates 2-5x on
+        # this host, independent of the parallel-backing effective_cores)
+        t0 = time.perf_counter()
+        x = 1.0
+        for _ in range(2_000_000):
+            x = x * 1.0000001 % 1e9
+        return round((time.perf_counter() - t0) * 1e3, 1)
+
+    solo_before = _solo_ms()
     built = []
     for kind, bits in CFGS:
         cfg_n = n_tail if kind == "tail" else n
@@ -307,6 +318,7 @@ def bench_config_sweep(ray, results: dict, extras: dict) -> None:
         built.append((kind, bits, cfg_n, filter_to_row(filt, packed=False),
                       len(filter_to_row(filt)["table_bytes"]), build_s))
         del filt
+    solo_after = _solo_ms()
     build_wall = time.perf_counter() - sweep_t0
 
     # ONE batched probe pass: every workload batch is generated once per
@@ -346,6 +358,10 @@ def bench_config_sweep(ray, results: dict, extras: dict) -> None:
                   "finds_core_mps = keys / contain_batch core-seconds",
         "build_wall_s": round(build_wall, 4),
         "probe_wall_s": round(probe_wall, 4),
+        # ~90 ms on a quiet core; 2-5x larger when the hypervisor throttles
+        # the clock mid-section (then the adds column understates the kernel)
+        "solo_ms_before": solo_before,
+        "solo_ms_after": solo_after,
         "probes_per_config": n_probes,
     }
     results["config_sweep_total"] = round(time.perf_counter() - sweep_t0, 4)
