@@ -83,6 +83,25 @@ def test_bloom_merge_is_or():
         fa.merge(BloomFilter.create(10_000, 8, seed=5))
 
 
+def test_bloom_chunked_contain_matches_small_calls():
+    """contain_batch chunks large batches at _CHUNK; the output must equal
+    concatenated small (direct-path) calls for both bloom variants."""
+    from cuckoofilter_ray.kernels import bloom as bloom_mod
+    n = 60_000
+    keys = splitmix64(n, seed=11)
+    probes = np.concatenate([keys[:5_000], splitmix64(bloom_mod._CHUNK * 2 + 777,
+                                                      seed=13)])
+    for f in (BloomFilter.create(n, bits_per_item=12, seed=9),
+              BlockedBloomFilter.create(n, bits_per_item=8, seed=9)):
+        f.add_batch(keys)
+        got = f.contain_batch(probes)
+        step = 1024                      # well under _CHUNK: direct path
+        exp = np.concatenate([f.contain_batch(probes[s:s + step])
+                              for s in range(0, len(probes), step)])
+        assert np.array_equal(got, exp)
+        assert got[:5_000].all()
+
+
 def test_blocked_bloom():
     n = 50_000
     keys = splitmix64(n, seed=6)
