@@ -123,17 +123,41 @@ class XorFilter:
             remaining = n
             priority = getattr(self, "PEEL_SEGMENT_PRIORITY", False)
             frontier = None         # cells touched by the previous round
+            pend = None             # priority mode: count-1 cells/segment
             while remaining:
                 if priority:
                     # xor+ bias (xorfilter_plus.h:286-305): drain singles in
                     # segment order so few keys get ASSIGNED to segment 2 —
-                    # that is what makes its rank-compression pay
+                    # that is what makes its rank-compression pay.  Pending
+                    # lists carry deferred higher-segment singles across
+                    # rounds (a cell reaching count 1 stays there until
+                    # drained or its key peels elsewhere — the stale filter
+                    # below drops the latter), so each round appends only
+                    # the cells it touched instead of rescanning all three
+                    # segments; the drained set per round is IDENTICAL to
+                    # the full-scan rule (same fingerprints, bit for bit).
+                    if pend is None:
+                        bl = self.block_length
+                        pend = [np.flatnonzero(
+                            counts[s * bl:(s + 1) * bl] == 1)
+                            .astype(np.int64) + s * bl for s in range(3)]
+                    elif len(frontier):
+                        fr = frontier.astype(np.int64)
+                        fr = fr[counts[fr] == 1]
+                        sid = fr // self.block_length
+                        for s in range(3):
+                            add = fr[sid == s]
+                            if len(add):
+                                pend[s] = np.concatenate((pend[s], add))
                     single = np.zeros(0, dtype=np.int64)
                     for s in range(3):
-                        seg = counts[s * self.block_length:
-                                     (s + 1) * self.block_length]
-                        single = np.flatnonzero(seg == 1) + s * self.block_length
-                        if len(single):
+                        live = pend[s][counts[pend[s]] == 1]
+                        pend[s] = live
+                        if len(live):
+                            # sorted => same drain order as the full scan,
+                            # so the duplicate-lone-key marker race picks
+                            # the same winners (bit-identical fingerprints)
+                            single = np.sort(live)
                             break
                 elif frontier is None:
                     single = np.flatnonzero(counts == 1)
@@ -166,8 +190,7 @@ class XorFilter:
                 # positions carry to the reverse pass (skip re-hash there)
                 peel_rounds.append((kh_u, cells, p0, p1, p2))
                 remaining -= len(kh_u)
-                if not priority:
-                    frontier = np.concatenate((p0, p1, p2))
+                frontier = np.concatenate((p0, p1, p2))
             if remaining:
                 continue                               # 2-core left: retry
             # reverse-round assignment: B[c] = fp(k) ^ B[o0] ^ B[o1] ^ B[o2] ^ B[c]
