@@ -450,6 +450,31 @@ def q_quantile_prices(sf_dir: str):
     return pd.DataFrame(out)
 
 
+def q_kll_quantiles(sf_dir: str):
+    """Mergeable KLL quantile sketch over l_extendedprice (the north rule
+    names KLL explicitly): sketch quantiles must sit within the sketch's
+    rank-error band of the exact distribution — exact CDF computed
+    Ray-side, the SQL oracle asserts the verdict rows."""
+    from cuckoofilter_ray.stages.aggregate import KLLAgg
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+    agg = KLLAgg(on="l_extendedprice", k=256, seed=SEED, alias_name="kll")
+    sketch = agg.unpack(li.aggregate(agg)["kll"])
+    exact = np.sort(np.concatenate([
+        b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        for b in li.iter_batches(batch_size=1 << 20,
+                                 batch_format="pyarrow")]))
+    n = len(exact)
+    out = []
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = float(sketch.quantile(q))
+        rank = np.searchsorted(exact, est) / n
+        out.append({"quantile": f"p{int(q * 100)}",
+                    "within_bound": bool(abs(rank - q) <=
+                                         sketch.rank_error_bound())})
+    return pd.DataFrame(out)
+
+
 def q_dedup_exact(sf_dir: str):
     """Exact dedup winners: min doc_id per distinct content hash."""
     keyed = _docs_keyed(sf_dir)
@@ -1069,6 +1094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countfilter_events": q_countfilter_events,
         "countfilter_users": q_countfilter_users,
         "quantile_prices": q_quantile_prices,
+        "kll_quantiles": q_kll_quantiles,
         "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,
         "doc_sha256": q_doc_sha256,
@@ -1166,6 +1192,9 @@ def oracle_sql() -> dict[str, str]:
         "quantile_prices":
             "SELECT 'p' || q AS quantile, true AS within_bound "
             "FROM (VALUES (50), (90), (99)) t(q)",
+        "kll_quantiles":
+            "SELECT 'p' || q AS quantile, true AS within_bound "
+            "FROM (VALUES (10), (50), (90), (99)) t(q)",
         "dedup_exact":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "dedup_incremental":

@@ -163,6 +163,147 @@ class BottomKQuantile:
         return s
 
 
+class KLLSketch:
+    """Mergeable KLL quantile sketch (Karnin–Lall–Liberty, FOCS 2016).
+
+    Levels of compactors; an item at level i carries weight 2^i.  Level
+    capacities shrink geometrically from the TOP level with c = 2/3 (the
+    paper's recommended constant), floored at 8.  A level at capacity
+    sorts, keeps every other item (seeded coin picks the even/odd offset,
+    so weight is conserved in expectation) and promotes the survivors one
+    level up; the rest are discarded — that is the lossy step.  Normalized
+    rank error is ~2.3/k^0.9 w.h.p. (the Apache DataSketches calibration
+    of the paper's O(1/k) bound).  Merge concatenates per-level buffers
+    then re-compacts — valid under ANY merge tree, which is what makes it
+    a UDAF like the engine's other sketches.  Built from the public paper
+    + DataSketches documentation only.
+    """
+
+    KIND = "kll"
+
+    #: geometric capacity decay (paper's c) and smallest compactor
+    C = 2.0 / 3.0
+    MINCAP = 8
+
+    __slots__ = ("k", "seed", "levels", "_nc")
+
+    def __init__(self, k: int = 256, seed: int = DEFAULT_SEED):
+        if k < 16:
+            raise ValueError("k must be >= 16")
+        self.k = int(k)
+        self.seed = int(seed) & 0xFFFFFFFFFFFFFFFF
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self._nc = 0                    # compaction counter → coin stream
+
+    # ------------------------------------------------------------ internals
+
+    def _cap(self, lev: int, nlevels: int) -> int:
+        return max(self.MINCAP,
+                   int(np.ceil(self.k * self.C ** (nlevels - 1 - lev))))
+
+    def _coin(self) -> int:
+        from .hashing import splitmix64
+        b = int(splitmix64(1, seed=(self.seed ^ 0x6B11) + self._nc)[0]) & 1
+        self._nc += 1
+        return b
+
+    def _compress(self) -> None:
+        while True:
+            nl = len(self.levels)
+            total = sum(len(b) for b in self.levels)
+            capacity = sum(self._cap(i, nl) for i in range(nl))
+            if total <= capacity:
+                return
+            for i in range(nl):
+                if len(self.levels[i]) >= self._cap(i, nl):
+                    srt = np.sort(self.levels[i])
+                    promoted = srt[self._coin()::2]
+                    self.levels[i] = np.empty(0, dtype=np.float64)
+                    if i + 1 == len(self.levels):
+                        self.levels.append(np.empty(0, dtype=np.float64))
+                    self.levels[i + 1] = np.concatenate(
+                        [self.levels[i + 1], promoted])
+                    break
+            else:
+                return                  # over budget but no full level
+
+    # ----------------------------------------------------------------- adds
+
+    def add_batch(self, values) -> None:
+        vals = np.asarray(values, dtype=np.float64)
+        vals = vals[~np.isnan(vals)]
+        if len(vals) == 0:
+            return
+        # feed level 0 in capacity-sized slices so each compaction sorts a
+        # compactor, not the whole batch
+        step = max(self.k, self.MINCAP)
+        for s in range(0, len(vals), step):
+            self.levels[0] = np.concatenate([self.levels[0],
+                                             vals[s:s + step]])
+            self._compress()
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        if (self.k, self.seed) != (other.k, other.seed):
+            raise ValueError("KLL merge requires identical (k, seed)")
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=np.float64))
+        for i, buf in enumerate(other.levels):
+            if len(buf):
+                self.levels[i] = np.concatenate([self.levels[i], buf])
+        self._nc = max(self._nc, other._nc)   # keep coin streams divergent
+        self._compress()
+        return self
+
+    # ---------------------------------------------------------------- query
+
+    def total_weight(self) -> int:
+        return int(sum(len(b) << i for i, b in enumerate(self.levels)))
+
+    def quantile(self, q) -> np.ndarray:
+        """Smallest stored value whose cumulative weight reaches q·W."""
+        vals = np.concatenate(self.levels) if self.levels else \
+            np.empty(0, dtype=np.float64)
+        if len(vals) == 0:
+            return np.full(np.shape(q), np.nan)
+        wts = np.concatenate([np.full(len(b), 1 << i, dtype=np.int64)
+                              for i, b in enumerate(self.levels)])
+        order = np.argsort(vals, kind="stable")
+        vs, cw = vals[order], np.cumsum(wts[order])
+        target = np.asarray(q, dtype=np.float64) * cw[-1]
+        pos = np.minimum(np.searchsorted(cw, target, side="left"),
+                         len(vs) - 1)
+        return vs[pos] if np.ndim(q) else float(vs[int(pos)])
+
+    def rank_error_bound(self) -> float:
+        """Normalized rank error at high confidence — the DataSketches
+        calibration eps ≈ 2.296/k^0.9, doubled for margin (merge trees in a
+        distributed aggregate are deeper than the calibration's stream)."""
+        return 2.0 * 2.296 / (self.k ** 0.9)
+
+    # ----------------------------------------------------------------- serde
+
+    def to_bytes(self) -> bytes:
+        lens = np.array([len(b) for b in self.levels], dtype=np.int64)
+        return (len(self.levels).to_bytes(4, "little") +
+                int(self._nc).to_bytes(8, "little") + lens.tobytes() +
+                np.concatenate(self.levels).tobytes())
+
+    @classmethod
+    def from_bytes(cls, data: bytes, k: int, seed: int) -> "KLLSketch":
+        s = cls(k=k, seed=seed)
+        if not data:
+            return s
+        nl = int.from_bytes(data[:4], "little")
+        s._nc = int.from_bytes(data[4:12], "little")
+        lens = np.frombuffer(data[12:12 + 8 * nl], dtype=np.int64)
+        flat = np.frombuffer(data[12 + 8 * nl:], dtype=np.float64)
+        s.levels, off = [], 0
+        for n in lens:
+            s.levels.append(flat[off:off + int(n)].copy())
+            off += int(n)
+        return s
+
+
 class CountMin:
     """Count-Min frequency sketch over uint64 keys."""
 

@@ -381,6 +381,54 @@ def _unpack_uv16(tbl: pa.Table, col: str) -> tuple[np.ndarray, np.ndarray]:
     return raw[:, 0].copy(), raw[:, 1].copy().view(np.float64)
 
 
+class KLLAgg(AggregateFnV2):
+    """Per-group mergeable KLL quantile sketch over a float64 column.
+
+    Unlike :class:`QuantileSketchAgg` (bottom-k row sample keyed on a uid
+    hash), KLL compacts VALUES, so it needs no uid column and its rank
+    error ~2.3/k^0.9 beats a k-sample's ~1/sqrt(k) at equal space.
+    finalize → sketch bytes (``KLLSketch.from_bytes``).
+    """
+
+    def __init__(self, on: str, k: int = 256,
+                 seed: int = DEFAULT_SEED, alias_name: Optional[str] = None):
+        self._k = int(k)
+        self._seed = int(seed)
+        super().__init__(alias_name or f"kll({on})", on=on,
+                         ignore_nulls=True, zero_factory=lambda: None)
+
+    def _new(self):
+        from ..kernels.sketches import KLLSketch
+        return KLLSketch(k=self._k, seed=self._seed)
+
+    def unpack(self, data: bytes):
+        from ..kernels.sketches import KLLSketch
+        return KLLSketch.from_bytes(data, self._k, self._seed)
+
+    def aggregate_block(self, block: Block) -> bytes:
+        tbl = block if isinstance(block, pa.Table) else \
+            BlockAccessor.for_block(block).to_arrow()
+        vals = tbl.column(self._target_col_name) \
+            .to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        s = self._new()
+        s.add_batch(vals)
+        return s.to_bytes()
+
+    def combine(self, current: Optional[bytes], new: Optional[bytes]) -> bytes:
+        if current is None:
+            return new
+        if new is None:
+            return current
+        a, b = self.unpack(current), self.unpack(new)
+        a.merge(b)
+        return a.to_bytes()
+
+    def finalize(self, accumulator: Optional[bytes]) -> bytes:
+        if accumulator is None:
+            return self._new().to_bytes()
+        return accumulator
+
+
 class QuantileSketchAgg(AggregateFnV2):
     """Per-group mergeable quantile sketch (bottom-k uniform row sample).
 

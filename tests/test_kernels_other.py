@@ -287,6 +287,41 @@ def test_bottomk_quantile_rank_error_and_merge():
     assert abs(s.distinct_estimate() - n) / n < 0.1
 
 
+def test_kll_rank_error_any_merge_tree_and_serde():
+    """KLL quantiles stay within the sketch's rank-error band for a single
+    stream AND for an arbitrary (shuffled, serde-roundtripped) merge tree
+    over 37 shards — merge validity under any tree is what makes it a
+    UDAF."""
+    import random
+    from cuckoofilter_ray.kernels.sketches import KLLSketch
+    rng = np.random.default_rng(5)
+    data = rng.lognormal(3.0, 1.5, 150_000)
+    exact = np.sort(data)
+    s = KLLSketch(k=256, seed=7)
+    s.add_batch(data)
+    eps = s.rank_error_bound()
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        rank = np.searchsorted(exact, s.quantile(q)) / len(data)
+        assert abs(rank - q) <= eps, (q, rank)
+    random.seed(1)
+    shards = []
+    for part in np.array_split(data, 37):
+        t = KLLSketch(k=256, seed=7)
+        t.add_batch(part)
+        shards.append(KLLSketch.from_bytes(t.to_bytes(), 256, 7))  # serde
+    while len(shards) > 1:
+        random.shuffle(shards)
+        shards.append(shards.pop().merge(shards.pop()))
+    m = shards[0]
+    # sketch mass drifts only by the odd-buffer coin (one item per compaction)
+    assert abs(m.total_weight() - len(data)) / len(data) < 0.01
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        rank = np.searchsorted(exact, m.quantile(q)) / len(data)
+        assert abs(rank - q) <= eps, (q, rank)
+    with pytest.raises(ValueError):
+        m.merge(KLLSketch(k=128, seed=7))
+
+
 # ---------------------------------------------------------------- counting
 
 def test_counting_filter_matches_dict_model():
