@@ -114,6 +114,27 @@ def test_gcs_no_false_negatives_any_size(n, seed):
     assert (g.contain_batch(probes) == f.contain_batch(probes)).all()
 
 
+@settings(max_examples=30, deadline=None)
+@given(n=st.integers(1, 600), seed=st.integers(0, 2**31 - 1),
+       kind=st.sampled_from(["xor", "xor2", "xor2n", "xorplus"]))
+def test_xor_family_no_false_negatives_any_size(n, seed, kind):
+    """Peeling construction (incl. xorplus's pending-per-segment priority
+    drain) holds zero-FN at any size, with duplicate input keys exercising
+    the duplicate-lone-key marker race; serde preserves every answer."""
+    from cuckoofilter_ray.kernels import (XorFilter, XorFilter2, XorFilter2n,
+                                          XorFilterPlus)
+    cls = {"xor": XorFilter, "xor2": XorFilter2, "xor2n": XorFilter2n,
+           "xorplus": XorFilterPlus}[kind]
+    keys = splitmix64(n, seed=seed + 7)
+    keys = np.concatenate([keys, keys[: n // 3]])
+    f = cls(n, seed=seed)
+    f.add_all(keys)
+    assert f.contain_batch(keys).all()
+    g = deserialize(serialize(f))
+    probes = splitmix64(400, seed=seed + 8)
+    assert (g.contain_batch(probes) == f.contain_batch(probes)).all()
+
+
 @settings(max_examples=20, deadline=None)
 @given(n=st.integers(0, 300), seed=st.integers(0, 2**31 - 1),
        family=st.sampled_from(["mix", "tims", "tab"]))
