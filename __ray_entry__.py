@@ -475,6 +475,29 @@ def q_kll_quantiles(sf_dir: str):
     return pd.DataFrame(out)
 
 
+def q_heavy_hitter_tokens(sf_dir: str):
+    """Exact frequent tokens (> n/30 of the corpus token stream) via the
+    Misra-Gries two-pass pipeline: mergeable MG UDAF → guaranteed-superset
+    candidates → broadcast exact refinement.  Exactness is the MG
+    one-sided bound (stages/heavy.py), so the SQL GROUP BY/HAVING is a
+    full value oracle."""
+    from cuckoofilter_ray.stages.heavy import heavy_hitters
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+    return heavy_hitters(docs, "text", denom=30, split=" ") \
+        .rename_columns(["token", "n_tok"])
+
+
+def q_heavy_hitter_users(sf_dir: str):
+    """Exact frequent event users (> n/120 of events) — same MG pipeline
+    over an int64 column, no tokenization."""
+    from cuckoofilter_ray.stages.heavy import heavy_hitters
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    return heavy_hitters(ev, "user_id", denom=120) \
+        .rename_columns(["user_id", "n_events"])
+
+
 def q_dedup_exact(sf_dir: str):
     """Exact dedup winners: min doc_id per distinct content hash."""
     keyed = _docs_keyed(sf_dir)
@@ -1095,6 +1118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countfilter_users": q_countfilter_users,
         "quantile_prices": q_quantile_prices,
         "kll_quantiles": q_kll_quantiles,
+        "heavy_hitter_tokens": q_heavy_hitter_tokens,
+        "heavy_hitter_users": q_heavy_hitter_users,
         "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,
         "doc_sha256": q_doc_sha256,
@@ -1195,6 +1220,17 @@ def oracle_sql() -> dict[str, str]:
         "kll_quantiles":
             "SELECT 'p' || q AS quantile, true AS within_bound "
             "FROM (VALUES (10), (50), (90), (99)) t(q)",
+        "heavy_hitter_tokens":
+            "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token "
+            "FROM documents) "
+            "SELECT token, count(*) AS n_tok FROM toks GROUP BY token "
+            "HAVING count(*) > (SELECT count(*) FROM toks) / 30.0 "
+            "ORDER BY token",
+        "heavy_hitter_users":
+            "SELECT CAST(user_id AS VARCHAR) AS user_id, "
+            "count(*) AS n_events FROM events GROUP BY user_id "
+            "HAVING count(*) > (SELECT count(*) FROM events) / 120.0 "
+            "ORDER BY user_id",
         "dedup_exact":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "dedup_incremental":

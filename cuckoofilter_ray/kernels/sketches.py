@@ -374,3 +374,116 @@ class CountMin:
             .reshape(depth, width).copy()
         c.total = total
         return c
+
+
+class MisraGries:
+    """Misra-Gries frequent-items ("heavy hitters") summary over uint64
+    keys, k counters.
+
+    Completes the classic mergeable-summary family next to HLL / Count-Min
+    / KLL: after n items, every key with true frequency > n/(k+1) is
+    retained, and each retained estimate is one-sided with bounded slack:
+    ``est ≤ true ≤ est + offset`` where ``offset`` is the accumulated
+    decrement, ``offset ≤ n/(k+1)`` (Misra & Gries 1982).  The merge rule
+    — add counters pairwise, subtract the (k+1)-th largest, drop
+    non-positives — preserves the same bound over the union (Agarwal et
+    al., "Mergeable Summaries", PODS 2012, §3), which is what makes it a
+    sound distributed UDAF: block partials combine in any tree shape.
+
+    Vectorized: a batch is folded as its exact (unique, counts) pairs —
+    equivalent to item-at-a-time MG with a lazier (never larger) decrement
+    schedule, so the same guarantees hold with offset at most the
+    item-at-a-time value.
+    """
+
+    KIND = "misragries"
+
+    __slots__ = ("k", "keys", "counts", "n", "offset")
+
+    def __init__(self, k: int = 256):
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.k = int(k)
+        self.keys = np.zeros(0, dtype=np.uint64)     # sorted ascending
+        self.counts = np.zeros(0, dtype=np.int64)
+        self.n = 0          # total items folded in
+        self.offset = 0     # accumulated decrement (max over-undercount)
+
+    def _fold(self, ukeys: np.ndarray, ucounts: np.ndarray) -> None:
+        """Union-sum (ukeys sorted, unique) into the summary, then shrink
+        to ≤ k counters by subtracting the (k+1)-th largest count."""
+        if len(self.keys):
+            allk = np.concatenate([self.keys, ukeys])
+            allc = np.concatenate([self.counts, ucounts])
+            order = np.argsort(allk, kind="stable")
+            allk, allc = allk[order], allc[order]
+            bound = np.flatnonzero(np.diff(allk)) + 1
+            starts = np.concatenate([[0], bound])
+            keys = allk[starts]
+            counts = np.add.reduceat(allc, starts)
+        else:
+            keys, counts = ukeys, ucounts.astype(np.int64, copy=False)
+        if len(keys) > self.k:
+            # (k+1)-th largest count; subtracting it leaves ≤ k positives
+            dec = int(np.partition(counts, len(counts) - self.k - 1)
+                      [len(counts) - self.k - 1])
+            counts = counts - dec
+            keep = counts > 0
+            keys, counts = keys[keep], counts[keep]
+            self.offset += dec
+        self.keys, self.counts = keys, np.ascontiguousarray(counts)
+
+    def add_batch(self, keys) -> None:
+        keys = np.asarray(keys, dtype=np.uint64)
+        if len(keys) == 0:
+            return
+        ukeys, ucounts = np.unique(keys, return_counts=True)
+        self._fold(ukeys, ucounts.astype(np.int64))
+        self.n += len(keys)
+
+    def estimate_batch(self, keys) -> np.ndarray:
+        """Lower-bound counts (0 for untracked); true ≤ est + offset."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        if len(self.keys) == 0 or len(keys) == 0:
+            return np.zeros(len(keys), dtype=np.int64)
+        pos = np.searchsorted(self.keys, keys)
+        pos[pos >= len(self.keys)] = 0
+        hit = self.keys[pos] == keys
+        out = np.where(hit, self.counts[pos], 0)
+        return out.astype(np.int64)
+
+    def candidates(self, threshold: float) -> np.ndarray:
+        """Keys that COULD have true frequency > threshold (est + offset
+        > threshold).  Superset of the true heavy hitters by the one-sided
+        bound — the refinement pass counts exactly over this set."""
+        if len(self.keys) == 0:
+            return self.keys
+        return self.keys[self.counts + self.offset > threshold]
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        if self.k != other.k:
+            raise ValueError("MisraGries merge requires identical k")
+        if len(other.keys):
+            self.offset += other.offset
+            self._fold(other.keys, other.counts)
+        self.n += other.n
+        return self
+
+    def error_bound(self) -> float:
+        """Worst-case undercount of any estimate: min(offset, n/(k+1))."""
+        return float(min(self.offset, self.n / (self.k + 1)))
+
+    def to_bytes(self) -> bytes:
+        head = np.array([self.k, self.n, self.offset, len(self.keys)],
+                        dtype=np.int64).tobytes()
+        return head + self.keys.tobytes() + self.counts.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "MisraGries":
+        k, n, offset, m = np.frombuffer(data[:32], dtype=np.int64)
+        s = cls(k=int(k))
+        s.n, s.offset = int(n), int(offset)
+        s.keys = np.frombuffer(data[32:32 + 8 * m], dtype=np.uint64).copy()
+        s.counts = np.frombuffer(data[32 + 8 * m:32 + 16 * m],
+                                 dtype=np.int64).copy()
+        return s

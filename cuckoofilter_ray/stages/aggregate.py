@@ -608,3 +608,47 @@ class ExactDistinct(AggregateFnV2):
         if accumulator is None:
             return 0
         return len(accumulator) // 8
+
+
+class MisraGriesAgg(AggregateFnV2):
+    """Per-group Misra-Gries frequent-items summary (mergeable UDAF);
+    finalize → summary bytes (``MisraGries.from_bytes``).
+
+    The first stage of the exact heavy-hitters pipeline
+    (:func:`~cuckoofilter_ray.stages.heavy.heavy_hitters`): partials are
+    ≤ k (key, count) pairs per block, merge is the Agarwal et al.
+    mergeable-summaries rule, so the shuffle carries O(k) rows per group
+    regardless of stream length."""
+
+    def __init__(self, on: str, k: int = 256,
+                 alias_name: Optional[str] = None):
+        self._k = int(k)
+        super().__init__(alias_name or f"misragries({on})", on=on,
+                         ignore_nulls=True, zero_factory=lambda: None)
+
+    def _new(self):
+        from ..kernels.sketches import MisraGries
+        return MisraGries(k=self._k)
+
+    def unpack(self, data: bytes):
+        from ..kernels.sketches import MisraGries
+        return MisraGries.from_bytes(data)
+
+    def aggregate_block(self, block: Block) -> bytes:
+        s = self._new()
+        s.add_batch(_key_column(block, self._target_col_name))
+        return s.to_bytes()
+
+    def combine(self, current: Optional[bytes], new: Optional[bytes]) -> bytes:
+        if current is None:
+            return new
+        if new is None:
+            return current
+        a = self.unpack(current)
+        a.merge(self.unpack(new))
+        return a.to_bytes()
+
+    def finalize(self, accumulator: Optional[bytes]) -> bytes:
+        if accumulator is None:
+            return self._new().to_bytes()
+        return accumulator

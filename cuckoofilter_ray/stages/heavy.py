@@ -1,0 +1,128 @@
+"""Exact heavy hitters (frequent items) over a Dataset column.
+
+The LLM-data-pipeline op the sketch family was missing: find every item
+(token, domain, user id, boilerplate span) whose frequency exceeds
+``n / denom`` — EXACTLY — without ever shuffling the item stream.
+
+Two streaming passes, both all-to-nothing (partials only):
+
+1. **Sketch pass** — a global :class:`~.aggregate.MisraGriesAgg` over the
+   hashed item stream.  Each block contributes a ≤ k-counter summary;
+   merge is the Agarwal et al. mergeable-summaries rule, so the reduce
+   carries O(k) rows per block, never the stream.  With ``k + 1 ≥ denom``
+   the summary's candidate set (``est + offset > n/denom``) is a
+   guaranteed SUPERSET of the true heavy hitters (Misra-Gries one-sided
+   bound), size ≤ k.
+2. **Refinement pass** — the sorted candidate hashes are broadcast once
+   (``ray.put``, per-worker cached); each batch factorizes its items,
+   hashes the uniques, and emits exact per-batch counts for candidate
+   items only (≤ k rows per block + one total row).  A tiny groupby-sum
+   and an exact ``> n/denom`` filter finish on ≤ k·blocks rows.
+
+Exactness does not depend on hash quality: a 64-bit collision only adds a
+non-frequent item to the refinement set, where its EXACT count fails the
+threshold.  The only requirement is the superset property, which is the
+MG guarantee.  At 100 TB this is two reads of the column and O(k) bytes
+on the wire per block — the same discipline as the filter-shard UDAFs
+(no raw keys ride a shuffle).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels.hashing import sha256_u64
+from ..kernels.sketches import MisraGries
+from ..util import cache_get
+from .aggregate import MisraGriesAgg
+
+_CAND_CACHE: dict = {}
+
+
+def _item_chunks(tbl: pa.Table, column: str, split: Optional[str]):
+    """Yield the batch's item stream as (values_for_output, hashes).
+
+    ``split`` explodes a string column on a literal separator (matching
+    DuckDB ``string_split(col, sep)`` for oracle parity); None streams the
+    column as-is.  Hashing goes through factorize so only UNIQUE strings
+    pay the sha256 (vocab ≪ stream in real corpora).
+    """
+    import pandas as pd
+
+    col = tbl.column(column)
+    if split is not None:
+        toks = pa.compute.list_flatten(
+            pa.compute.split_pattern(col, pattern=split))
+        vals = toks.to_pandas()
+    else:
+        vals = col.to_pandas()
+    codes, uniques = pd.factorize(vals)
+    if len(uniques) and isinstance(uniques[0], (int, np.integer)):
+        ukeys = sha256_u64([str(int(u)) for u in uniques])
+    else:
+        ukeys = sha256_u64([str(u) for u in uniques])
+    return vals, codes, uniques, ukeys
+
+
+def _sketch_pass(ds, column: str, split: Optional[str], k: int) -> MisraGries:
+    def keyify(tbl: pa.Table) -> pa.Table:
+        _, codes, _, ukeys = _item_chunks(tbl, column, split)
+        return pa.table({"item_key": ukeys[codes]})
+
+    keyed = ds.map_batches(keyify, batch_format="pyarrow", batch_size=None)
+    agg = MisraGriesAgg(on="item_key", k=k, alias_name="mg")
+    return agg.unpack(keyed.aggregate(agg)["mg"])
+
+
+def heavy_hitters(ds, column: str, denom: int, k: Optional[int] = None,
+                  split: Optional[str] = None) -> pa.Table:
+    """Items of ``ds[column]`` with exact frequency > n/denom, as an Arrow
+    table (item, n) sorted by item.  ``split`` tokenizes a string column
+    on a literal separator first (the token stream is the item stream).
+    ``k`` (default ``2·denom``) is the sketch size; any ``k + 1 ≥ denom``
+    preserves exactness, larger k only shrinks the refinement set's
+    false-candidate tail."""
+    import ray
+
+    if k is None:
+        k = 2 * denom
+    if k + 1 < denom:
+        raise ValueError("need k + 1 >= denom for the superset guarantee")
+
+    sketch = _sketch_pass(ds, column, split, k)
+    n = sketch.n
+    if n == 0:
+        return pa.table({"item": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    threshold = n / denom
+    cand = np.sort(sketch.candidates(threshold))
+    cand_ref = ray.put(cand)
+
+    def count_candidates(tbl: pa.Table, ref=cand_ref) -> pa.Table:
+        wanted = cache_get(_CAND_CACHE, ref.hex(), lambda: ray.get(ref))
+        vals, codes, uniques, ukeys = _item_chunks(tbl, column, split)
+        pos = np.searchsorted(wanted, ukeys)
+        pos[pos >= len(wanted)] = 0
+        hit = np.flatnonzero(wanted[pos] == ukeys)
+        per_unique = np.bincount(codes[codes >= 0], minlength=len(uniques))
+        items = [str(uniques[i]) for i in hit]
+        counts = per_unique[hit].astype(np.int64).tolist()
+        items.append("")                       # sentinel: batch item total
+        counts.append(int(len(vals)))
+        return pa.table({"item": pa.array(items, type=pa.string()),
+                         "n": pa.array(counts, type=pa.int64())})
+
+    partials = ds.map_batches(count_candidates, batch_format="pyarrow",
+                              batch_size=None)
+    summed = partials.groupby("item").sum("n").take_all()
+    total = next(r["sum(n)"] for r in summed if r["item"] == "")
+    out = sorted((r for r in summed
+                  if r["item"] != "" and r["sum(n)"] > total / denom),
+                 key=lambda r: r["item"])
+    return pa.table({"item": pa.array([r["item"] for r in out],
+                                      type=pa.string()),
+                     "n": pa.array([r["sum(n)"] for r in out],
+                                   type=pa.int64())})

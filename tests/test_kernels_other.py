@@ -1196,3 +1196,44 @@ def test_bloom_scatter_path_matches_ufunc_path():
         a2 = small.words if hasattr(small, "words") else small.lanes
         assert np.array_equal(a1, a2), cls.__name__
         assert big.contain_batch(keys).all()
+
+
+def test_misra_gries_guarantees_merge_serde():
+    """MG one-sided bound (est ≤ true ≤ est + offset, offset ≤ n/(k+1)),
+    true-HH retention, mergeable-summaries tree merge, serde roundtrip."""
+    from collections import Counter
+    from cuckoofilter_ray.kernels.sketches import MisraGries
+    rng = np.random.default_rng(71)
+    stream = rng.zipf(1.25, 120_000).astype(np.uint64)
+    true = Counter(stream.tolist())
+    k = 48
+    s = MisraGries(k=k)
+    for i in range(0, len(stream), 7_000):       # uneven batch folds
+        s.add_batch(stream[i:i + 7_000])
+    n = len(stream)
+    bound = n / (k + 1)
+    assert s.n == n and len(s.keys) <= k
+    assert s.offset <= bound
+    uk = np.fromiter(true.keys(), dtype=np.uint64)
+    tv = np.fromiter((true[int(x)] for x in uk), dtype=np.int64)
+    est = s.estimate_batch(uk)
+    assert (est <= tv).all() and (tv <= est + s.offset).all()
+    hh = uk[tv > bound]
+    assert (s.estimate_batch(hh) > 0).all(), "true heavy hitter dropped"
+    assert set(hh.tolist()) <= set(s.candidates(bound).tolist())
+    # 8-way tree merge preserves the combined bound and HH retention
+    parts = [MisraGries(k=k) for _ in range(8)]
+    for i, p in enumerate(parts):
+        p.add_batch(stream[i::8])
+    while len(parts) > 1:
+        parts = [parts[j].merge(parts[j + 1])
+                 for j in range(0, len(parts), 2)]
+    m = parts[0]
+    assert m.n == n and m.offset <= bound
+    assert (m.estimate_batch(hh) > 0).all()
+    est_m = m.estimate_batch(uk)
+    assert (est_m <= tv).all() and (tv <= est_m + m.offset).all()
+    # serde
+    r = MisraGries.from_bytes(s.to_bytes())
+    assert (r.keys == s.keys).all() and (r.counts == s.counts).all()
+    assert (r.n, r.offset, r.k) == (s.n, s.offset, s.k)

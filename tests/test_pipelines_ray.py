@@ -1389,3 +1389,40 @@ def test_minhash_estimate_is_calibrated(ray_mod):
         if abs(est - j) > 4 * sigma:
             bad += 1
     assert bad <= max(1, len(p) // 50), f"{bad}/{len(p)} beyond 4 sigma"
+
+
+def test_heavy_hitters_exact_vs_pandas(ray_mod):
+    """heavy_hitters (MG sketch pass + broadcast refinement) returns the
+    EXACT > n/denom frequent-item set — both a tokenized string column and
+    a raw int column — even with a sketch small enough to force candidate
+    false positives into the refinement pass."""
+    ray = ray_mod
+    from collections import Counter
+    from cuckoofilter_ray.stages.heavy import heavy_hitters
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                 columns=["text"])
+    got = heavy_hitters(docs, "text", denom=30, split=" ").to_pandas()
+    toks = []
+    for t in pa.parquet.read_table(
+            f"{SF_DIR}/documents.parquet").column("text").to_pylist():
+        toks.extend(t.split(" "))
+    c = Counter(toks)
+    want = sorted((t, n) for t, n in c.items() if n > len(toks) / 30)
+    assert list(zip(got["item"], got["n"])) == want
+    # minimal sketch (k + 1 == denom): superset guarantee is tight but the
+    # exact refinement must still produce the identical answer
+    got_min = heavy_hitters(docs, "text", denom=30, k=29,
+                            split=" ").to_pandas()
+    assert got_min.equals(got)
+    with pytest.raises(ValueError):
+        heavy_hitters(docs, "text", denom=30, k=28, split=" ")
+    # int column, no tokenization
+    ev = ray.data.read_parquet(f"{SF_DIR}/events.parquet",
+                               columns=["user_id"])
+    got_u = heavy_hitters(ev, "user_id", denom=120).to_pandas()
+    u = pa.parquet.read_table(
+        f"{SF_DIR}/events.parquet").column("user_id").to_pylist()
+    cu = Counter(u)
+    want_u = sorted((str(k), n) for k, n in cu.items()
+                    if n > len(u) / 120)
+    assert list(zip(got_u["item"], got_u["n"])) == want_u
