@@ -505,12 +505,15 @@ def _online_cpus_after_warmup(ray) -> int:
     return _count()
 
 
-def _effective_cores(ray) -> float:
-    """Measured effective parallelism: fixed CPU work timed solo, then on
-    all NUM_CPUS at once.  The sandbox has been observed backing 32 online
-    vCPUs with ~6 physical cores (32-way numpy ran 5.6x slower per task
-    than solo while 1-core speed was normal) — `online_cpus` alone cannot
-    detect that, this ratio can."""
+def _effective_cores(ray) -> tuple:
+    """Measured effective parallelism AND per-core clock: fixed CPU work
+    timed solo, then on all NUM_CPUS at once.  The sandbox has been
+    observed backing 32 online vCPUs with ~6 physical cores (32-way numpy
+    ran 5.6x slower per task than solo while 1-core speed was normal) —
+    `online_cpus` alone cannot detect that, the ratio can.  The two
+    degrade INDEPENDENTLY (full backing has been observed alongside a
+    2-4x slower per-core clock), so a snapshot gate needs both numbers:
+    returns (effective_cores, solo_ms)."""
 
     @ray.remote(num_cpus=1)
     def _work() -> float:
@@ -523,7 +526,8 @@ def _effective_cores(ray) -> float:
     solo = ray.get(_work.remote())
     walls = ray.get([_work.remote() for _ in range(NUM_CPUS)])
     mean = sum(walls) / len(walls)
-    return round(NUM_CPUS * solo / mean, 1) if mean else float(NUM_CPUS)
+    eff = round(NUM_CPUS * solo / mean, 1) if mean else float(NUM_CPUS)
+    return eff, round(solo * 1000, 1)
 
 
 def run(headline_only: bool) -> dict:
@@ -544,23 +548,33 @@ def run(headline_only: bool) -> dict:
     results: dict = {}
     extras: dict = {}
     extras["online_cpus"] = _online_cpus_after_warmup(ray)
-    extras["effective_cores"] = _effective_cores(ray)
+    extras["effective_cores"], extras["solo_ms"] = _effective_cores(ray)
     # snapshot-quality gate (VERDICT r4 #1): the sandbox host intermittently
-    # backs 32 vCPUs with far fewer physical cores; BENCH_MIN_EFF_CORES > 0
-    # makes the run WAIT for a quiet window (bounded by BENCH_GATE_WAIT_S)
-    # instead of committing throttled numbers.  Default off so unattended
-    # driver runs never hang; they self-label via effective_cores instead.
+    # backs 32 vCPUs with far fewer physical cores AND (independently)
+    # throttles the per-core clock; BENCH_MIN_EFF_CORES > 0 makes the run
+    # WAIT for a window with full backing and (if BENCH_MAX_SOLO_MS is
+    # set) a quiet clock, bounded by BENCH_GATE_WAIT_S, instead of
+    # committing throttled numbers.  Default off so unattended driver runs
+    # never hang; they self-label via effective_cores/solo_ms instead.
     min_eff = float(os.environ.get("BENCH_MIN_EFF_CORES", 0))
+    max_solo = float(os.environ.get("BENCH_MAX_SOLO_MS", 0))
     if min_eff > 0:
         deadline = time.time() + float(os.environ.get("BENCH_GATE_WAIT_S",
                                                       1800))
-        while extras["effective_cores"] < min_eff and time.time() < deadline:
-            print(f"# host under-backed: effective_cores="
-                  f"{extras['effective_cores']} < {min_eff}; retrying...",
-                  file=sys.stderr)
+        while (extras["effective_cores"] < min_eff or
+               (max_solo > 0 and extras["solo_ms"] > max_solo)) \
+                and time.time() < deadline:
+            print(f"# host degraded: effective_cores="
+                  f"{extras['effective_cores']} (want >= {min_eff}), "
+                  f"solo_ms={extras['solo_ms']}"
+                  f"{f' (want <= {max_solo})' if max_solo else ''}; "
+                  "retrying...", file=sys.stderr)
             time.sleep(60)
-            extras["effective_cores"] = _effective_cores(ray)
+            extras["effective_cores"], extras["solo_ms"] = \
+                _effective_cores(ray)
         extras["gated_min_eff_cores"] = min_eff
+        if max_solo > 0:
+            extras["gated_max_solo_ms"] = max_solo
     bench_headline(ray, results, extras)
     if not headline_only:
         bench_fill(extras)
@@ -646,7 +660,8 @@ def run_scaling() -> dict:
 _COMPACT_KEYS = ("metric", "value", "unit", "queries", "sf", "num_cpus",
                  "n_items", "n_probes", "adds_mps", "adds_mps_8m",
                  "finds_mps", "recall", "fpr", "num_shards",
-                 "throughput_mps", "online_cpus", "effective_cores")
+                 "throughput_mps", "online_cpus", "effective_cores",
+                 "solo_ms")
 
 
 def _emit(out: dict, detail_name: str) -> None:
