@@ -34,7 +34,7 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
-from ..kernels.hashing import sha256_u64
+from ..kernels.hashing import mix_split, sha256_u64
 from ..kernels.sketches import MisraGries
 from ..util import cache_get
 from .aggregate import MisraGriesAgg
@@ -60,8 +60,12 @@ def _item_chunks(tbl: pa.Table, column: str, split: Optional[str]):
     else:
         vals = col.to_pandas()
     codes, uniques = pd.factorize(vals)
-    if len(uniques) and isinstance(uniques[0], (int, np.integer)):
-        ukeys = sha256_u64([str(int(u)) for u in uniques])
+    uarr = np.asarray(uniques)
+    if np.issubdtype(uarr.dtype, np.integer):
+        # exactness never depends on the hash (any candidate false
+        # positive is removed by the exact refinement count), so int
+        # items take the vectorized mixer instead of sha256-over-str
+        ukeys = mix_split(uarr.astype(np.int64).view(np.uint64))
     else:
         ukeys = sha256_u64([str(u) for u in uniques])
     return vals, codes, uniques, ukeys
