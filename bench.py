@@ -307,16 +307,32 @@ def bench_config_sweep(ray, results: dict, extras: dict) -> None:
         return round((time.perf_counter() - t0) * 1e3, 1)
 
     solo_before = _solo_ms()
+    # perf-counter analog (SURVEY §2.5 row 37): the reference wraps its
+    # insert loop in Linux perf events (cycles / instructions / cache
+    # misses, benchmarks/bulk-insert-and-query.cc:603-643).  perf_event is
+    # not reachable from pure Python, so each solo build records the two
+    # kernel-visible analogs rusage exposes: CPU ns per add
+    # (process_time ≈ cycles/frequency) and minor page faults per add
+    # (memory-subsystem pressure, the cache-miss stand-in).
+    import resource
     built = []
     for kind, bits in CFGS:
         cfg_n = n_tail if kind == "tail" else n
         ks = keys[:cfg_n]
+        ru0 = resource.getrusage(resource.RUSAGE_SELF)
+        c0 = time.process_time()
         t0 = time.perf_counter()
         filt = make_filter(kind, cfg_n, SEED, bits)
         filt.add_batch(ks)
         build_s = time.perf_counter() - t0
+        cpu_s = time.process_time() - c0
+        ru1 = resource.getrusage(resource.RUSAGE_SELF)
+        perf = {"cpu_ns_per_add": round(cpu_s / cfg_n * 1e9, 1),
+                "minflt_per_add": round(
+                    (ru1.ru_minflt - ru0.ru_minflt) / cfg_n, 4)}
         built.append((kind, bits, cfg_n, filter_to_row(filt, packed=False),
-                      len(filter_to_row(filt)["table_bytes"]), build_s))
+                      len(filter_to_row(filt)["table_bytes"]), build_s,
+                      perf))
         del filt
     solo_after = _solo_ms()
     build_wall = time.perf_counter() - sweep_t0
@@ -328,28 +344,33 @@ def bench_config_sweep(ray, results: dict, extras: dict) -> None:
     # rate, directly comparable to the reference's single-thread numbers.
     configs = []
     rows_at_rest = {}
-    for kind, bits, cfg_n, row_raw, at_rest_bytes, build_s in built:
+    for kind, bits, cfg_n, row_raw, at_rest_bytes, build_s, perf in built:
         name = f"{kind}{bits}"
         configs.append((name, ray.put(row_raw),
                         tail_ins if cfg_n == n_tail else inserted_ref))
-        rows_at_rest[name] = (cfg_n, build_s, at_rest_bytes)
+        rows_at_rest[name] = (cfg_n, build_s, at_rest_bytes, perf)
     t0 = time.perf_counter()
     measures = measure_filters_batched(configs, n_probes, p=0.5, seed=321,
                                        num_blocks=max(16, NUM_CPUS))
     probe_wall = time.perf_counter() - t0
 
     for name, m in measures.items():
-        cfg_n, build_s, nbytes = rows_at_rest[name]
+        cfg_n, build_s, nbytes, perf = rows_at_rest[name]
         assert m["recall"] == 1.0, f"{name}: recall {m['recall']}"
         table[name] = {
             "adds_core_mps": round(cfg_n / build_s / 1e6, 2),
             "finds_core_mps": round(m["n_probes"] / m["contain_s"] / 1e6, 2),
             "fpr": round(m["fpr"], 6),
             "bits_per_item": round(nbytes * 8 / cfg_n, 2),
+            **perf,
             **({"n_keys": cfg_n} if cfg_n != n else {}),
         }
     extras["config_sweep"] = table
     extras["config_sweep_mode"] = {
+        "perf_counters": "rusage analog of the reference's perf events "
+                         "(cycles->cpu_ns_per_add via process_time, "
+                         "cache misses->minflt_per_add); perf_event "
+                         "syscalls are unavailable from Python",
         "builds": "sequential solo driver-side builds (machine idle); "
                   "adds_core_mps compares 1:1 with the reference's "
                   "single-thread adds and is stable run-to-run (parallel "

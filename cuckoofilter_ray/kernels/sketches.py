@@ -463,8 +463,11 @@ class MisraGries:
     def merge(self, other: "MisraGries") -> "MisraGries":
         if self.k != other.k:
             raise ValueError("MisraGries merge requires identical k")
+        # other's offset carries even when its counter set is EMPTY (a
+        # tie-heavy shrink can subtract every counter to zero while the
+        # slack is still real — dropping it breaks the one-sided bound)
+        self.offset += other.offset
         if len(other.keys):
-            self.offset += other.offset
             self._fold(other.keys, other.counts)
         self.n += other.n
         return self

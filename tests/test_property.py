@@ -177,3 +177,46 @@ def test_local_cc_minlabel_matches_unionfind(edges, offset):
         comp.setdefault(find(x), []).append(x)
     expect = {x: min(comp[find(x)]) for x in nodes.tolist()}
     assert dict(zip(nodes.tolist(), roots.tolist())) == expect
+
+
+@given(vals=st.lists(st.integers(0, 40), min_size=1, max_size=600),
+       k=st.integers(1, 24),
+       splits=st.lists(st.integers(1, 599), max_size=4))
+@settings(max_examples=120, deadline=None)
+def test_misra_gries_bounds_any_partition(vals, k, splits):
+    """For ANY stream, sketch size, and batch partitioning: offset ≤
+    n/(k+1), every estimate one-sided within offset, every item with
+    frequency > n/(k+1) retained, and merge of arbitrary splits obeys the
+    same bounds (mergeable-summaries invariant)."""
+    from collections import Counter
+    import numpy as np
+    from cuckoofilter_ray.kernels.sketches import MisraGries
+    stream = np.asarray(vals, dtype=np.uint64)
+    n = len(stream)
+    true = Counter(stream.tolist())
+    bound = n / (k + 1)
+
+    cuts = sorted({s for s in splits if s < n})
+    pieces = np.split(stream, cuts) if cuts else [stream]
+    seq = MisraGries(k=k)
+    parts = []
+    for p in pieces:
+        seq.add_batch(p)
+        m = MisraGries(k=k)
+        m.add_batch(p)
+        parts.append(m)
+    merged = parts[0]
+    for m in parts[1:]:
+        merged = merged.merge(m)
+
+    for s in (seq, merged):
+        assert s.n == n and len(s.keys) <= k
+        assert s.offset <= bound + 1e-9
+        uk = np.fromiter(true.keys(), dtype=np.uint64)
+        tv = np.fromiter((true[int(x)] for x in uk), dtype=np.int64)
+        est = s.estimate_batch(uk)
+        assert (est <= tv).all()
+        assert (tv <= est + s.offset).all()
+        hh = uk[tv > bound]
+        assert (s.estimate_batch(hh) > 0).all()
+        assert set(hh.tolist()) <= set(s.candidates(bound).tolist())
