@@ -280,7 +280,12 @@ class XorFilter2(XorFilter):
         if layout not in ("auto", "nbit", "uint12"):
             raise ValueError(f"unknown layout {layout!r}")
         array_length = 3 + int(1.23 * max(1, int(capacity)))
-        self.block_length = max(1, array_length // 3)   # xorfilter_2.h:77
+        # xorfilter_2.h:77 floor-divides; at capacity<=2 that yields
+        # blockLength 1, where every key maps to cells (0,1,2) and peeling
+        # can never succeed (the reference would retry forever).  Floor at
+        # 2 so tiny builds terminate; sizes >=3 keys match the reference.
+        self.block_length = max(array_length // 3,
+                                1 if capacity <= 1 else 2)
         self.bits_per_tag = int(bits_per_tag)
         self.seed = int(seed) & 0xFFFFFFFFFFFFFFFF
         self.build_seed = self.seed
