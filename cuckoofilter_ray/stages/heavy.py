@@ -16,8 +16,9 @@ Two streaming passes, both all-to-nothing (partials only):
 2. **Refinement pass** — the sorted candidate hashes are broadcast once
    (``ray.put``, per-worker cached); each batch factorizes its items,
    hashes the uniques, and emits exact per-batch counts for candidate
-   items only (≤ k rows per block + one total row).  A tiny groupby-sum
-   and an exact ``> n/denom`` filter finish on ≤ k·blocks rows.
+   items only (≤ k rows per block).  A tiny groupby-sum and an exact
+   ``> n/denom`` filter finish on ≤ k·blocks rows (the exact stream
+   total is the sketch pass's ``n``).
 
 Exactness does not depend on hash quality: a 64-bit collision only adds a
 non-frequent item to the refinement set, where its EXACT count fails the
@@ -103,6 +104,11 @@ def heavy_hitters(ds, column: str, denom: int, k: Optional[int] = None,
                          "n": pa.array([], type=pa.int64())})
     threshold = n / denom
     cand = np.sort(sketch.candidates(threshold))
+    if len(cand) == 0:
+        # superset empty ⇒ no item can exceed the threshold; also guards
+        # the refinement gather (wanted[pos] on a zero-size array raises)
+        return pa.table({"item": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
     cand_ref = ray.put(cand)
 
     def count_candidates(tbl: pa.Table, ref=cand_ref) -> pa.Table:
@@ -114,17 +120,16 @@ def heavy_hitters(ds, column: str, denom: int, k: Optional[int] = None,
         per_unique = np.bincount(codes[codes >= 0], minlength=len(uniques))
         items = [str(uniques[i]) for i in hit]
         counts = per_unique[hit].astype(np.int64).tolist()
-        items.append("")                       # sentinel: batch item total
-        counts.append(int(len(vals)))
         return pa.table({"item": pa.array(items, type=pa.string()),
                          "n": pa.array(counts, type=pa.int64())})
 
     partials = ds.map_batches(count_candidates, batch_format="pyarrow",
                               batch_size=None)
     summed = partials.groupby("item").sum("n").take_all()
-    total = next(r["sum(n)"] for r in summed if r["item"] == "")
-    out = sorted((r for r in summed
-                  if r["item"] != "" and r["sum(n)"] > total / denom),
+    # the exact stream total is the sketch's n (MG counts every folded
+    # item) — no sentinel row, so a genuine "" token (consecutive split
+    # separators) counts as a normal item instead of colliding with it
+    out = sorted((r for r in summed if r["sum(n)"] > n / denom),
                  key=lambda r: r["item"])
     return pa.table({"item": pa.array([r["item"] for r in out],
                                       type=pa.string()),

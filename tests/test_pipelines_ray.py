@@ -1426,3 +1426,31 @@ def test_heavy_hitters_exact_vs_pandas(ray_mod):
     want_u = sorted((str(k), n) for k, n in cu.items()
                     if n > len(u) / 120)
     assert list(zip(got_u["item"], got_u["n"])) == want_u
+
+
+def test_heavy_hitters_empty_token_and_no_candidates(ray_mod):
+    """Two edge regressions: a genuine "" token (consecutive split
+    separators) must count as a normal item — it used to collide with the
+    per-batch total sentinel — and a stream with NO candidates past the
+    threshold must return an empty table instead of crashing the
+    refinement gather."""
+    ray = ray_mod
+    from collections import Counter
+    from cuckoofilter_ray.stages.heavy import heavy_hitters
+    # "a  b" splits to ["a", "", "b"]: "" is frequent here
+    texts = ["a  b c"] * 40 + ["x y z w"] * 10
+    ds = ray.data.from_items([{"text": t} for t in texts],
+                             override_num_blocks=4)
+    got = heavy_hitters(ds, "text", denom=8, split=" ").to_pandas()
+    toks = []
+    for t in texts:
+        toks.extend(t.split(" "))
+    c = Counter(toks)
+    want = sorted((t, n) for t, n in c.items() if n > len(toks) / 8)
+    assert list(zip(got["item"], got["n"])) == want
+    assert "" in set(got["item"])              # the empty token survived
+    # near-uniform ints, huge threshold: MG's candidate set is empty
+    ev = ray.data.from_items([{"v": i % 977} for i in range(3000)],
+                             override_num_blocks=4)
+    got_e = heavy_hitters(ev, "v", denom=2)
+    assert got_e.num_rows == 0
