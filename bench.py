@@ -604,6 +604,12 @@ def run(headline_only: bool) -> dict:
         bench_adversarial(ray, results, extras)
         bench_full(ray, results, extras)
 
+    # re-measure host quality at the END: the hypervisor's backing/clock
+    # oscillate on ~minutes timescales, so a run can start quiet and finish
+    # throttled (or vice versa) — readers need both endpoints to judge
+    # which rows to trust
+    extras["effective_cores_end"], extras["solo_ms_end"] = \
+        _effective_cores(ray)
     out = {
         "metric": "cuckoofilter_ray headline pipelines wall time",
         "value": round(sum(results.values()), 4),
