@@ -271,9 +271,8 @@ def ivf_assign(ds: "ray.data.Dataset", centroids_ref,
         # per-worker broadcast cache (same pattern as batch_topk_fn): the
         # plasma get runs once per worker process, not once per batch
         key = centroids_ref.hex()
-        C = _CENTROID_CACHE.get(key)
-        if C is None:
-            C = _CENTROID_CACHE[key] = np.asarray(ray.get(centroids_ref))
+        C = cache_get(_CENTROID_CACHE, key,
+                      lambda: np.asarray(ray.get(centroids_ref)))
         emb = _normalize(_stack_embeddings(batch, emb_col))
         lst = (emb @ C.T).argmax(axis=1).astype(np.int64)
         return batch.append_column("ivf_list", pa.array(lst, pa.int64()))
