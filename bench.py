@@ -312,20 +312,23 @@ def bench_config_sweep(ray, results: dict, extras: dict) -> None:
     # misses, benchmarks/bulk-insert-and-query.cc:603-643).  perf_event is
     # not reachable from pure Python, so each solo build records the two
     # kernel-visible analogs rusage exposes: CPU ns per add
-    # (process_time ≈ cycles/frequency) and minor page faults per add
-    # (memory-subsystem pressure, the cache-miss stand-in).
+    # (thread_time ≈ cycles/frequency — thread-scoped so the Ray driver's
+    # background gRPC/poll threads don't inflate a tens-of-ms build) and
+    # minor page faults per add (memory-subsystem pressure, the
+    # cache-miss stand-in; RUSAGE_SELF is process-wide but faults are
+    # event counts, not time, so idle threads contribute ~0).
     import resource
     built = []
     for kind, bits in CFGS:
         cfg_n = n_tail if kind == "tail" else n
         ks = keys[:cfg_n]
         ru0 = resource.getrusage(resource.RUSAGE_SELF)
-        c0 = time.process_time()
+        c0 = time.thread_time()
         t0 = time.perf_counter()
         filt = make_filter(kind, cfg_n, SEED, bits)
         filt.add_batch(ks)
         build_s = time.perf_counter() - t0
-        cpu_s = time.process_time() - c0
+        cpu_s = time.thread_time() - c0
         ru1 = resource.getrusage(resource.RUSAGE_SELF)
         perf = {"cpu_ns_per_add": round(cpu_s / cfg_n * 1e9, 1),
                 "minflt_per_add": round(
@@ -579,7 +582,7 @@ def run(headline_only: bool) -> dict:
     # never hang; they self-label via effective_cores/solo_ms instead.
     min_eff = float(os.environ.get("BENCH_MIN_EFF_CORES", 0))
     max_solo = float(os.environ.get("BENCH_MAX_SOLO_MS", 0))
-    if min_eff > 0:
+    if min_eff > 0 or max_solo > 0:
         deadline = time.time() + float(os.environ.get("BENCH_GATE_WAIT_S",
                                                       1800))
         while (extras["effective_cores"] < min_eff or
@@ -593,7 +596,8 @@ def run(headline_only: bool) -> dict:
             time.sleep(60)
             extras["effective_cores"], extras["solo_ms"] = \
                 _effective_cores(ray)
-        extras["gated_min_eff_cores"] = min_eff
+        if min_eff > 0:
+            extras["gated_min_eff_cores"] = min_eff
         if max_solo > 0:
             extras["gated_max_solo_ms"] = max_solo
     bench_headline(ray, results, extras)

@@ -44,37 +44,44 @@ _CAND_CACHE: dict = {}
 
 
 def _item_chunks(tbl: pa.Table, column: str, split: Optional[str]):
-    """Yield the batch's item stream as (values_for_output, hashes).
+    """The batch's item stream as (codes, uniques, ukeys).
 
     ``split`` explodes a string column on a literal separator (matching
     DuckDB ``string_split(col, sep)`` for oracle parity); None streams the
-    column as-is.  Hashing goes through factorize so only UNIQUE strings
-    pay the sha256 (vocab ≪ stream in real corpora).
+    column as-is.  Nulls are dropped from the stream (they are neither
+    counted in ``n`` nor emitted as items).  Hashing goes through a
+    dictionary encode so only UNIQUE values pay the sha256 (vocab ≪
+    stream in real corpora); Arrow-native encoding keeps int columns int
+    even when the batch carries nulls (pandas factorize would upcast to
+    float64 and split one value across '2' / '2.0' key spaces).
+    ``uniques`` is a Python list; ``str(uniques[i])`` is the output form.
     """
-    import pandas as pd
-
     col = tbl.column(column)
     if split is not None:
-        toks = pa.compute.list_flatten(
+        arr = pa.compute.list_flatten(
             pa.compute.split_pattern(col, pattern=split))
-        vals = toks.to_pandas()
     else:
-        vals = col.to_pandas()
-    codes, uniques = pd.factorize(vals)
-    uarr = np.asarray(uniques)
-    if np.issubdtype(uarr.dtype, np.integer):
+        arr = col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = arr.drop_null()
+    de = arr.dictionary_encode()
+    codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniques = de.dictionary.to_pylist()
+    if pa.types.is_integer(de.dictionary.type):
         # exactness never depends on the hash (any candidate false
         # positive is removed by the exact refinement count), so int
         # items take the vectorized mixer instead of sha256-over-str
+        uarr = de.dictionary.to_numpy(zero_copy_only=False)
         ukeys = mix_split(uarr.astype(np.int64).view(np.uint64))
     else:
         ukeys = sha256_u64([str(u) for u in uniques])
-    return vals, codes, uniques, ukeys
+    return codes, uniques, ukeys
 
 
 def _sketch_pass(ds, column: str, split: Optional[str], k: int) -> MisraGries:
     def keyify(tbl: pa.Table) -> pa.Table:
-        _, codes, _, ukeys = _item_chunks(tbl, column, split)
+        codes, _, ukeys = _item_chunks(tbl, column, split)
         return pa.table({"item_key": ukeys[codes]})
 
     keyed = ds.map_batches(keyify, batch_format="pyarrow", batch_size=None)
@@ -89,7 +96,8 @@ def heavy_hitters(ds, column: str, denom: int, k: Optional[int] = None,
     on a literal separator first (the token stream is the item stream).
     ``k`` (default ``2·denom``) is the sketch size; any ``k + 1 ≥ denom``
     preserves exactness, larger k only shrinks the refinement set's
-    false-candidate tail."""
+    false-candidate tail.  Null items are dropped from the stream: they
+    neither count toward ``n`` nor appear as candidates."""
     import ray
 
     if k is None:
@@ -113,11 +121,11 @@ def heavy_hitters(ds, column: str, denom: int, k: Optional[int] = None,
 
     def count_candidates(tbl: pa.Table, ref=cand_ref) -> pa.Table:
         wanted = cache_get(_CAND_CACHE, ref.hex(), lambda: ray.get(ref))
-        vals, codes, uniques, ukeys = _item_chunks(tbl, column, split)
+        codes, uniques, ukeys = _item_chunks(tbl, column, split)
         pos = np.searchsorted(wanted, ukeys)
         pos[pos >= len(wanted)] = 0
         hit = np.flatnonzero(wanted[pos] == ukeys)
-        per_unique = np.bincount(codes[codes >= 0], minlength=len(uniques))
+        per_unique = np.bincount(codes, minlength=len(uniques))
         items = [str(uniques[i]) for i in hit]
         counts = per_unique[hit].astype(np.int64).tolist()
         return pa.table({"item": pa.array(items, type=pa.string()),

@@ -1454,3 +1454,32 @@ def test_heavy_hitters_empty_token_and_no_candidates(ray_mod):
                              override_num_blocks=4)
     got_e = heavy_hitters(ev, "v", denom=2)
     assert got_e.num_rows == 0
+
+
+def test_heavy_hitters_null_items_dropped(ray_mod):
+    """Null items are dropped from the stream — not counted in n, not
+    emitted — and an int64 column that carries nulls in SOME blocks must
+    still key every block identically (pandas factorize used to upcast
+    null-bearing blocks to float64, splitting one value's count across
+    '7' and '7.0' key spaces, a silent false negative)."""
+    ray = ray_mod
+    from collections import Counter
+    from cuckoofilter_ray.stages.heavy import heavy_hitters
+    # block 0: no nulls; blocks 1-3: nulls interleaved with the SAME
+    # heavy value 7 — exactness requires the counts to combine
+    vals = [7] * 30 + [1, 2, 3] * 10
+    vals += ([7, None] * 15 + [4, 5, 6] * 10) * 3
+    ds = ray.data.from_items(
+        [{"v": v} for v in vals], override_num_blocks=4)
+    got = heavy_hitters(ds, "v", denom=5).to_pandas()
+    nn = [v for v in vals if v is not None]
+    c = Counter(nn)
+    want = sorted((str(k), n) for k, n in c.items() if n > len(nn) / 5)
+    assert list(zip(got["item"], got["n"])) == want
+    assert "7" in set(got["item"]) and "7.0" not in set(got["item"])
+    # an ALL-null block must contribute nothing (used to IndexError on
+    # factorize's -1 codes into an empty uniques array)
+    ds2 = ray.data.from_items(
+        [{"v": None}] * 50 + [{"v": 9}] * 50, override_num_blocks=4)
+    got2 = heavy_hitters(ds2, "v", denom=3).to_pandas()
+    assert list(zip(got2["item"], got2["n"])) == [("9", 50)]
