@@ -422,14 +422,18 @@ def bench_adversarial(ray, results: dict, extras: dict) -> None:
         filt.add_batch(keys)
         return filter_to_row(filt, packed=False), _t.perf_counter() - t0
 
-    cases = [(name, keys, fam)
-             for name, keys in (("sequential", seq), ("bitrev", x))
+    # put each key array ONCE: the batched prober caches generated
+    # workloads by inserted-set ObjectRef identity, so a per-config put of
+    # the same array would regenerate every workload per ordering twice
+    # (and store the keys twice)
+    key_refs = {"sequential": ray.put(seq), "bitrev": ray.put(x)}
+    cases = [(name, fam) for name in ("sequential", "bitrev")
              for fam in ("mix", "tims")]
-    futs = [_build_adv.remote(keys, fam) for _, keys, fam in cases]
+    futs = [_build_adv.remote(key_refs[name], fam) for name, fam in cases]
     configs, build_s = [], {}
-    for (name, keys, fam), (row_raw, bs) in zip(cases, ray.get(futs)):
+    for (name, fam), (row_raw, bs) in zip(cases, ray.get(futs)):
         cname = f"{name}-{fam}"
-        configs.append((cname, ray.put(row_raw), ray.put(keys)))
+        configs.append((cname, ray.put(row_raw), key_refs[name]))
         build_s[cname] = bs
     measures = measure_filters_batched(configs, n, p=0.5, seed=55,
                                        num_blocks=max(16, NUM_CPUS))

@@ -655,12 +655,18 @@ class QuotientDysect:
         CH = self.WALK_CHUNK
         arenas = None
         for sidx in range(0, n, CH):
-            arenas = self._insert_walk(keys[sidx:sidx + CH],
-                                       values[sidx:sidx + CH], arenas)
+            chunk = slice(sidx, min(sidx + CH, n))
+            arenas = self._insert_walk(keys[chunk], values[chunk], arenas)
+            # count each chunk as placed BEFORE the next walk so the
+            # iterations > ndv growth analog sees the true live entry
+            # count (a deferred += n made eff_ndv undercount by up to a
+            # whole batch, upsizing earlier than the scalar rule).  The
+            # scalar-fallback path inside the walk pre-decrements before
+            # insert() re-increments, so this still counts each key once.
+            self.ndv += chunk.stop - chunk.start
         if arenas is not None:
             for p in range(self.d):
                 self._writeback(p, arenas[p][0], arenas[p][2])
-        self.ndv += n
 
     def _insert_walk(self, keys: np.ndarray, values: np.ndarray,
                      arenas=None):

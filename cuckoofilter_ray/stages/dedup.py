@@ -34,23 +34,16 @@ import ray.data
 from ray.data.aggregate import Min
 
 from ..kernels.hashing import mix_split, splitmix64
+from ..util import cache_get
 
 # per-worker-process cache for broadcast objects fetched inside map_batches
-# (same pattern as similarity._CENTROID_CACHE): one plasma get per worker
-# per ObjectRef instead of one per batch.  Bounded: long-lived workers see
-# many broadcasts across queries — evict oldest entries past the cap.
+# (same bounded memo as similarity/membership — util.cache_get): one plasma
+# get per worker per ObjectRef instead of one per batch.
 _BCAST_CACHE: dict = {}
-_BCAST_CACHE_MAX = 8
 
 
 def _bcast_get(ref):
-    key = ref.hex()
-    val = _BCAST_CACHE.get(key)
-    if val is None:
-        while len(_BCAST_CACHE) >= _BCAST_CACHE_MAX:
-            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
-        val = _BCAST_CACHE[key] = ray.get(ref)
-    return val
+    return cache_get(_BCAST_CACHE, ref.hex(), lambda: ray.get(ref))
 
 # candidate-signature broadcast bound for minhash_lsh_pairs' small-candidate
 # fast path (skip-the-joins); module-level so tests can force the join path

@@ -24,6 +24,7 @@ import ray
 import ray.data
 
 from ..kernels.hashing import splitmix64
+from ..util import cache_get
 
 
 def _stack_embeddings(batch: pa.Table, col: str) -> np.ndarray:
@@ -73,8 +74,6 @@ class BatchTopK:
             "cosine": pa.array(sc, pa.float64()),
         })
 
-
-from ..util import cache_get
 
 _TOPK_CACHE: dict = {}
 _CENTROID_CACHE: dict = {}

@@ -22,6 +22,8 @@ import pyarrow as pa
 
 import ray
 
+from ..util import cache_get
+
 U64 = np.uint64
 _M1 = U64(0xFF51AFD7ED558CCD)
 _M2 = U64(0xC4CEB9FE1A85EC53)
@@ -187,8 +189,6 @@ class SweepProber:
             counts += np.bincount(idx, minlength=20)
         return counts.reshape(5, 2, 2)
 
-
-from ..util import cache_get
 
 _SWEEP_CACHE: dict = {}
 
