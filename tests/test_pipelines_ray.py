@@ -1483,3 +1483,70 @@ def test_heavy_hitters_null_items_dropped(ray_mod):
         [{"v": None}] * 50 + [{"v": 9}] * 50, override_num_blocks=4)
     got2 = heavy_hitters(ds2, "v", denom=3).to_pandas()
     assert list(zip(got2["item"], got2["n"])) == [("9", 50)]
+
+
+def test_minhash_pairs_match_bandedcollision_components(ray_mod):
+    """Differential property vs a driver-side LSH reference: the pipeline's
+    pair set must induce EXACTLY the connected components of the true
+    banded signature collisions (the bucket rep-collapse emits a
+    connectivity-preserving star, not every pairwise edge — so components,
+    not pairs, are the contract), and no returned pair may bridge two true
+    components (a 64-bit band-hash collision would)."""
+    ray = ray_mod
+    from cuckoofilter_ray.stages.dedup import (minhash_lsh_pairs,
+                                               _batch_signatures)
+    rng = np.random.default_rng(4242)
+    words = [f"w{i}" for i in range(300)]
+    texts = [" ".join(rng.choice(words, size=int(rng.integers(8, 40))))
+             for _ in range(150)]
+    for _ in range(45):                      # planted near-dups
+        toks = texts[int(rng.integers(0, 150))].split()
+        for _ in range(int(rng.integers(0, 3))):
+            toks[int(rng.integers(0, len(toks)))] = str(rng.choice(words))
+        texts.append(" ".join(toks))
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    num_perm, bands, shingle_k, seed = 32, 8, 3, 99
+    got = minhash_lsh_pairs(ray.data.from_pandas(df).repartition(5),
+                            num_perm=num_perm, bands=bands,
+                            shingle_k=shingle_k, seed=seed, threshold=0.0,
+                            num_blocks=4).to_pandas()
+    s1 = set(zip(got.lo_id, got.hi_id))
+    sigs = _batch_signatures(list(df.text), num_perm, shingle_k, seed)
+    r = num_perm // bands
+    want = set()
+    for b in range(bands):
+        seen: dict = {}
+        for i in range(len(sigs)):
+            seen.setdefault(sigs[i, b * r:(b + 1) * r].tobytes(),
+                            []).append(i)
+        for g in seen.values():
+            for x in range(len(g)):
+                for y in range(x + 1, len(g)):
+                    want.add((g[x], g[y]))
+
+    def comps(pairs):
+        par: dict = {}
+        def find(a):
+            while par.setdefault(a, a) != a:
+                par[a] = par[par[a]]
+                a = par[a]
+            return a
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                par[max(ra, rb)] = min(ra, rb)
+        out: dict = {}
+        for x in list(par):
+            out.setdefault(find(x), set()).add(x)
+        return {frozenset(v) for v in out.values()}
+
+    assert want, "degenerate corpus: no banded collisions planted"
+    assert comps(s1) == comps(want)
+    cmap = {}
+    for cs in comps(want):
+        for x in cs:
+            cmap[x] = cs
+    bridge = [p for p in (s1 - want)
+              if cmap.get(p[0]) is not cmap.get(p[1])]
+    assert not bridge, f"spurious cross-component pairs: {bridge[:3]}"
