@@ -110,6 +110,27 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         raise ValueError(f"left/right payload names must be disjoint "
                          f"(shared: {sorted(overlap)}); rename upstream")
 
+    # authoritative payload types, captured ONCE at plan time: after the
+    # union, the other side's payload columns are null-padded, so pandas
+    # sees int64-with-NaN as float64 and every group would emit upcast
+    # payloads (and empty buckets emitted object-dtype = schemaless
+    # blocks).  Dataset.schema() is metadata-only for parquet reads and
+    # runs one upstream block otherwise — a one-time cost.
+    def _arrow_type(ds, col):
+        sch = ds.schema().base_schema
+        if isinstance(sch, pa.Schema):
+            return sch.field(col).type
+        # PandasBlockSchema (from_pandas datasets): names + numpy dtypes
+        t = dict(zip(sch.names, sch.types))[col]
+        return t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t)
+
+    ptypes = {c: _arrow_type(left, c) for c in left_payload}
+    ptypes |= {c: _arrow_type(right, c) for c in right_payload}
+    out_schema = pa.schema(
+        [("_key", pa.int64()), ("_ts", pa.timestamp("us"))]
+        + [(c, ptypes[c]) for c in left_payload]
+        + [(c, ptypes[c]) for c in right_payload])
+
     def tag(side: int, key: str, ts: str, payload: list):
         def fn(t: pa.Table) -> pa.Table:
             k = t.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -132,15 +153,11 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                            batch_format="pyarrow", batch_size=None)
     both = lt.union(rt)
 
-    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    def join_bucket(group: pd.DataFrame) -> pa.Table:
         ldf = group[group["_side"] == 0]
         rdf = group[group["_side"] == 1]
-        empty_cols = {"_key": pd.Series(dtype=np.int64),
-                      "_ts": pd.Series(dtype="datetime64[us]")}
-        empty_cols |= {c: pd.Series(dtype=object) for c in left_payload}
-        empty_cols |= {c: pd.Series(dtype=object) for c in right_payload}
         if len(ldf) == 0 or len(rdf) == 0:
-            return pd.DataFrame(empty_cols)
+            return out_schema.empty_table()
         ldf = ldf[["_key", "_ts"] + left_payload].sort_values("_ts",
                                                               kind="stable")
         rdf = rdf[["_key", "_ts"] + right_payload].sort_values("_ts",
@@ -152,12 +169,15 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                           direction=direction,
                           suffixes=("", "_r"))
         m = m.dropna(subset=["_m"]).drop(columns=["_m"])
-        # restore the right payloads' integer dtypes (merge_asof null-pads)
-        for c in right_payload:
-            src = rdf[c].dtype
-            if np.issubdtype(src, np.integer):
-                m[c] = m[c].astype(np.int64)
-        return m
+        # rebuild with the plan-time types: both sides' payloads reach here
+        # upcast (left via the union null-pad, right via merge_asof's) —
+        # safe=False maps the integral floats back and NaN to null
+        arrs = [pa.array(m["_key"].to_numpy().astype(np.int64), pa.int64()),
+                pa.Array.from_pandas(m["_ts"]).cast(pa.timestamp("us"))]
+        for c in left_payload + right_payload:
+            arrs.append(pa.Array.from_pandas(m[c], type=ptypes[c],
+                                             safe=False))
+        return pa.Table.from_arrays(arrs, schema=out_schema)
 
     return both.groupby("_bucket").map_groups(join_bucket,
                                               batch_format="pandas")

@@ -1550,3 +1550,40 @@ def test_minhash_pairs_match_bandedcollision_components(ray_mod):
     bridge = [p for p in (s1 - want)
               if cmap.get(p[0]) is not cmap.get(p[1])]
     assert not bridge, f"spurious cross-component pairs: {bridge[:3]}"
+
+
+def test_asof_join_preserves_int_payload_dtypes(ray_mod):
+    """Output payload columns keep their input Arrow types: the post-union
+    null-padding used to upcast int64 payloads on BOTH sides to float64
+    (pandas int-with-NaN), and empty buckets emitted object-dtype columns
+    (schemaless blocks).  Also exercises the from_pandas (PandasBlockSchema)
+    input path for the plan-time type capture."""
+    ray = ray_mod
+    from cuckoofilter_ray.stages.relational import asof_join
+    rng = np.random.default_rng(11)
+    n = 400
+    ldf = pd.DataFrame({
+        "k": rng.integers(0, 6, n).astype(np.int64),
+        "t": pd.to_datetime(rng.integers(0, 10**6, n), unit="us"),
+        "lp": rng.integers(0, 99, n).astype(np.int64)})
+    rdf = pd.DataFrame({"k": np.arange(8, dtype=np.int64),   # keys 6,7 unmatched
+                        "rt": pd.to_datetime(np.zeros(8), unit="us"),
+                        "rp": np.arange(100, 108, dtype=np.int64)})
+    got = asof_join(ray.data.from_pandas(ldf).repartition(4),
+                    ray.data.from_pandas(rdf).repartition(2),
+                    key_cols=("k", "k"), ts_cols=("t", "rt"),
+                    left_payload=["lp"], right_payload=["rp"],
+                    num_buckets=16)        # > #keys: some buckets are empty
+    blocks = [ray.get(r) for r in got.to_arrow_refs()]
+    # groupby partitions that received zero groups emit schemaless empty
+    # blocks (documented Ray pitfall) — every NON-empty block must carry
+    # the full typed schema
+    tbl = pa.concat_tables([b for b in blocks if b.num_rows])
+    assert tbl.schema.field("lp").type == pa.int64()
+    assert tbl.schema.field("rp").type == pa.int64()
+    assert tbl.schema.field("_ts").type == pa.timestamp("us")
+    assert tbl.num_rows == n               # every left row matches ts>=0
+    want = ldf.merge(rdf[["k", "rp"]], on="k", how="inner")
+    assert sorted(zip(tbl.column("lp").to_pylist(),
+                      tbl.column("rp").to_pylist())) == \
+        sorted(zip(want.lp, want.rp))
