@@ -1237,3 +1237,44 @@ def test_misra_gries_guarantees_merge_serde():
     r = MisraGries.from_bytes(s.to_bytes())
     assert (r.keys == s.keys).all() and (r.counts == s.counts).all()
     assert (r.n, r.offset, r.k) == (s.n, s.offset, s.k)
+
+
+def test_kll_rank_bound_on_adversarial_streams():
+    """KLL's rank_error_bound must hold on hostile inputs — fully sorted,
+    reversed, constant, bimodal with a 1e9 gap, and four-value heavy-dup
+    streams — under random shard partitioning and merge order (the shapes
+    a distributed pipeline actually feeds it)."""
+    import numpy as np
+    from cuckoofilter_ray.kernels.sketches import KLLSketch
+
+    rng = np.random.default_rng(606)
+    n = 20_000
+    streams = {
+        "sorted": np.arange(n, dtype=np.float64),
+        "reversed": np.arange(n, dtype=np.float64)[::-1].copy(),
+        "constant": np.full(n, 7.25),
+        "bimodal": np.concatenate([np.zeros(n // 2),
+                                   np.ones(n - n // 2) * 1e9]),
+        "heavydup": rng.choice([1.0, 2.0, 3.0, 4.0], size=n),
+    }
+    for name, data in streams.items():
+        parts = np.array_split(rng.permutation(data),
+                               int(rng.integers(1, 13)))
+        seed = int(rng.integers(1e9))
+        sks = []
+        for p in parts:
+            s = KLLSketch(k=200, seed=seed)
+            s.add_batch(p)
+            sks.append(s)
+        m = sks[0]
+        for s in sks[1:]:
+            m = m.merge(s)
+        bound = m.rank_error_bound()
+        srt = np.sort(data)
+        for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+            est = float(np.atleast_1d(m.quantile(q))[0])
+            lo = np.searchsorted(srt, est, side="left") / n
+            hi = np.searchsorted(srt, est, side="right") / n
+            err = 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
+            assert err <= bound + 1e-9, \
+                f"{name} q={q}: rank err {err:.4f} > bound {bound:.4f}"
