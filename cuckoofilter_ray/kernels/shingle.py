@@ -53,7 +53,7 @@ class ShingleFilter:
 
     __slots__ = ("log2_slots", "imask", "seed", "hash_family", "fp_hash",
                  "A", "B", "filled", "num_items", "_coin_n", "_scratch",
-                 "victims")
+                 "victims", "_coin_buf", "_coin_start")
 
     def __init__(self, log2_slots: int, seed: int = DEFAULT_SEED,
                  hash_family: str = "tims"):
@@ -72,6 +72,8 @@ class ShingleFilter:
         self.filled = 0
         self.num_items = 0
         self._coin_n = 0
+        self._coin_buf = None
+        self._coin_start = 0
         self._scratch = None
         # parked chain tails: (A-side base index, fp) pairs whose insertion
         # chain failed to terminate (e.g. >4 copies of one key share the same
@@ -110,7 +112,24 @@ class ShingleFilter:
     # ------------------------------------------------------------------ insert
 
     def _coin(self) -> int:
-        c = int(splitmix64(1, seed=(self.seed ^ 0xC01) + self._coin_n)[0]) & 1
+        """Counted coin stream, pooled: value i is bit 0 of
+        ``splitmix64(1, seed=(seed^0xC01)+i)`` exactly (the pooled state
+        ``(S & M) + GOLDEN + i`` ≡ ``((S+i) & M) + GOLDEN`` mod 2^64), but
+        computed 4096 at a time — the per-call scalar splitmix64 dominated
+        infeasible duplicate-heavy chains (~10 µs/kick, 38 s at 4 k keys)."""
+        i = self._coin_n - self._coin_start
+        if self._coin_buf is None or not (0 <= i < len(self._coin_buf)):
+            state = (U64(self.seed ^ 0xC01) + U64(0x9E3779B97F4A7C15)
+                     + np.arange(self._coin_n, self._coin_n + 4096,
+                                 dtype=np.uint64))
+            z = state
+            z = (z ^ (z >> U64(30))) * U64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> U64(27))) * U64(0x94D049BB133111EB)
+            z ^= z >> U64(31)
+            self._coin_buf = (z & U64(1)).astype(np.int64)
+            self._coin_start = self._coin_n
+            i = 0
+        c = int(self._coin_buf[i])
         self._coin_n += 1
         return c
 
@@ -126,7 +145,10 @@ class ShingleFilter:
         ``self.victims`` (still queryable — zero false negatives), returning
         False so callers can count it in ``BulkResult.overflow``."""
         for _ in range(5_000):      # unbounded in the reference; backstop
-                                    # (legal loads terminate in < ~100 steps)
+                                    # (ceiling-load legal chains have been
+                                    # observed needing >600 steps; at most
+                                    # 63 chains reach this path per batch,
+                                    # and iterations are pooled-coin cheap)
             arr = self.A if isa else self.B
             placed = False
             for off in (0, 1):
@@ -158,7 +180,10 @@ class ShingleFilter:
             old_idx = slot - (old & 1)
             old_fp = old >> 1
             isa = not isa
-            idx = int(self.reindex(old_idx, old_fp))
+            # inline int reindex (identical to self.reindex; the numpy
+            # scalar version cost ~4.5 µs/kick on infeasible chains)
+            idx = (old_idx ^ (((old_fp * self.fp_hash)
+                               & 0xFFFFFFFFFFFFFFFF) >> FP_BITS)) & self.imask
             fp = old_fp
         # chain did not terminate: park the carried (side-canonicalized)
         # fingerprint so it stays queryable (reindex is an involution, so the
@@ -195,7 +220,7 @@ class ShingleFilter:
         # slot contention within the batch resolves by scatter race; losers
         # simply retry.  The rare stubborn tail falls back to the faithful
         # sequential path (which also has the robin-hood local shift).
-        for _ in range(40):
+        for _ in range(600):
             if len(pend) == 0:
                 break
             # empty-slot placement on the chain's current side
@@ -312,9 +337,23 @@ class ShingleFilter:
                 cfp[w] = old_fp
                 on_a[w] = not side
         parked = 0
-        for i in pend:              # faithful sequential tail
-            if not self._add_chain(bool(on_a[i]), int(cur[i]), int(cfp[i])):
-                parked += 1
+        if len(pend) >= 64:
+            # a LARGE set that survived 600 vectorized rounds is an
+            # infeasible duplicate pile-up (>4 copies of overlapping keys
+            # demanding more than their slot union) — park the carried
+            # fingerprints directly (side-canonicalized, same as
+            # _add_chain's park; queryable, zero false negatives) instead
+            # of burning the sequential budget per chain
+            a_idx = np.where(on_a[pend], cur[pend],
+                             self.reindex(cur[pend], cfp[pend]))
+            self.victims.extend(
+                zip((int(x) for x in a_idx), (int(x) for x in cfp[pend])))
+            parked = len(pend)
+        else:
+            for i in pend:          # faithful sequential tail
+                if not self._add_chain(bool(on_a[i]), int(cur[i]),
+                                       int(cfp[i])):
+                    parked += 1
         self.num_items += len(keys)
         return BulkResult(ok=len(keys) - parked, overflow=overflow + parked)
 

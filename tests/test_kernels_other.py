@@ -1278,3 +1278,32 @@ def test_kll_rank_bound_on_adversarial_streams():
             err = 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
             assert err <= bound + 1e-9, \
                 f"{name} q={q}: rank err {err:.4f} > bound {bound:.4f}"
+
+
+def test_shingle_duplicate_heavy_batch_terminates_fast():
+    """A large duplicate-heavy batch (~50% dup rate, Poisson tail with >4
+    copies of many keys) drives thousands of infeasible chains; the
+    vectorized direct-park path must handle them in bulk.  Before it, each
+    such chain burned the full sequential kick budget one scalar splitmix
+    call at a time (~2 min at this size); the wall bound is a loose 60x
+    margin over the fixed path so host throttling can't flake it."""
+    import time
+    from cuckoofilter_ray.kernels import ShingleFilter
+    rng = np.random.default_rng(1)
+    n = 65537
+    base = rng.integers(1, 2**63, size=n // 2 + 1, dtype=np.uint64)
+    keys = base[rng.integers(0, len(base), size=n)]
+    f = ShingleFilter.create(n, seed=42, hash_family="mix")
+    t0 = time.perf_counter()
+    res = f.add_batch(keys)
+    assert time.perf_counter() - t0 < 20.0
+    assert res.ok + res.overflow == n
+    assert res.overflow == len(f.victims) and f.filled == res.ok
+    assert f.contain_batch(keys).all()          # parked tails stay queryable
+    # every parked fingerprint really is unplaceable-or-parked, never lost:
+    # deleting a key with parked copies drains slots then victims
+    from collections import Counter
+    hot = Counter(keys.tolist()).most_common(1)[0]
+    assert hot[1] > 4                           # the Poisson tail exists
+    drained = sum(f.delete(int(hot[0])) for _ in range(hot[1] + 1))
+    assert drained == hot[1]
