@@ -220,9 +220,11 @@ class ShingleFilter:
         # slot contention within the batch resolves by scatter race; losers
         # simply retry.  The rare stubborn tail falls back to the faithful
         # sequential path (which also has the robin-hood local shift).
+        stall = 0
         for _ in range(600):
             if len(pend) == 0:
                 break
+            filled0 = self.filled
             # empty-slot placement on the chain's current side
             for side, arr in ((True, self.A), (False, self.B)):
                 for off in (0, 1):
@@ -336,6 +338,12 @@ class ShingleFilter:
                 cur[w] = self.reindex(old_base, old_fp)
                 cfp[w] = old_fp
                 on_a[w] = not side
+            # stall escape: a large pend set whose rounds place NOTHING for
+            # 16 consecutive rounds is an infeasible duplicate pile-up —
+            # fall through to the bulk park instead of kicking to 600
+            stall = stall + 1 if self.filled == filled0 else 0
+            if stall >= 16:
+                break
         parked = 0
         if len(pend) >= 64:
             # a LARGE set that survived 600 vectorized rounds is an
