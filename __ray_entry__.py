@@ -475,6 +475,79 @@ def q_kll_quantiles(sf_dir: str):
     return pd.DataFrame(out)
 
 
+def _rank_interval_err(exact_sorted: np.ndarray, est: float, q: float) -> float:
+    """Distance from q to the estimate's rank INTERVAL [left, right) — the
+    well-defined rank error under duplicated mass (a one-sided searchsorted
+    rank reports spurious error when the estimate lands inside a run of
+    equal values)."""
+    n = len(exact_sorted)
+    lo = np.searchsorted(exact_sorted, est, side="left") / n
+    hi = np.searchsorted(exact_sorted, est, side="right") / n
+    return float(max(lo - q, q - hi, 0.0))
+
+
+def q_tdigest_quantiles(sf_dir: str):
+    """Mergeable t-digest over l_extendedprice (the north rule names
+    t-digest explicitly): the asin-scale merging digest, so EXTREME
+    quantiles (p1/p99/p999) carry far tighter bands than the uniform-error
+    sketches.  Estimates must sit within the digest's q-dependent
+    rank-error band of the exact CDF (computed Ray-side; the SQL oracle
+    asserts the verdict rows), and total weight must equal the exact row
+    count (the digest never resamples)."""
+    from cuckoofilter_ray.stages.aggregate import TDigestAgg
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+    agg = TDigestAgg(on="l_extendedprice", delta=200, alias_name="td")
+    sketch = agg.unpack(li.aggregate(agg)["td"])
+    exact = np.sort(np.concatenate([
+        b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        for b in li.iter_batches(batch_size=1 << 20,
+                                 batch_format="pyarrow")]))
+    out = [{"quantile": "weight",
+            "within_bound": bool(sketch.total_weight() == len(exact))}]
+    for label, q in (("p1", 0.01), ("p10", 0.1), ("p50", 0.5),
+                     ("p90", 0.9), ("p99", 0.99), ("p999", 0.999)):
+        err = _rank_interval_err(exact, float(sketch.quantile(q)), q)
+        out.append({"quantile": label,
+                    "within_bound": bool(err <=
+                                         float(sketch.rank_error_bound(q)))})
+    return pd.DataFrame(out)
+
+
+def q_tdigest_grouped(sf_dir: str):
+    """Per-group (o_orderpriority) t-digest p50/p99 via the map-side-combine
+    grouped-sketch path (``build_grouped_sketches``: one accumulator row
+    per (block, group) rides the shuffle, associative merge per group) —
+    each group's estimates checked against its own exact CDF."""
+    from cuckoofilter_ray.stages.aggregate import (_sketch_from_bytes,
+                                                   build_grouped_sketches)
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderpriority",
+                                            "o_totalprice"])
+    params = {"delta": 200}
+    est = build_grouped_sketches(orders, "o_orderpriority", "o_totalprice",
+                                 "tdigest", params,
+                                 value_col="o_totalprice")
+    sketches = {r["o_orderpriority"]:
+                _sketch_from_bytes("tdigest", r["sketch"], params)
+                for r in est.take_all()}
+    exact: dict = {}
+    for b in orders.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        prio = b.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        vals = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        for g in np.unique(prio):
+            exact.setdefault(g, []).append(vals[prio == g])
+    rows = []
+    for g in sorted(exact):
+        ex = np.sort(np.concatenate(exact[g]))
+        s = sketches[g]
+        ok = bool(s.total_weight() == len(ex)) and all(
+            _rank_interval_err(ex, float(s.quantile(q)), q) <=
+            float(s.rank_error_bound(q)) for q in (0.5, 0.99))
+        rows.append({"o_orderpriority": g, "within_bound": ok})
+    return pd.DataFrame(rows)
+
+
 def q_heavy_hitter_tokens(sf_dir: str):
     """Exact frequent tokens (> n/30 of the corpus token stream) via the
     Misra-Gries two-pass pipeline: mergeable MG UDAF → guaranteed-superset
@@ -1118,6 +1191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countfilter_users": q_countfilter_users,
         "quantile_prices": q_quantile_prices,
         "kll_quantiles": q_kll_quantiles,
+        "tdigest_quantiles": q_tdigest_quantiles,
+        "tdigest_grouped": q_tdigest_grouped,
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "heavy_hitter_users": q_heavy_hitter_users,
         "dedup_exact": q_dedup_exact,
@@ -1220,6 +1295,13 @@ def oracle_sql() -> dict[str, str]:
         "kll_quantiles":
             "SELECT 'p' || q AS quantile, true AS within_bound "
             "FROM (VALUES (10), (50), (90), (99)) t(q)",
+        "tdigest_quantiles":
+            "SELECT q AS quantile, true AS within_bound "
+            "FROM (VALUES ('weight'), ('p1'), ('p10'), ('p50'), ('p90'), "
+            "('p99'), ('p999')) t(q)",
+        "tdigest_grouped":
+            "SELECT o_orderpriority, true AS within_bound FROM orders "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority",
         "heavy_hitter_tokens":
             "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token "
             "FROM documents) "

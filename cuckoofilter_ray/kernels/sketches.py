@@ -10,6 +10,12 @@ filters these two round out the classic mergeable-sketch family:
 - **Count-Min** (Cormode & Muthukrishnan 2005): depth×width int64 counters,
   point estimate = min over rows (one-sided: est ≥ true, est ≤ true + εN
   w.h.p.), merge = elementwise add.
+- **Quantiles**: :class:`BottomKQuantile` (KMV sample), :class:`KLLSketch`
+  (uniform rank band), and :class:`TDigest` (asin-scale merging digest —
+  tight EXTREME quantiles); the north rule names KLL and t-digest
+  explicitly.
+- **MisraGries**: deterministic heavy-hitter superset with a one-sided
+  undercount bound (drives the exact two-pass heavy-hitter pipeline).
 
 Both follow the engine's distributed-merge discipline (SURVEY.md §4.3.1):
 explicit shared seeds, no process-local randomness, vectorized adds.
@@ -489,4 +495,145 @@ class MisraGries:
         s.keys = np.frombuffer(data[32:32 + 8 * m], dtype=np.uint64).copy()
         s.counts = np.frombuffer(data[32 + 8 * m:32 + 16 * m],
                                  dtype=np.int64).copy()
+        return s
+
+
+class TDigest:
+    """Mergeable t-digest quantile sketch (Dunning & Ertl, "Computing
+    extremely accurate quantiles using t-digests", 2019 — public paper /
+    reference Java implementation; built from the paper only).
+
+    The merging-digest variant with the asin scale function
+    ``k1(q) = delta/(2*pi) * asin(2q - 1)``: clusters are narrow near the
+    tails (k1's derivative blows up at q -> 0, 1) and wide at the median,
+    so extreme quantiles are much more accurate than uniform-width
+    sketches at equal space.  Compaction here is the fully vectorized
+    k-space BINNING form of the paper's greedy merge: sort points by
+    value, take each point's weight-midpoint rank q_mid, and fuse every
+    run whose floor(k1(q_mid)) agrees into one weighted-mean centroid
+    (one argsort + cumsum + reduceat, no Python loop).  A fused run spans
+    < 1 unit in midpoint-k, so a cluster's (q_lo, q_hi) k-width is < 2 —
+    the digest behaves like the paper's greedy merge at compression
+    delta/2, which :meth:`rank_error_bound` accounts for.
+
+    Merge concatenates centroid sets and re-compacts — associative in the
+    size bound (like KLL, the exact centroid set depends on merge order;
+    the rank-error band holds under any merge tree), which is what makes
+    it a UDAF like the engine's other sketches.  Total weight is conserved
+    EXACTLY (sums, never resampled), min/max are tracked exactly, and
+    quantiles interpolate linearly between centroid weight-midpoints with
+    the true min/max as the end anchors.
+    """
+
+    KIND = "tdigest"
+
+    __slots__ = ("delta", "buf_cap", "means", "weights", "vmin", "vmax")
+
+    def __init__(self, delta: int = 200, buf_cap: int | None = None):
+        if delta < 20:
+            raise ValueError("delta must be >= 20")
+        self.delta = int(delta)
+        #: pending points are compacted in chunks of this size so one
+        #: add_batch of N values costs O(N log buf_cap) with ~N/buf_cap
+        #: vectorized passes (the paper's buffer)
+        self.buf_cap = int(buf_cap or 16 * delta)
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self.vmin = np.inf
+        self.vmax = -np.inf
+
+    # ------------------------------------------------------------ internals
+
+    def _kbin(self, qmid: np.ndarray) -> np.ndarray:
+        k = self.delta / (2 * np.pi) * np.arcsin(2.0 * qmid - 1.0)
+        return np.floor(k).astype(np.int64)
+
+    def _compact(self, means: np.ndarray, weights: np.ndarray) -> None:
+        order = np.argsort(means, kind="stable")
+        m, w = means[order], weights[order]
+        cw = np.cumsum(w)
+        qmid = (cw - 0.5 * w) / cw[-1]
+        bins = self._kbin(qmid)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(bins)) + 1])
+        wsum = np.add.reduceat(w, starts)
+        self.means = np.add.reduceat(m * w, starts) / wsum
+        self.weights = wsum
+
+    # ----------------------------------------------------------------- adds
+
+    def add_batch(self, values) -> None:
+        vals = np.asarray(values, dtype=np.float64)
+        vals = vals[~np.isnan(vals)]
+        if len(vals) == 0:
+            return
+        self.vmin = min(self.vmin, float(vals.min()))
+        self.vmax = max(self.vmax, float(vals.max()))
+        step = self.buf_cap
+        for s in range(0, len(vals), step):
+            chunk = vals[s:s + step]
+            self._compact(np.concatenate([self.means, chunk]),
+                          np.concatenate([self.weights,
+                                          np.ones(len(chunk))]))
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        if self.delta != other.delta:
+            raise ValueError("t-digest merge requires identical delta")
+        if len(other.weights):
+            self._compact(np.concatenate([self.means, other.means]),
+                          np.concatenate([self.weights, other.weights]))
+            self.vmin = min(self.vmin, other.vmin)
+            self.vmax = max(self.vmax, other.vmax)
+        return self
+
+    # ---------------------------------------------------------------- query
+
+    def total_weight(self) -> float:
+        return float(self.weights.sum())
+
+    def quantile(self, q) -> np.ndarray:
+        """Linear interpolation through centroid weight-midpoints, anchored
+        at the exact min (rank 0) and max (rank W)."""
+        if len(self.weights) == 0:
+            return np.full(np.shape(q), np.nan) if np.ndim(q) \
+                else float("nan")
+        cw = np.cumsum(self.weights)
+        mids = cw - 0.5 * self.weights
+        xp = np.concatenate([[0.0], mids, [cw[-1]]])
+        fp = np.concatenate([[self.vmin], self.means, [self.vmax]])
+        t = np.asarray(q, dtype=np.float64) * cw[-1]
+        out = np.interp(t, xp, fp)
+        return out if np.ndim(q) else float(out)
+
+    def rank_error_bound(self, q) -> np.ndarray:
+        """Worst-case normalized rank error at quantile q: half the widest
+        cluster that can cover q.  Binned compaction keeps a cluster's
+        k-width < 2 (effective compression delta/2), so the q-width there
+        is <= 2 * k1'^{-1} = 4*pi*sqrt(q(1-q))/delta; half of it is the
+        midpoint-interpolation error, doubled again for merge-tree slack
+        and floored at 2/delta for the tails."""
+        q = np.asarray(q, dtype=np.float64)
+        band = 4.0 * np.pi * np.sqrt(np.clip(q * (1.0 - q), 0.0, None)) \
+            / self.delta
+        return np.maximum(band, 2.0 / self.delta)
+
+    # ----------------------------------------------------------------- serde
+
+    def to_bytes(self) -> bytes:
+        head = np.array([len(self.weights)], dtype=np.int64).tobytes()
+        mm = np.array([self.vmin, self.vmax], dtype=np.float64)
+        return head + mm.tobytes() + self.means.tobytes() + \
+            self.weights.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, delta: int = 200) -> "TDigest":
+        s = cls(delta=delta)
+        if not data:
+            return s
+        n = int(np.frombuffer(data[:8], dtype=np.int64)[0])
+        s.vmin, s.vmax = np.frombuffer(data[8:24], dtype=np.float64)
+        s.means = np.frombuffer(data[24:24 + 8 * n],
+                                dtype=np.float64).copy()
+        s.weights = np.frombuffer(data[24 + 8 * n:24 + 16 * n],
+                                  dtype=np.float64).copy()
         return s

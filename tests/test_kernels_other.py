@@ -1307,3 +1307,86 @@ def test_shingle_duplicate_heavy_batch_terminates_fast():
     assert hot[1] > 4                           # the Poisson tail exists
     drained = sum(f.delete(int(hot[0])) for _ in range(hot[1] + 1))
     assert drained == hot[1]
+
+
+def test_tdigest_rank_bound_on_adversarial_streams():
+    """t-digest's q-dependent rank_error_bound must hold on hostile inputs
+    (sorted, reversed, constant, bimodal 1e9 gap, heavy-dup, lognormal
+    heavy tail) under random shard partitioning and merge order, INCLUDING
+    the extreme quantiles the asin scale exists for; total weight must be
+    conserved exactly; serde must round-trip through the merge tree."""
+    import numpy as np
+    from cuckoofilter_ray.kernels.sketches import TDigest
+
+    rng = np.random.default_rng(909)
+    n = 20_000
+    streams = {
+        "sorted": np.arange(n, dtype=np.float64),
+        "reversed": np.arange(n, dtype=np.float64)[::-1].copy(),
+        "constant": np.full(n, 7.25),
+        "bimodal": np.concatenate([np.zeros(n // 2),
+                                   np.ones(n - n // 2) * 1e9]),
+        "heavydup": rng.choice([1.0, 2.0, 3.0, 4.0], size=n),
+        "lognormal": rng.lognormal(0, 3, size=n),
+    }
+    for name, data in streams.items():
+        parts = np.array_split(rng.permutation(data),
+                               int(rng.integers(1, 13)))
+        sks = []
+        for p in parts:
+            s = TDigest(delta=200)
+            s.add_batch(p)
+            sks.append(TDigest.from_bytes(s.to_bytes(), 200))  # serde
+        m = sks[0]
+        for s in sks[1:]:
+            m = m.merge(s)
+        assert m.total_weight() == n, name
+        assert m.vmin == float(np.min(data))
+        assert m.vmax == float(np.max(data))
+        srt = np.sort(data)
+        for q in (0.001, 0.01, 0.1, 0.5, 0.9, 0.99, 0.999):
+            est = float(np.atleast_1d(m.quantile(q))[0])
+            lo = np.searchsorted(srt, est, side="left") / n
+            hi = np.searchsorted(srt, est, side="right") / n
+            err = max(lo - q, q - hi, 0.0)
+            bound = float(m.rank_error_bound(q))
+            assert err <= bound + 1e-9, \
+                f"{name} q={q}: rank err {err:.5f} > bound {bound:.5f}"
+
+
+def test_tdigest_tails_beat_uniform_band_and_edge_cases():
+    """The reason t-digest exists next to KLL: at equal-ish space its p999
+    band (2/delta = 0.01 at delta=200) undercuts KLL(k=256)'s uniform
+    ~0.031 — assert the promised band holds on a heavy-tailed stream at
+    p999/p001.  Also pin the edge cases: empty digest → NaN, nan inputs
+    dropped, delta mismatch on merge raises, quantile is monotone in q."""
+    import numpy as np
+    import pytest
+    from cuckoofilter_ray.kernels.sketches import TDigest
+
+    rng = np.random.default_rng(17)
+    data = rng.pareto(1.5, size=100_000)
+    s = TDigest(delta=200)
+    s.add_batch(data)
+    srt = np.sort(data)
+    for q in (0.001, 0.999):
+        est = float(np.atleast_1d(s.quantile(q))[0])
+        lo = np.searchsorted(srt, est, side="left") / len(srt)
+        hi = np.searchsorted(srt, est, side="right") / len(srt)
+        assert max(lo - q, q - hi, 0.0) <= 0.01
+    qs = np.linspace(0, 1, 101)
+    est = s.quantile(qs)
+    assert np.all(np.diff(est) >= 0)
+    assert est[0] == s.vmin and est[-1] == s.vmax
+
+    empty = TDigest(delta=100)
+    assert np.isnan(empty.quantile(0.5))
+    withnan = TDigest(delta=100)
+    withnan.add_batch(np.array([1.0, np.nan, 3.0]))
+    assert withnan.total_weight() == 2
+    with pytest.raises(ValueError):
+        TDigest(delta=100).merge(TDigest(delta=200))
+    # merging an empty digest is a no-op
+    s2 = TDigest.from_bytes(s.to_bytes(), 200)
+    s2.merge(TDigest(delta=200))
+    assert s2.total_weight() == s.total_weight()

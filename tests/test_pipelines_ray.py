@@ -1587,3 +1587,47 @@ def test_asof_join_preserves_int_payload_dtypes(ray_mod):
     assert sorted(zip(tbl.column("lp").to_pylist(),
                       tbl.column("rp").to_pylist())) == \
         sorted(zip(want.lp, want.rp))
+
+
+def test_tdigest_udaf_and_grouped_path(ray_mod):
+    """TDigestAgg (global aggregate) and the tdigest grouped combine path
+    both produce digests whose quantiles sit in-band vs the exact CDF and
+    whose total weight equals the exact row count."""
+    ray = ray_mod
+    from cuckoofilter_ray.stages.aggregate import (TDigestAgg,
+                                                   _sketch_from_bytes,
+                                                   build_grouped_sketches)
+    li = ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+    agg = TDigestAgg(on="l_extendedprice", delta=200, alias_name="td")
+    sketch = agg.unpack(li.aggregate(agg)["td"])
+    exact = np.sort(np.concatenate(
+        [b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+         for b in li.iter_batches(batch_size=1 << 20,
+                                  batch_format="pyarrow")]))
+    assert sketch.total_weight() == len(exact)
+    for q in (0.01, 0.5, 0.99):
+        est = float(sketch.quantile(q))
+        lo = np.searchsorted(exact, est, "left") / len(exact)
+        hi = np.searchsorted(exact, est, "right") / len(exact)
+        assert max(lo - q, q - hi, 0.0) <= float(sketch.rank_error_bound(q))
+
+    orders = ray.data.read_parquet(f"{SF_DIR}/orders.parquet",
+                                   columns=["o_orderpriority",
+                                            "o_totalprice"])
+    params = {"delta": 200}
+    out = {r["o_orderpriority"]:
+           _sketch_from_bytes("tdigest", r["sketch"], params)
+           for r in build_grouped_sketches(
+               orders, "o_orderpriority", "o_totalprice", "tdigest",
+               params, value_col="o_totalprice").take_all()}
+    pdf = orders.to_pandas()
+    for g, grp in pdf.groupby("o_orderpriority"):
+        ex = np.sort(grp["o_totalprice"].to_numpy())
+        s = out[g]
+        assert s.total_weight() == len(ex)
+        est = float(s.quantile(0.5))
+        lo = np.searchsorted(ex, est, "left") / len(ex)
+        hi = np.searchsorted(ex, est, "right") / len(ex)
+        assert max(lo - 0.5, 0.5 - hi, 0.0) <= \
+            float(s.rank_error_bound(0.5))
