@@ -1390,3 +1390,20 @@ def test_tdigest_tails_beat_uniform_band_and_edge_cases():
     s2 = TDigest.from_bytes(s.to_bytes(), 200)
     s2.merge(TDigest(delta=200))
     assert s2.total_weight() == s.total_weight()
+
+
+def test_corpus_vectorized_content_matches_scalar():
+    """The vectorized corpus content builder is byte-identical to the
+    scalar reference `_make_content` (duplicate rows must reproduce their
+    source row's content EXACTLY — the dedup ground truth depends on it),
+    including non-multiple-of-8 word counts and the empty batch."""
+    from cuckoofilter_ray.sources.corpus import (_make_content,
+                                                 _make_contents_vec)
+    rng = np.random.default_rng(3)
+    ids = np.concatenate([np.arange(64), rng.integers(0, 2**31, 512)]) \
+        .astype(np.uint64)
+    for n_words in (60, 12, 5, 8):
+        got = _make_contents_vec(ids, seed=42, n_words=n_words).to_pylist()
+        want = [_make_content(int(c), 42, n_words) for c in ids]
+        assert got == want, f"n_words={n_words}"
+    assert len(_make_contents_vec(ids[:0], seed=42)) == 0
