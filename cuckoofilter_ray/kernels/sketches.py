@@ -615,6 +615,37 @@ class TDigest:
         out = np.interp(t, xp, fp)
         return out if np.ndim(q) else float(out)
 
+    def cdf(self, x) -> np.ndarray:
+        """Normalized rank of value(s) x — the inverse of :meth:`quantile`
+        (same centroid weight-midpoint interpolation, tied means collapsed
+        so the interpolation grid is strictly increasing)."""
+        if len(self.weights) == 0:
+            return np.full(np.shape(x), np.nan) if np.ndim(x) \
+                else float("nan")
+        m, w = self.means, self.weights
+        if len(m) > 1 and (np.diff(m) <= 0).any():   # duplicate-heavy data
+            uniq, start = np.unique(m, return_index=True)
+            w = np.add.reduceat(w, start)
+            m = uniq
+        cw = np.cumsum(w)
+        mids = cw - 0.5 * w
+        xp = np.concatenate([[self.vmin], m, [self.vmax]])
+        fp = np.concatenate([[0.0], mids, [cw[-1]]])
+        # vmin/vmax can coincide with the first/last mean (singleton tail
+        # clusters); nudge the anchors out so xp is strictly increasing
+        if xp[0] >= xp[1]:
+            xp = xp[1:]
+            fp = fp[1:]
+        if len(xp) > 1 and xp[-1] <= xp[-2]:
+            xp = xp[:-1]
+            fp = fp[:-1]
+        xa = np.asarray(x, dtype=np.float64)
+        if len(xp) == 1:                 # all mass at one value: step cdf
+            out = np.where(xa < xp[0], 0.0, np.where(xa > xp[0], 1.0, 0.5))
+        else:
+            out = np.interp(xa, xp, fp) / cw[-1]
+        return out if np.ndim(x) else float(out)
+
     def rank_error_bound(self, q) -> np.ndarray:
         """Worst-case normalized rank error at quantile q: half the widest
         cluster that can cover q.  Binned compaction keeps a cluster's

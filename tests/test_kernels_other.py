@@ -1407,3 +1407,49 @@ def test_corpus_vectorized_content_matches_scalar():
         want = [_make_content(int(c), 42, n_words) for c in ids]
         assert got == want, f"n_words={n_words}"
     assert len(_make_contents_vec(ids[:0], seed=42)) == 0
+
+
+def test_tdigest_cdf_inverse_and_interval():
+    """cdf(x) must land inside (or within the rank band of) x's true rank
+    interval on hostile streams, and must invert quantile() on continuous
+    data.  On duplicated mass the true rank is an INTERVAL — cdf returns
+    its interpolated midpoint, so the check is interval distance, not
+    point equality."""
+    import numpy as np
+    from cuckoofilter_ray.kernels.sketches import TDigest
+
+    rng = np.random.default_rng(44)
+    streams = {
+        "normal": rng.normal(0, 1, 300_000),
+        "pareto": rng.pareto(1.5, 300_000),
+        "constant": np.full(50_000, 7.0),
+        "heavydup": rng.choice([1.0, 2.0, 3.0, 4.0], 200_000),
+    }
+    for name, vals in streams.items():
+        s = TDigest(200)
+        s.add_batch(vals)
+        srt = np.sort(vals)
+        probes = np.unique(np.quantile(
+            vals, [0.001, 0.01, 0.25, 0.5, 0.75, 0.99, 0.999]))
+        for x in probes:
+            est = s.cdf(float(x))
+            lo = np.searchsorted(srt, x, "left") / len(srt)
+            hi = np.searchsorted(srt, x, "right") / len(srt)
+            err = max(lo - est, est - hi, 0.0)
+            q = min(max((lo + hi) / 2, 1e-9), 1 - 1e-9)
+            assert err <= float(s.rank_error_bound(q)) + 1e-9, \
+                (name, x, est, lo, hi)
+        if name in ("normal", "pareto"):     # continuous: cdf inverts quantile
+            for q in (0.01, 0.5, 0.99):
+                r = s.cdf(s.quantile(q))
+                assert abs(r - q) <= 2 * float(s.rank_error_bound(q)) + 1e-6
+    # vectorized + edge forms
+    s = TDigest(100)
+    assert np.isnan(s.cdf(1.0))
+    s.add_batch(np.array([5.0]))
+    assert s.cdf(4.0) == 0.0 and s.cdf(6.0) == 1.0
+    out = streams and TDigest(200)
+    out.add_batch(streams["normal"])
+    v = out.cdf(np.array([-10.0, 0.0, 10.0]))
+    assert v[0] == 0.0 and v[2] == 1.0 and 0.4 < v[1] < 0.6
+    assert np.all(np.diff(out.cdf(np.linspace(-3, 3, 50))) >= 0)
