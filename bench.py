@@ -307,36 +307,75 @@ def bench_config_sweep(ray, results: dict, extras: dict) -> None:
         return round((time.perf_counter() - t0) * 1e3, 1)
 
     solo_before = _solo_ms()
-    # perf-counter analog (SURVEY §2.5 row 37): the reference wraps its
-    # insert loop in Linux perf events (cycles / instructions / cache
-    # misses, benchmarks/bulk-insert-and-query.cc:603-643).  perf_event is
-    # not reachable from pure Python, so each solo build records the two
-    # kernel-visible analogs rusage exposes: CPU ns per add
-    # (thread_time ≈ cycles/frequency — thread-scoped so the Ray driver's
-    # background gRPC/poll threads don't inflate a tens-of-ms build) and
-    # minor page faults per add (memory-subsystem pressure, the
-    # cache-miss stand-in; RUSAGE_SELF is process-wide but faults are
-    # event counts, not time, so idle threads contribute ~0).
-    import resource
+    # Linux perf counters (SURVEY §2.5 row 37): the reference wraps its
+    # lookup loop in a perf_event_open group (cycles / instructions /
+    # cache misses / branch misses, bulk-insert-and-query.cc:603-643 via
+    # linux-perf-events.h).  Same group here through the raw syscall
+    # (kernels/perfevents.py); this hypervisor hides the PMU, so the
+    # group degrades to the kernel's software events (task-clock ns,
+    # page faults, context switches, migrations) — still true
+    # perf_event counters, self-labelled by ``perf_domain``.  A thread_time
+    # fallback covers kernels that refuse perf_event_open outright.
+    try:
+        from cuckoofilter_ray.kernels.perfevents import open_reference_group
+        perf_grp, perf_domain, _perf_names = open_reference_group()
+    except OSError:
+        perf_grp, perf_domain = None, "thread_time-fallback"
+
+    def _per_key(vals, cnt: int, suffix: str) -> dict:
+        if perf_domain == "hardware":
+            cyc, ins, cm, bm = vals
+            out = {f"cycles_per_{suffix}": round(cyc / cnt, 1),
+                   f"ins_per_{suffix}": round(ins / cnt, 1),
+                   f"cachemiss_per_{suffix}": round(cm / cnt, 4),
+                   f"branchmiss_per_{suffix}": round(bm / cnt, 4)}
+            if cyc:
+                out[f"ins_per_cycle_{suffix}"] = round(ins / cyc, 3)
+            return out
+        tc, pf, cs, _mig = vals
+        return {f"cpu_ns_per_{suffix}": round(tc / cnt, 1),
+                f"minflt_per_{suffix}": round(pf / cnt, 4),
+                f"ctxsw_per_{suffix}": round(cs / cnt, 6)}
+
+    # counter probe: the reference counts the LOOKUP loop specifically, so
+    # each config also gets one solo driver-side mixed probe (p=0.5) with
+    # the group enabled around contain_batch only
+    n_perf_probes = int(os.environ.get("BENCH_PERF_PROBES", 1 << 17))
+    from cuckoofilter_ray.kernels.hashing import splitmix64
     built = []
     for kind, bits in CFGS:
         cfg_n = n_tail if kind == "tail" else n
         ks = keys[:cfg_n]
-        ru0 = resource.getrusage(resource.RUSAGE_SELF)
+        if perf_grp is not None:
+            perf_grp.start()
         c0 = time.thread_time()
         t0 = time.perf_counter()
         filt = make_filter(kind, cfg_n, SEED, bits)
         filt.add_batch(ks)
         build_s = time.perf_counter() - t0
         cpu_s = time.thread_time() - c0
-        ru1 = resource.getrusage(resource.RUSAGE_SELF)
-        perf = {"cpu_ns_per_add": round(cpu_s / cfg_n * 1e9, 1),
-                "minflt_per_add": round(
-                    (ru1.ru_minflt - ru0.ru_minflt) / cfg_n, 4)}
+        if perf_grp is not None:
+            perf = _per_key(perf_grp.end(), cfg_n, "add")
+        else:
+            perf = {"cpu_ns_per_add": round(cpu_s / cfg_n * 1e9, 1)}
+        if perf_grp is not None:
+            rng = np.random.default_rng(321)
+            n_pos = min(n_perf_probes // 2, cfg_n)
+            wl = np.concatenate([
+                rng.choice(ks, size=n_pos, replace=False),
+                splitmix64(n_perf_probes - n_pos,
+                           seed=SEED ^ 0xD1B54A32D192ED03)])
+            rng.shuffle(wl)
+            perf_grp.start()
+            found = int(filt.contain_batch(wl).sum())
+            perf.update(_per_key(perf_grp.end(), len(wl), "find"))
+            assert found >= n_pos, f"{kind}{bits}: perf probe lost positives"
         built.append((kind, bits, cfg_n, filter_to_row(filt, packed=False),
                       len(filter_to_row(filt)["table_bytes"]), build_s,
                       perf))
         del filt
+    if perf_grp is not None:
+        perf_grp.close()
     solo_after = _solo_ms()
     build_wall = time.perf_counter() - sweep_t0
 
@@ -370,10 +409,13 @@ def bench_config_sweep(ray, results: dict, extras: dict) -> None:
         }
     extras["config_sweep"] = table
     extras["config_sweep_mode"] = {
-        "perf_counters": "rusage analog of the reference's perf events "
-                         "(cycles->cpu_ns_per_add via process_time, "
-                         "cache misses->minflt_per_add); perf_event "
-                         "syscalls are unavailable from Python",
+        "perf_counters": f"perf_event_open group ({perf_domain} domain) "
+                         "around each solo build and a "
+                         f"{n_perf_probes}-probe mixed lookup loop, as in "
+                         "bulk-insert-and-query.cc:603-643; hardware = "
+                         "cycles/ins/cache-miss/branch-miss per key, "
+                         "software (PMU-less hypervisor) = task-clock ns /"
+                         " page faults / ctx switches per key",
         "builds": "sequential solo driver-side builds (machine idle); "
                   "adds_core_mps compares 1:1 with the reference's "
                   "single-thread adds and is stable run-to-run (parallel "
