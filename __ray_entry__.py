@@ -597,6 +597,30 @@ def q_dedup_incremental(sf_dir: str):
     return exact_dedup_filter(keyed, fref, exact_ref=eref)
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs with ``doc_id % 13 == 0`` stand in
+    for an eval set; every other doc is scored by how many of its DISTINCT
+    word 8-grams appear in that set (broadcast AMQ prescreen + exact
+    confirm, shuffle-free — stages/decontaminate.py).  ``flagged`` =
+    overlap ≥ 1/2 in exact integer form (``2·n_hit ≥ n_grams``)."""
+    from cuckoofilter_ray.stages.decontaminate import (benchmark_gram_set,
+                                                       decontaminate)
+    bench_tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    ids = bench_tbl.column("doc_id").to_numpy()
+    bench_texts = bench_tbl.filter(
+        pa.array(ids % 13 == 0)).column("text").to_pylist()
+    bh = benchmark_gram_set(bench_texts, k=8, seed=SEED)
+
+    def drop_bench(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(
+            t.column("doc_id").to_numpy(zero_copy_only=False) % 13 != 0))
+
+    docs = _docs(sf_dir).map_batches(drop_bench, batch_format="pyarrow",
+                                     batch_size=None)
+    return decontaminate(docs, bh, k=8, seed=SEED)
+
+
 def q_doc_sha256(sf_dir: str):
     """Per-row sha256 hex — the content-equality invariant vs the reference."""
     keyed = derive_keys(_docs(sf_dir), content_col="text")
@@ -1197,6 +1221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_users": q_heavy_hitter_users,
         "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,
+        "decontaminate": q_decontaminate,
         "doc_sha256": q_doc_sha256,
         "doc_md5": q_doc_md5,
         "filter_semijoin": q_filter_semijoin,
@@ -1320,6 +1345,23 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id < 250) "
             "SELECT min(doc_id) AS doc_id FROM documents "
             "WHERE text NOT IN (SELECT text FROM prior) GROUP BY text",
+        "decontaminate":
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w "
+            "           FROM documents), "
+            "g AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram "
+            "      FROM t, UNNEST(generate_series(1, len(w) - 7)) AS s(i)), "
+            "bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 13 = 0), "
+            "dg AS (SELECT DISTINCT doc_id, gram FROM g "
+            "       WHERE doc_id % 13 <> 0), "
+            "sc AS (SELECT doc_id, count(*) AS n_grams, "
+            "              count(*) FILTER (gram IN (SELECT gram FROM bg)) "
+            "                  AS n_hit "
+            "       FROM dg GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(sc.n_grams, 0) AS n_grams, "
+            "       COALESCE(sc.n_hit, 0) AS n_hit, "
+            "       COALESCE(2 * sc.n_hit >= sc.n_grams, false) AS flagged "
+            "FROM (SELECT doc_id FROM documents WHERE doc_id % 13 <> 0) d "
+            "LEFT JOIN sc ON d.doc_id = sc.doc_id",
         "doc_sha256":
             "SELECT doc_id, sha256(text) AS sha_hex FROM documents",
         "doc_md5":

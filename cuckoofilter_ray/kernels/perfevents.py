@@ -24,6 +24,7 @@ from __future__ import annotations
 import ctypes
 import os
 import struct
+import time
 
 # perf_event_attr.type (uapi/linux/perf_event.h)
 PERF_TYPE_HARDWARE = 0
@@ -41,11 +42,6 @@ PERF_COUNT_SW_TASK_CLOCK = 1      # ns of on-CPU time for this task
 PERF_COUNT_SW_PAGE_FAULTS = 2
 PERF_COUNT_SW_CONTEXT_SWITCHES = 3
 PERF_COUNT_SW_CPU_MIGRATIONS = 4
-
-_PERF_EVENT_IOC_ENABLE = 0x2400
-_PERF_EVENT_IOC_DISABLE = 0x2401
-_PERF_EVENT_IOC_RESET = 0x2403
-_PERF_IOC_FLAG_GROUP = 1
 
 _PERF_FORMAT_ID = 0x4
 _PERF_FORMAT_GROUP = 0x8
@@ -81,19 +77,29 @@ def _make_attr(typ: int, config: int) -> bytearray:
     struct.pack_into("IIQ", attr, 0, typ, _ATTR_SIZE, config)
     # offsets: sample_period@16, sample_type@24, read_format@32, flags@40
     struct.pack_into("Q", attr, 32, _PERF_FORMAT_GROUP | _PERF_FORMAT_ID)
-    struct.pack_into(
-        "Q", attr, 40, _ATTR_DISABLED | _ATTR_EXCLUDE_KERNEL | _ATTR_EXCLUDE_HV
-    )
+    # enabled from open (no _ATTR_DISABLED): sections are snapshot deltas
+    struct.pack_into("Q", attr, 40, _ATTR_EXCLUDE_KERNEL | _ATTR_EXCLUDE_HV)
     return attr
 
 
 class LinuxEvents:
     """A group of perf counters over the calling thread, reference-shaped.
 
-    Same lifecycle as the C++ ``LinuxEvents`` (linux-perf-events.h):
-    construct with a config list (one group, first fd is the leader),
-    ``start()`` = RESET+ENABLE on the group, ``end()`` = DISABLE + one
-    group read returning the counter values in construction order.
+    Same construction as the C++ ``LinuxEvents`` (linux-perf-events.h):
+    a config list opens one group (first fd is the leader); ``start()``
+    marks a section and ``end()`` returns the per-event counts since the
+    matching ``start()``, in construction order.
+
+    One deliberate deviation from the reference's RESET+ENABLE/DISABLE
+    lifecycle: this kernel installs group *siblings* lazily — after an
+    enable, a sibling begins counting only at the task's next reschedule,
+    so a sub-millisecond section right after ENABLE reads 0 from every
+    non-leader event (measured here: 64 page faults invisible immediately
+    after enable, visible after a 2 ms sleep).  The group therefore opens
+    enabled, construction sleeps ~2 ms once to force the reschedule that
+    installs the siblings, and ``start()``/``end()`` are snapshot DELTAS
+    of the free-running counters — same measured quantity, no
+    first-section blind spot, and no per-section ioctls.
 
     Raises ``OSError`` at construction when the kernel refuses any event
     (missing PMU → ENOENT, perf_event_paranoid / seccomp → EACCES/EPERM).
@@ -118,19 +124,23 @@ class LinuxEvents:
             self.close()
             raise
         self._n = len(self._fds)
+        time.sleep(0.002)        # reschedule => kernel installs the siblings
+        self._base = self._read_raw()
 
-    def start(self) -> None:
-        _libc.ioctl(self._fds[0], _PERF_EVENT_IOC_RESET, _PERF_IOC_FLAG_GROUP)
-        _libc.ioctl(self._fds[0], _PERF_EVENT_IOC_ENABLE, _PERF_IOC_FLAG_GROUP)
-
-    def end(self) -> list[int]:
-        _libc.ioctl(self._fds[0], _PERF_EVENT_IOC_DISABLE, _PERF_IOC_FLAG_GROUP)
+    def _read_raw(self) -> list[int]:
         # PERF_FORMAT_GROUP|ID read layout: u64 nr, then (value, id) pairs;
         # values sit at slots 1,3,5,... (linux-perf-events.h:79-82)
         raw = os.read(self._fds[0], 8 * (1 + 2 * self._n))
         words = struct.unpack(f"{1 + 2 * self._n}Q", raw)
         assert words[0] == self._n
         return [words[1 + 2 * i] for i in range(self._n)]
+
+    def start(self) -> None:
+        self._base = self._read_raw()
+
+    def end(self) -> list[int]:
+        now = self._read_raw()
+        return [a - b for a, b in zip(now, self._base)]
 
     def close(self) -> None:
         for fd in self._fds:

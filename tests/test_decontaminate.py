@@ -1,0 +1,111 @@
+"""Decontamination stage vs a pure-Python string-set reference.
+
+The gram definition must match DuckDB's
+``array_to_string(string_split(text,' ')[i:i+k-1], ' ')`` exactly —
+including empty words from consecutive/trailing spaces — so the reference
+here builds literal gram STRINGS and the pipeline must agree on every
+count (hash collisions are the only admissible divergence, ~2^-64)."""
+
+import numpy as np
+import pytest
+
+from cuckoofilter_ray.stages.decontaminate import (
+    ContaminationScore,
+    benchmark_gram_set,
+    decontaminate,
+    distinct_gram_hashes,
+    word_gram_hashes,
+)
+
+
+def ref_grams(text: str, k: int) -> list:
+    w = (text or "").split(" ")
+    return [" ".join(w[i:i + k]) for i in range(len(w) - k + 1)]
+
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog again and again",
+    "the quick brown fox jumps over the lazy dog again and again",  # dup
+    "a b c",                              # fewer than k words -> 0 grams
+    "",                                   # empty -> 0 grams
+    "x  y   z trailing ",                 # consecutive + trailing spaces
+    "one two three four five six seven eight nine ten",
+    "pad pad the quick brown fox jumps over the lazy dog zzz",  # partial
+    "solo word pair here makes grams the quick brown fox jumps over",
+]
+K = 4
+SEED = 77
+
+
+def test_gram_hash_counts_match_string_reference():
+    h, counts = word_gram_hashes(CORPUS, K, SEED)
+    for d, t in enumerate(CORPUS):
+        assert counts[d] == len(ref_grams(t, K)), t
+    # equal gram strings <-> equal hashes (across positions and docs)
+    allg = [g for t in CORPUS for g in ref_grams(t, K)]
+    by_hash, by_str = {}, {}
+    for gh, gs in zip(h.tolist(), allg):
+        by_hash.setdefault(gh, set()).add(gs)
+        by_str.setdefault(gs, set()).add(gh)
+    assert all(len(v) == 1 for v in by_hash.values()), "hash collision"
+    assert all(len(v) == 1 for v in by_str.values()), "position-dependent hash"
+
+
+def test_distinct_gram_hashes_match_reference_sets():
+    _, doc, nd = distinct_gram_hashes(CORPUS, K, SEED)
+    for d, t in enumerate(CORPUS):
+        assert nd[d] == len(set(ref_grams(t, K))), t
+    assert (np.bincount(doc, minlength=len(CORPUS)) == nd).all()
+
+
+@pytest.mark.parametrize("use_amq", [True, False])
+def test_scores_match_string_reference(ray_session, use_amq):
+    import ray
+
+    bench = CORPUS[:2] + ["the quick brown fox jumps over the lazy dog"]
+    docs = CORPUS[2:]
+    bset = set(g for t in bench for g in ref_grams(t, K))
+    bh = benchmark_gram_set(bench, k=K, seed=SEED)
+    assert len(bh) == len(bset)
+
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(docs)])
+    kw = {} if use_amq else {"bits_per_tag": 16}
+    out = decontaminate(ds, bh, k=K, seed=SEED, **kw).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for _, row in out.iterrows():
+        grams = set(ref_grams(docs[int(row.doc_id)], K))
+        hits = len(grams & bset)
+        assert row.n_grams == len(grams)
+        assert row.n_hit == hits, docs[int(row.doc_id)]
+        assert row.flagged == (2 * hits >= len(grams) and len(grams) > 0)
+
+
+def test_amq_prescreen_is_exact_under_forced_fps(ray_session):
+    """A tiny 4-bit-tag filter produces real AMQ false positives; the exact
+    confirmation must scrub every one of them."""
+    import ray
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{z}" for z in range(50)]
+    docs = [" ".join(rng.choice(vocab, size=30)) for _ in range(60)]
+    bench = docs[:5]
+    bset = set(g for t in bench for g in ref_grams(t, 3))
+    bh = benchmark_gram_set(bench, k=3, seed=SEED)
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(docs)])
+    out = decontaminate(ds, bh, k=3, seed=SEED, bits_per_tag=4) \
+        .to_pandas().sort_values("doc_id")
+    for _, row in out.iterrows():
+        grams = set(ref_grams(docs[int(row.doc_id)], 3))
+        assert row.n_hit == len(grams & bset)
+
+
+def test_empty_benchmark_flags_nothing(ray_session):
+    import ray
+
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(CORPUS)])
+    out = decontaminate(ds, np.empty(0, dtype=np.uint64), k=K,
+                        seed=SEED).to_pandas()
+    assert (out.n_hit == 0).all() and (~out.flagged).all()

@@ -56,13 +56,15 @@ def test_software_group_sees_first_touch_page_faults():
                          PERF_TYPE_SOFTWARE)
     except OSError as e:  # pragma: no cover
         pytest.skip(f"perf_event_open refused: {e}")
+    # a fresh anonymous mmap is guaranteed unfaulted (numpy arrays are not:
+    # the allocator may hand back an already-touched arena), and touching
+    # one byte per 2 MB survives transparent hugepages (1 fault per touch)
+    import mmap
+    m = mmap.mmap(-1, 256 << 20)
     ev.start()
-    big = np.full(24_000_000, 7, dtype=np.uint64)  # ~192 MB first-touch
+    for off in range(0, len(m), 1 << 21):
+        m[off] = 1
     vals = ev.end()
-    assert big[0] == 7
-    # transparent hugepages make first-touch fault per 2 MB, so a fresh
-    # 192 MB mmap faults ~100 times (4 KiB pages would be ~49k); np.ones
-    # would NOT do here — its memset path prefaults without raising
-    # countable faults on this kernel
+    m.close()
     assert vals[1] > 40, f"expected first-touch faults, got {vals}"
     ev.close()
