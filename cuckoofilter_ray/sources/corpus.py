@@ -74,14 +74,8 @@ def make_corpus_batch(ids: np.ndarray, seed: int = 42, n_repos: int = 50,
     commits = [f"{v:040x}"[:40] for v in
                ((h4.astype(object) << 96) | (h4.astype(object) * 0x9E3779B9)).tolist()]
 
-    # content: rows flagged as duplicates re-generate an EARLIER row's content
-    dup_roll = _u01(splitmix64_at(ids, seed + 4))
-    content_src = ids.copy()
-    is_dup = (dup_roll < dup_fraction) & (ids > 0)
-    # duplicate of a deterministic earlier id
-    content_src[is_dup] = (splitmix64_at(ids[is_dup], seed + 5) % ids[is_dup])
-
-    contents = _make_contents_vec(content_src, seed, content_words)
+    contents = _make_contents_vec(content_src_of(ids, seed, dup_fraction),
+                                  seed, content_words)
 
     return pa.table({
         "repo": pa.array(repos.tolist(), type=pa.string()),
@@ -90,6 +84,19 @@ def make_corpus_batch(ids: np.ndarray, seed: int = 42, n_repos: int = 50,
         "lang": pa.array(langs.tolist(), type=pa.string()),
         "content": contents.cast(pa.large_string()),
     })
+
+
+def content_src_of(ids: np.ndarray, seed: int = 42,
+                   dup_fraction: float = 0.10) -> np.ndarray:
+    """Logical content id per row: rows rolled as duplicates point at a
+    deterministic EARLIER row's content (content is a pure function of
+    this id — tools verify exactness against it without materializing)."""
+    ids = np.asarray(ids, dtype=np.uint64)
+    dup_roll = _u01(splitmix64_at(ids, seed + 4))
+    content_src = ids.copy()
+    is_dup = (dup_roll < dup_fraction) & (ids > 0)
+    content_src[is_dup] = (splitmix64_at(ids[is_dup], seed + 5) % ids[is_dup])
+    return content_src
 
 
 def splitmix64_at(ids: np.ndarray, seed: int) -> np.ndarray:

@@ -203,7 +203,7 @@ def decontaminate(docs_ds, bench_hashes: np.ndarray, *, k: int = 8,
     exact_ref = ray.put(bench_hashes)        # np.unique output => sorted
     return docs_ds.map_batches(
         ContaminationScore, batch_format="pyarrow",
-        concurrency=concurrency or 2,
+        concurrency=concurrency or (2, 16),     # autoscaling actor pool
         fn_constructor_kwargs={"filter_ref": filter_ref,
                                "exact_ref": exact_ref, "k": k, "seed": seed,
                                "column": column, "id_col": id_col})
