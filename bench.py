@@ -170,6 +170,40 @@ def bench_full(ray, results: dict, extras: dict) -> None:
     extras["n_repo_filters"] = int(cfilters.count())
     results["corpus_build_200k"] = round(time.perf_counter() - t0, 4)
 
+    # decontamination over a 200k-doc synthetic corpus (the LLM-pipeline
+    # use of the membership engine): benchmark = every 509th doc, AMQ
+    # prescreen + exact confirm, shuffle-free (stages/decontaminate.py)
+    from cuckoofilter_ray.sources.corpus import (_make_contents_vec,
+                                                 content_src_of,
+                                                 make_corpus_batch)
+    from cuckoofilter_ray.stages.decontaminate import (benchmark_gram_set,
+                                                       decontaminate)
+    n_decon, mod = 200_000, 509
+    bench_ids = np.arange(0, n_decon, mod, dtype=np.uint64)
+    bh = benchmark_gram_set(_make_contents_vec(
+        content_src_of(bench_ids, 42), 42).to_pylist(), k=8, seed=SEED)
+
+    def decon_gen(batch: pa.Table) -> pa.Table:
+        dids = batch.column("id").to_numpy(zero_copy_only=False)
+        dids = dids[dids % mod != 0]
+        return pa.table({
+            "doc_id": pa.array(dids.astype(np.int64)),
+            "text": make_corpus_batch(dids, seed=42).column("content")})
+
+    t0 = time.perf_counter()
+    ddocs = ray.data.range(n_decon, override_num_blocks=64) \
+        .map_batches(decon_gen, batch_format="pyarrow", batch_size=None)
+    dout = decontaminate(ddocs, bh, k=8, seed=SEED).to_pandas()
+    results["decontaminate_200k"] = round(time.perf_counter() - t0, 4)
+    n_flag = int(dout["flagged"].sum())
+    assert n_flag > 0 and len(dout) == n_decon - len(bench_ids)
+    extras["decon_200k"] = {
+        "flagged": n_flag,
+        "grams_scored": int(dout["n_grams"].sum()),
+        "docs_per_s": round(len(dout) / results["decontaminate_200k"] / 1e6,
+                            3),
+    }
+
     # best-of-2: the row is stage-latency-bound at 5k docs and its first
     # run pays worker/plan warmup — the second is the steady-state figure
     best = float("inf")
