@@ -616,8 +616,9 @@ def q_decontaminate(sf_dir: str):
         return t.filter(pa.array(
             t.column("doc_id").to_numpy(zero_copy_only=False) % 13 != 0))
 
-    docs = _docs(sf_dir).map_batches(drop_bench, batch_format="pyarrow",
-                                     batch_size=None)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"]) \
+        .map_batches(drop_bench, batch_format="pyarrow", batch_size=None)
     return decontaminate(docs, bh, k=8, seed=SEED)
 
 

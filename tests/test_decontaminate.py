@@ -101,6 +101,38 @@ def test_amq_prescreen_is_exact_under_forced_fps(ray_session):
         assert row.n_hit == len(grams & bset)
 
 
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_texts = st.lists(
+    st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+            max_size=120),
+    min_size=0, max_size=24)
+
+
+@settings(max_examples=40, deadline=None)
+@given(texts=_texts, k=st.integers(1, 5), seed=st.integers(0, 2**31 - 1))
+def test_gram_hashing_matches_string_reference_on_arbitrary_text(
+        texts, k, seed):
+    """Property form over arbitrary unicode (newlines, tabs, emoji,
+    consecutive/leading/trailing spaces): per-doc counts and distinct
+    counts equal the literal string reference, equal gram strings hash
+    equal across all docs/positions, and distinct strings never collide
+    at these sizes."""
+    h, counts = word_gram_hashes(texts, k, seed)
+    allg = [g for t in texts for g in ref_grams(t, k)]
+    assert len(h) == len(allg)
+    assert counts.sum() == len(allg)
+    by_hash, by_str = {}, {}
+    for gh, gs in zip(h.tolist(), allg):
+        by_hash.setdefault(gh, set()).add(gs)
+        by_str.setdefault(gs, set()).add(gh)
+    assert all(len(v) == 1 for v in by_hash.values())
+    assert all(len(v) == 1 for v in by_str.values())
+    _, _, nd = distinct_gram_hashes(texts, k, seed)
+    for d, t in enumerate(texts):
+        assert nd[d] == len(set(ref_grams(t, k)))
+
+
 def test_empty_benchmark_flags_nothing(ray_session):
     import ray
 
