@@ -23,7 +23,7 @@ Gram identity is faithful to SQL semantics: a word k-gram is
 splitting on a single space is reversible, that string IS the contiguous
 substring of ``text`` between the two word boundaries.  Grams therefore
 hash as substrings through ONE pass of position-independent prefix
-polynomial hashing over the batch's concatenated codepoints (no word
+polynomial hashing over the batch's concatenated UTF-8 bytes (no word
 materialization, no Python loop):
 
     P[i]   = Σ_{j<i} c[j]·B⁻ʲ          (cumsum; B odd ⇒ invertible mod 2⁶⁴)
@@ -57,17 +57,33 @@ def word_gram_hashes(texts, k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     in document order, and the per-document gram count
     ``max(0, n_words - k + 1)``.  Word splitting matches DuckDB's
     ``string_split(text, ' ')`` exactly (consecutive spaces produce empty
-    words; a trailing space produces a trailing empty word)."""
+    words; a trailing space produces a trailing empty word).
+
+    ``texts`` may be an Arrow string array (the zero-copy hot path: the
+    UTF-8 data buffer is hashed in place — a space byte 0x20 cannot occur
+    inside a multi-byte sequence, so byte-substring identity equals
+    string identity) or any sequence of ``str``/None."""
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array([t if t is not None else "" for t in texts],
+                         pa.large_string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if pa.types.is_string(texts.type):
+        texts = texts.cast(pa.large_string())      # 64-bit offsets, same data
+    if texts.null_count:
+        texts = texts.fill_null("")
     ndocs = len(texts)
     counts = np.zeros(ndocs, dtype=np.int64)
     if ndocs == 0:
         return np.empty(0, dtype=np.uint64), counts
-    bufs = [(t or "").encode("utf-32-le") for t in texts]
-    clens = np.fromiter((len(b) >> 2 for b in bufs), np.int64, ndocs)
-    c = np.frombuffer(b"".join(bufs), dtype=np.uint32).astype(np.uint64)
+    bufs = texts.buffers()                          # [validity, offsets, data]
+    offs = np.frombuffer(bufs[1], dtype=np.int64)[
+        texts.offset:texts.offset + ndocs + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.empty(0, dtype=np.uint8)
+    c = data[offs[0]:offs[-1]].astype(np.uint64)
     n = len(c)
-    dco = np.zeros(ndocs + 1, dtype=np.int64)          # doc char offsets
-    np.cumsum(clens, out=dco[1:])
+    dco = (offs - offs[0]).astype(np.int64)         # doc byte offsets
 
     # prefix hashes: P[i] = sum_{j<i} c[j] * Binv^j  (everything wraps 2^64)
     binv_pow = np.full(n, _BINV, dtype=np.uint64)
@@ -159,7 +175,7 @@ class ContaminationScore:
         self.column, self.id_col = column, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.column).to_pylist()
+        texts = batch.column(self.column)       # Arrow column: zero-copy path
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64, copy=False)
         h, doc, n_grams = distinct_gram_hashes(texts, self.k, self.seed)
