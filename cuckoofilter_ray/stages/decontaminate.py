@@ -150,50 +150,47 @@ def benchmark_gram_set(texts, k: int = 8, seed: int = 4242) -> np.ndarray:
     return np.unique(h)
 
 
-class ContaminationScore:
-    """Actor-pool batch stage: per document, DISTINCT word-k-gram count and
+_CACHE: dict = {}
+
+
+def contamination_score_fn(batch: pa.Table, *, filter_ref=None,
+                           exact_ref=None, k: int = 8, seed: int = 4242,
+                           column: str = "text",
+                           id_col: str = "doc_id") -> pa.Table:
+    """Stateless batch stage: per document, DISTINCT word-k-gram count and
     how many of those grams appear in the benchmark set.
 
-    ``__init__`` resolves the two broadcasts once per worker (bounded
-    ``cache_get`` memo); ``__call__`` is pure numpy: gram hashing, per-doc
-    distinct, one vectorized ``contain_batch`` prescreen, exact
-    ``searchsorted`` confirmation of the AMQ positives only."""
+    Runs as plain tasks on the warm worker pool — the two broadcasts
+    resolve once per worker PROCESS (bounded ``cache_get`` memo keyed by
+    ref), so the stateful-setup-once property of an actor pool is kept
+    without paying actor spawn/ramp latency per pipeline.  The body is
+    pure numpy: zero-copy gram hashing, per-doc distinct, one vectorized
+    ``contain_batch`` prescreen, exact ``searchsorted`` confirmation of
+    the AMQ positives only."""
+    import ray
 
-    _CACHE: dict = {}
-
-    def __init__(self, filter_ref, exact_ref, *, k: int = 8,
-                 seed: int = 4242, column: str = "text",
-                 id_col: str = "doc_id"):
-        import ray
-        self.filt = cache_get(
-            self._CACHE, ("filt", filter_ref.hex()),
-            lambda: row_to_filter(ray.get(filter_ref)))
-        self.exact = cache_get(
-            self._CACHE, ("exact", exact_ref.hex()),
-            lambda: ray.get(exact_ref))
-        self.k, self.seed = k, seed
-        self.column, self.id_col = column, id_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.column)       # Arrow column: zero-copy path
-        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False) \
-            .astype(np.int64, copy=False)
-        h, doc, n_grams = distinct_gram_hashes(texts, self.k, self.seed)
-        maybe = self.filt.contain_batch(h) if len(h) else \
-            np.zeros(0, dtype=bool)
-        hit = np.zeros(len(h), dtype=bool)
-        if maybe.any():                       # confirm AMQ positives exactly
-            cand = np.flatnonzero(maybe)
-            pos = np.searchsorted(self.exact, h[cand])
-            pos[pos == len(self.exact)] = 0
-            hit[cand] = self.exact[pos] == h[cand]
-        n_hit = np.bincount(doc[hit], minlength=len(texts)).astype(np.int64)
-        return pa.table({
-            self.id_col: pa.array(ids, pa.int64()),
-            "n_grams": pa.array(n_grams, pa.int64()),
-            "n_hit": pa.array(n_hit, pa.int64()),
-            "flagged": pa.array((2 * n_hit >= n_grams) & (n_grams > 0)),
-        })
+    filt = cache_get(_CACHE, ("filt", filter_ref.hex()),
+                     lambda: row_to_filter(ray.get(filter_ref)))
+    exact = cache_get(_CACHE, ("exact", exact_ref.hex()),
+                      lambda: ray.get(exact_ref))
+    texts = batch.column(column)            # Arrow column: zero-copy path
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+        .astype(np.int64, copy=False)
+    h, doc, n_grams = distinct_gram_hashes(texts, k, seed)
+    maybe = filt.contain_batch(h) if len(h) else np.zeros(0, dtype=bool)
+    hit = np.zeros(len(h), dtype=bool)
+    if maybe.any():                         # confirm AMQ positives exactly
+        cand = np.flatnonzero(maybe)
+        pos = np.searchsorted(exact, h[cand])
+        pos[pos == len(exact)] = 0
+        hit[cand] = exact[pos] == h[cand]
+    n_hit = np.bincount(doc[hit], minlength=len(texts)).astype(np.int64)
+    return pa.table({
+        id_col: pa.array(ids, pa.int64()),
+        "n_grams": pa.array(n_grams, pa.int64()),
+        "n_hit": pa.array(n_hit, pa.int64()),
+        "flagged": pa.array((2 * n_hit >= n_grams) & (n_grams > 0)),
+    })
 
 
 def decontaminate(docs_ds, bench_hashes: np.ndarray, *, k: int = 8,
@@ -207,7 +204,8 @@ def decontaminate(docs_ds, bench_hashes: np.ndarray, *, k: int = 8,
     them occur in the benchmark, and ``flagged`` = overlap ≥ 1/2 (integer
     form ``2·n_hit ≥ n_grams``, exact in SQL too).  Streaming, shuffle-free:
     the benchmark rides as two ``ray.put`` broadcasts (AMQ + exact sorted
-    array); documents never leave their blocks."""
+    array); documents never leave their blocks, and the stage runs as
+    stateless tasks (per-worker broadcast cache — no actor spawn latency)."""
     import ray
 
     bench_hashes = np.asarray(bench_hashes, dtype=np.uint64)
@@ -217,9 +215,12 @@ def decontaminate(docs_ds, bench_hashes: np.ndarray, *, k: int = 8,
         filt.add_batch(bench_hashes)
     filter_ref = ray.put(filter_to_row(filt))
     exact_ref = ray.put(bench_hashes)        # np.unique output => sorted
-    return docs_ds.map_batches(
-        ContaminationScore, batch_format="pyarrow",
-        concurrency=concurrency or (2, 16),     # autoscaling actor pool
-        fn_constructor_kwargs={"filter_ref": filter_ref,
-                               "exact_ref": exact_ref, "k": k, "seed": seed,
-                               "column": column, "id_col": id_col})
+    kwargs = {"filter_ref": filter_ref, "exact_ref": exact_ref, "k": k,
+              "seed": seed, "column": column, "id_col": id_col}
+    if concurrency:
+        return docs_ds.map_batches(contamination_score_fn,
+                                   batch_format="pyarrow",
+                                   concurrency=concurrency,
+                                   fn_kwargs=kwargs)
+    return docs_ds.map_batches(contamination_score_fn,
+                               batch_format="pyarrow", fn_kwargs=kwargs)

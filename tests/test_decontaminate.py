@@ -10,7 +10,6 @@ import numpy as np
 import pytest
 
 from cuckoofilter_ray.stages.decontaminate import (
-    ContaminationScore,
     benchmark_gram_set,
     decontaminate,
     distinct_gram_hashes,
