@@ -1631,3 +1631,21 @@ def test_tdigest_udaf_and_grouped_path(ray_mod):
         hi = np.searchsorted(ex, est, "right") / len(ex)
         assert max(lo - 0.5, 0.5 - hi, 0.0) <= \
             float(s.rank_error_bound(0.5))
+
+
+def test_token_stats_re2_semantics_match_duckdb_oracle():
+    """n_tokens uses RE2 (\\S is ASCII-only there: U+00A0 is NOT a token
+    separator, unlike Python re) — the engine must agree with the DuckDB
+    oracle's regexp_extract_all on exactly these edges."""
+    import duckdb
+    from cuckoofilter_ray.functions.text import add_token_stats
+    texts = ["", " ", "a b", " nbsp separated",
+             "tab\tand\nnewline\r\nmix", "a  b", " lead", "trail ",
+             "中文 没有 空格"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = add_token_stats(tbl)
+    want = [r[0] for r in duckdb.sql(
+        r"SELECT length(regexp_extract_all(text, '\S+')) "
+        "FROM tbl ORDER BY doc_id").fetchall()]
+    assert out.column("n_tokens").to_pylist() == want
