@@ -295,13 +295,42 @@ def minhash_band_rows(batch: pa.Table, *, id_col: str = "doc_id",
     })
 
 
+def tune_lsh_bands(num_perm: int, threshold: float) -> int:
+    """Bands whose S-curve knee ``(1/b)^(1/r)`` sits closest to (and not
+    far above) ``threshold``.
+
+    The banding, not the est-Jaccard filter, decides how many candidate
+    pairs the shuffle carries: at baseline similarity J₀ each pair becomes
+    a candidate w.p. ≈ b·J₀^r, so a τ≈0.5 banding (16×4 at 64 perms) under
+    a corpus whose UNRELATED docs share J₀≈0.25 (small vocab, boilerplate)
+    floods the buckets with ~0.6 % of all O(n²) pairs — measured 2 M
+    spurious candidates / 512 s at 50 k docs, vs 2 s with the matched 8×8
+    banding at τ=0.8.  Filtering est ≥ τ later cannot un-shuffle them."""
+    # recall-safe side is knee ≤ τ (detection at J=τ is then > 50 %, and
+    # rises steeply above); a knee over τ silently under-recalls
+    # exactly-threshold pairs, so pick the LARGEST knee not exceeding τ —
+    # the tightest banding that still recalls at the threshold
+    best, best_knee = num_perm, 0.0
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        knee = (1.0 / b) ** (b / num_perm)        # r = num_perm // b
+        if best_knee < knee <= threshold:
+            best, best_knee = b, knee
+    return best
+
+
 def minhash_lsh_pairs(ds: "ray.data.Dataset", column: str = "text",
                       id_col: str = "doc_id", num_perm: int = 64,
-                      shingle_k: int = 5, bands: int = 16,
+                      shingle_k: int = 5, bands: Optional[int] = 16,
                       threshold: float = 0.7, seed: int = 777,
                       num_blocks: int = 32,
                       max_bucket_reps: int = 4096) -> "ray.data.Dataset":
     """Candidate near-dup pairs with signature-estimated Jaccard ≥ threshold.
+
+    ``bands=None`` auto-tunes the banding to the threshold via
+    :func:`tune_lsh_bands` — pass an explicit count only when you have
+    calibrated recall/shuffle volume for your corpus.
 
     shingle→minhash (map; content dropped) → materialized (id, signature)
     table → ~18-byte (id, band, band_hash) rows → groupby(band hash
@@ -316,6 +345,8 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", column: str = "text",
     ``max_bucket_reps`` members join the all-pairs comparison (surplus
     logged) — one degenerate boilerplate bucket cannot go quadratic.
     """
+    if bands is None:
+        bands = tune_lsh_bands(num_perm, threshold)
     # the hash stage is CPU-bound per doc: split small inputs so the task
     # pool can use every core (a single-file parquet read is ONE block).
     # Materialized because three stages consume it (band rows + two joins).

@@ -227,3 +227,27 @@ def test_misra_gries_bounds_any_partition(vals, k, splits):
         hh = uk[tv > bound]
         assert (s.estimate_batch(hh) > 0).all()
         assert set(hh.tolist()) <= set(s.candidates(bound).tolist())
+
+
+@settings(max_examples=60, deadline=None)
+@given(num_perm=st.sampled_from([16, 32, 64, 128, 256]),
+       threshold=st.floats(0.05, 0.99))
+def test_tune_lsh_bands_recall_safe(num_perm, threshold):
+    """Auto-tuned banding: divides num_perm, knee never exceeds the
+    threshold (so detection at J=threshold stays > 50%), and it is the
+    tightest such banding (next-larger-knee divisor would overshoot)."""
+    from cuckoofilter_ray.stages.dedup import tune_lsh_bands
+    b = tune_lsh_bands(num_perm, threshold)
+    assert num_perm % b == 0
+    r = num_perm // b
+    knee = (1.0 / b) ** (1.0 / r)
+    floor = 1.0 / num_perm            # b=num_perm, r=1: the min possible knee
+    if threshold >= floor - 1e-12:
+        assert knee <= threshold + 1e-12 or b == num_perm
+    det = 1 - (1 - threshold ** r) ** b
+    assert det >= 0.5
+    for b2 in range(1, num_perm + 1):
+        if num_perm % b2 == 0:
+            k2 = (1.0 / b2) ** (b2 / num_perm)
+            if k2 <= threshold:
+                assert k2 <= knee + 1e-12
