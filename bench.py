@@ -729,11 +729,17 @@ def run_scaling() -> dict:
     # ~60 s so the efficiency ratio sits well above host timing noise
     probes = os.environ.get("BENCH_PROBES", str(640_000_000))
     runs = {}
-    # interleaved rounds, best time per cpu level: the shared host carries
-    # minute-scale background noise (repeated identical runs vary up to 2x),
-    # and a noise spike in either run corrupts the ratio in either direction;
-    # per-level minima estimate the machine's actual capability
+    round_runs = []
+    # interleaved rounds; the EFFICIENCY comes from time-adjacent (lo, hi)
+    # pairs so monotone host drift cancels to first order — per-level
+    # minima across rounds (the old rule) let a mid-session backing
+    # improvement hand the hi leg a better window than the lo leg ever
+    # saw, manufacturing efficiencies > 1.0 (observed: 1.29-1.36 on an
+    # improving evening window).  Per-level minima are still reported as
+    # the capability throughput estimate.
     for _ in range(rounds):
+        this_round = {}
+        round_runs.append(this_round)
         for cpus in (lo, hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
                        GRAFT_SF_DIR=SF_DIR, BENCH_PROBES=probes,
@@ -750,21 +756,31 @@ def run_scaling() -> dict:
             line = [l for l in proc.stdout.splitlines()
                     if l.startswith("{")][-1]
             r = json.loads(line)
+            this_round[cpus] = r
             prev = runs.get(cpus)
             if prev is None or (r["queries"]["build_lineitem"] +
                                 r["queries"]["probe_lineitem"]) < \
                     (prev["queries"]["build_lineitem"] +
                      prev["queries"]["probe_lineitem"]):
                 runs[cpus] = r
-    thr = {c: (r["n_items"] + r["n_probes"]) /
-              (r["queries"]["build_lineitem"] + r["queries"]["probe_lineitem"])
-           for c, r in runs.items()}
-    eff = (thr[hi] / thr[lo]) / (hi / lo)
+
+    def _thr(r: dict) -> float:
+        return (r["n_items"] + r["n_probes"]) / \
+            (r["queries"]["build_lineitem"] + r["queries"]["probe_lineitem"])
+
+    thr = {c: _thr(r) for c, r in runs.items()}
+    per_round = [round((_thr(rr[hi]) / _thr(rr[lo])) / (hi / lo), 4)
+                 for rr in round_runs if lo in rr and hi in rr]
+    # min over rounds: a throttle spike in a hi leg only UNDERclaims that
+    # round (the other round recovers it), while a lo-leg spike overclaims
+    # — min is the conservative, drift-robust choice
+    eff = min(per_round)
     return {
         "metric": f"headline build+probe throughput scaling ({lo} → {hi} cpus)",
         "value": round(eff, 4),
         "unit": "efficiency",
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "per_round_efficiency": per_round,
         "throughput_mps": {str(c): round(thr[c] / 1e6, 4) for c in thr},
         "queries": {f"cpus{c}": r["queries"] for c, r in runs.items()},
         "fpr": runs[hi]["fpr"],
@@ -780,7 +796,7 @@ def run_scaling() -> dict:
 _COMPACT_KEYS = ("metric", "value", "unit", "queries", "sf", "num_cpus",
                  "n_items", "n_probes", "adds_mps", "adds_mps_8m",
                  "finds_mps", "recall", "fpr", "num_shards",
-                 "throughput_mps", "online_cpus", "effective_cores",
+                 "throughput_mps", "per_round_efficiency", "online_cpus", "effective_cores",
                  "solo_ms")
 
 
