@@ -115,15 +115,14 @@ assert n_uniq == len(expect_survivors), "dedup survivor count"
 
 # ---- 3. MinHash-LSH near-dup removal (min-id star retained) ---------------
 t0 = time.perf_counter()
-# threshold 0.8 with bands=8 (r=8): the 40-word vocab gives DISTINCT
-# contents a baseline char-5 Jaccard of 0.2-0.31 (measured), so a
-# τ≈0.5-tuned banding (16×4) floods the buckets with ~J^4·16 ≈ 0.6% of
-# ALL pairs (≈2M spurious candidates at 50k docs — measured 512 s) while
-# 8×8 admits J=0.3 pairs at 5e-5 and still catches J≈0.95 base-collision
-# near-dups w.p. ≥0.999.  The banding must sit on the S-curve at the
-# threshold: (1/b)^(1/r) = (1/8)^(1/8) ≈ 0.77
+# threshold 0.8, bands auto-tuned (resolves to 8×8, knee ≈ 0.77): the
+# 40-word vocab gives DISTINCT contents a baseline char-5 Jaccard of
+# 0.2-0.31 (measured), so a τ≈0.5-tuned banding (16×4) floods the
+# buckets with ~J^4·16 ≈ 0.6% of ALL pairs (≈2M spurious candidates at
+# 50k docs — measured 512 s) while 8×8 admits J=0.3 pairs at 5e-5 and
+# still catches J≈0.95 base-collision near-dups w.p. ≥0.999
 pairs = minhash_lsh_pairs(survivors, column="text", id_col="doc_id",
-                          num_perm=64, bands=8, threshold=0.8).to_pandas()
+                          num_perm=64, bands=None, threshold=0.8).to_pandas()
 drop_ids = np.unique(pairs["hi_id"].to_numpy()) if len(pairs) else \
     np.empty(0, dtype=np.int64)
 drop_ref = ray.put(np.sort(drop_ids))
