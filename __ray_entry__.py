@@ -761,6 +761,19 @@ def q_quality_scores(sf_dir: str):
         .select_columns(["doc_id", "quality_score"])
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style intra-document repetition signals (dup-word /
+    top-word / top-2-gram fractions), per-row value-exact vs the DuckDB
+    list-aggregate oracle.  Per-doc stats ⇒ shuffle-free map_batches."""
+    from cuckoofilter_ray.functions.text import add_repetition_stats
+    ds = _docs(sf_dir).map_batches(add_repetition_stats,
+                                   batch_format="pyarrow",
+                                   fn_kwargs={"column": "text"})
+    return ds.select_columns(["doc_id", "n_words", "n_distinct_words",
+                              "top_word_n", "top_2gram_n", "dup_word_frac",
+                              "top_word_frac", "top_2gram_frac"])
+
+
 def q_events_by_type(sf_dir: str):
     """Relational sanity: per-type counts + value sums (rounded, float-order
     safe)."""
@@ -1230,6 +1243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delete_partitioned": q_delete_partitioned,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
+        "repetition_stats": q_repetition_stats,
         "events_by_type": q_events_by_type,
         "events_windowed": q_events_windowed,
         "orders_join_customers": q_orders_join_customers,
@@ -1442,6 +1456,33 @@ def oracle_sql() -> dict[str, str]:
             r"((1.0 - length(regexp_extract_all(text, '[0-9]')) / greatest(length(text), 1.0)) * "
             r"(1.0 - (length(regexp_extract_all(text, '[A-Z]')) / greatest(length(text), 1.0)) / 2.0))"
             r", 6) AS quality_score FROM documents",
+        "repetition_stats":
+            r"WITH w AS (SELECT doc_id, "
+            r"regexp_extract_all(text, '\S+') AS ws FROM documents), "
+            r"base AS (SELECT doc_id, len(ws) AS n_words, "
+            r"len(list_distinct(ws)) AS n_distinct_words, ws FROM w), "
+            r"tw AS (SELECT doc_id, max(c) AS top_word_n FROM ("
+            r"SELECT doc_id, word, count(*) AS c FROM ("
+            r"SELECT doc_id, unnest(ws) AS word FROM w) "
+            r"GROUP BY doc_id, word) GROUP BY doc_id), "
+            r"tg AS (SELECT doc_id, max(c) AS top_2gram_n FROM ("
+            r"SELECT doc_id, gram, count(*) AS c FROM ("
+            r"SELECT doc_id, unnest(list_transform("
+            r"range(1, greatest(len(ws), 1)), "
+            r"i -> ws[i] || ' ' || ws[i+1])) AS gram "
+            r"FROM w WHERE len(ws) >= 2) GROUP BY doc_id, gram) "
+            r"GROUP BY doc_id) "
+            r"SELECT b.doc_id, b.n_words, b.n_distinct_words, "
+            r"coalesce(tw.top_word_n, 0) AS top_word_n, "
+            r"coalesce(tg.top_2gram_n, 0) AS top_2gram_n, "
+            r"(b.n_words - b.n_distinct_words) / greatest(b.n_words, 1)"
+            r"::DOUBLE AS dup_word_frac, "
+            r"coalesce(tw.top_word_n, 0) / greatest(b.n_words, 1)"
+            r"::DOUBLE AS top_word_frac, "
+            r"coalesce(tg.top_2gram_n, 0) / greatest(b.n_words - 1, 1)"
+            r"::DOUBLE AS top_2gram_frac "
+            r"FROM base b LEFT JOIN tw USING (doc_id) "
+            r"LEFT JOIN tg USING (doc_id)",
         "events_by_type":
             "SELECT event_type, count(*) AS n_events, "
             "printf('%.4f', sum(value)) AS total_value "

@@ -10,6 +10,8 @@ wherever possible so the correctness gate can oracle-check them:
 - token_count  = number of ``\\S+`` runs       (SQL: length(regexp_extract_all(text,'\\S+')))
 - alpha/digit/upper/space counts via RE2 classes (SQL: regexp counts)
 - quality_score = deterministic arithmetic over those counts
+- repetition stats (Gopher-style dup-word / top-word / top-2-gram
+  fractions) = list/group aggregates over the same ``\\S+`` word stream
 Language-ID and the rolling-hash fingerprint have no SQL equivalent and get
 rows-only checks.
 """
@@ -68,6 +70,68 @@ def add_quality_score(batch: pa.Table, column: str = "text") -> pa.Table:
         pc.subtract(pa.scalar(1.0), digit),
         pc.subtract(pa.scalar(1.0), pc.divide(upper, pa.scalar(2.0)))))
     return batch.append_column("quality_score", score)
+
+
+def add_repetition_stats(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Append Gopher-style intra-document repetition statistics (Rae et al.
+    2021 §A1.1 quality signals): duplicate-word fraction, most-common-word
+    fraction, and most-common-2-gram fraction.  Repetitive documents (boiler-
+    plate, keyword stuffing, degenerate generations) are the classic
+    training-data removal target these signals gate on.
+
+    Definitions (SQL-matched exactly; words are ``\\S+`` runs, consistent
+    with :func:`add_token_stats`):
+
+    - ``n_words``          = count of words
+    - ``n_distinct_words`` = count of distinct words
+    - ``top_word_n``       = occurrences of the most frequent word
+    - ``top_2gram_n``      = occurrences of the most frequent adjacent pair
+    - ``dup_word_frac``    = (n_words - n_distinct_words) / max(n_words, 1)
+    - ``top_word_frac``    = top_word_n / max(n_words, 1)
+    - ``top_2gram_frac``   = top_2gram_n / max(n_words - 1, 1)
+
+    Per-doc stats over a row's own text ⇒ shuffle-free and embarrassingly
+    parallel: everything runs inside the batch via polars explode +
+    group_by (vectorized, no per-row Python), so the operator streams at
+    100 TB with zero data movement beyond the read.
+    """
+    import polars as pl
+
+    df = pl.from_arrow(pa.table({column: batch.column(column)})) \
+        .with_row_index("r")
+    ex = df.with_columns(w=pl.col(column).str.extract_all(r"\S+")) \
+        .select("r", "w").explode("w")
+    base = ex.group_by("r").agg(
+        n_words=pl.col("w").drop_nulls().len(),
+        n_distinct_words=pl.col("w").drop_nulls().n_unique())
+    tw = ex.drop_nulls("w").group_by("r", "w").len() \
+        .group_by("r").agg(top_word_n=pl.col("len").max())
+    # adjacent pairs: explode preserves per-row order, so shift(-1) within
+    # the row's partition is the next word; the last word pairs with null
+    # and is dropped
+    tg = ex.with_columns(nw=pl.col("w").shift(-1).over("r")) \
+        .drop_nulls(["w", "nw"]) \
+        .with_columns(gram=pl.col("w") + pl.lit(" ") + pl.col("nw")) \
+        .group_by("r", "gram").len() \
+        .group_by("r").agg(top_2gram_n=pl.col("len").max())
+    out = df.select("r").join(base, on="r", how="left") \
+        .join(tw, on="r", how="left").join(tg, on="r", how="left") \
+        .fill_null(0).sort("r") \
+        .with_columns([pl.col(c).cast(pl.Int64) for c in
+                       ("n_words", "n_distinct_words",
+                        "top_word_n", "top_2gram_n")]) \
+        .with_columns(
+            dup_word_frac=(pl.col("n_words") - pl.col("n_distinct_words"))
+            / pl.max_horizontal(pl.col("n_words"), 1),
+            top_word_frac=pl.col("top_word_n")
+            / pl.max_horizontal(pl.col("n_words"), 1),
+            top_2gram_frac=pl.col("top_2gram_n")
+            / pl.max_horizontal(pl.col("n_words") - 1, 1))
+    res = batch
+    for name in ("n_words", "n_distinct_words", "top_word_n", "top_2gram_n",
+                 "dup_word_frac", "top_word_frac", "top_2gram_frac"):
+        res = res.append_column(name, out[name].to_arrow())
+    return res
 
 
 # --- language ID: tiny stopword/charset heuristic (rows-only check) ---------

@@ -1649,3 +1649,71 @@ def test_token_stats_re2_semantics_match_duckdb_oracle():
         r"SELECT length(regexp_extract_all(text, '\S+')) "
         "FROM tbl ORDER BY doc_id").fetchall()]
     assert out.column("n_tokens").to_pylist() == want
+
+
+def test_repetition_stats_hand_case():
+    """Gopher-style repetition signals on a hand-computed document."""
+    from cuckoofilter_ray.functions.text import add_repetition_stats
+    texts = ["a a a b c", "x y z", "", "solo", "p q p q p"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = add_repetition_stats(tbl)
+    got = out.to_pandas().set_index("doc_id")
+    # "a a a b c": 5 words, 3 distinct, top word "a" x3,
+    # top 2-gram "a a" x2 of 4 adjacent pairs
+    assert got.loc[0, "n_words"] == 5
+    assert got.loc[0, "n_distinct_words"] == 3
+    assert got.loc[0, "top_word_n"] == 3
+    assert got.loc[0, "top_2gram_n"] == 2
+    assert got.loc[0, "dup_word_frac"] == (5 - 3) / 5
+    assert got.loc[0, "top_word_frac"] == 3 / 5
+    assert got.loc[0, "top_2gram_frac"] == 2 / 4
+    # all-distinct doc: zero repetition
+    assert got.loc[1, "dup_word_frac"] == 0.0
+    assert got.loc[1, "top_2gram_n"] == 1        # every pair unique
+    # empty doc: all-zero counts, fracs defined as 0 via max(n,1) guards
+    assert got.loc[2, "n_words"] == 0
+    assert got.loc[2, "dup_word_frac"] == 0.0
+    assert got.loc[2, "top_2gram_frac"] == 0.0
+    # single word: no adjacent pair exists
+    assert got.loc[3, "n_words"] == 1 and got.loc[3, "top_2gram_n"] == 0
+    # "p q p q p": top 2-gram "p q" x2 of 4 pairs
+    assert got.loc[4, "top_2gram_n"] == 2
+    assert got.loc[4, "top_word_n"] == 3
+
+
+def test_repetition_stats_matches_duckdb_oracle_edges():
+    """Engine repetition stats == the oracle's list-aggregate SQL on edge
+    inputs (empty, single word, heavy dup, unicode, whitespace runs)."""
+    import duckdb
+    from cuckoofilter_ray.functions.text import add_repetition_stats
+    texts = ["", " ", "w", "a a", "a  a   a", "the the the the",
+             "tab\tsep\ttab", "中文 中文 没有", "a b a b a b a",
+             "x " * 50 + "y"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = add_repetition_stats(tbl).to_pandas().sort_values("doc_id")
+    want = duckdb.sql(r"""
+        WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+                   FROM tbl),
+        base AS (SELECT doc_id, len(ws) AS n_words,
+                 len(list_distinct(ws)) AS n_distinct_words, ws FROM w),
+        tw AS (SELECT doc_id, max(c) AS top_word_n FROM (
+               SELECT doc_id, word, count(*) AS c FROM (
+               SELECT doc_id, unnest(ws) AS word FROM w)
+               GROUP BY doc_id, word) GROUP BY doc_id),
+        tg AS (SELECT doc_id, max(c) AS top_2gram_n FROM (
+               SELECT doc_id, gram, count(*) AS c FROM (
+               SELECT doc_id, unnest(list_transform(
+                   range(1, greatest(len(ws), 1)),
+                   i -> ws[i] || ' ' || ws[i+1])) AS gram
+               FROM w WHERE len(ws) >= 2) GROUP BY doc_id, gram)
+               GROUP BY doc_id)
+        SELECT b.doc_id, b.n_words, b.n_distinct_words,
+               coalesce(tw.top_word_n, 0) AS top_word_n,
+               coalesce(tg.top_2gram_n, 0) AS top_2gram_n
+        FROM base b LEFT JOIN tw USING (doc_id) LEFT JOIN tg USING (doc_id)
+        ORDER BY doc_id""").fetchdf()
+    for c in ["n_words", "n_distinct_words", "top_word_n", "top_2gram_n"]:
+        assert out[c].astype("int64").tolist() == \
+            want[c].astype("int64").tolist(), c
