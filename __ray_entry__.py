@@ -622,6 +622,19 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(docs, bh, k=8, seed=SEED)
 
 
+def q_crossdup_grams(sf_dir: str):
+    """Cross-document duplicated word-8-gram stats (ExactSubstr-style
+    dedup signal, Lee et al. 2021): a gram is duplicated when >= 2 distinct
+    docs contain it; each doc reports how much of it is shared spans.
+    One narrow (hash, count) groupby finds the dup set; scoring reuses the
+    decontamination broadcast probe (stages/decontaminate.py
+    duplicated_gram_stats)."""
+    from cuckoofilter_ray.stages.decontaminate import duplicated_gram_stats
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return duplicated_gram_stats(docs, k=8, seed=SEED)
+
+
 def q_doc_sha256(sf_dir: str):
     """Per-row sha256 hex — the content-equality invariant vs the reference."""
     keyed = derive_keys(_docs(sf_dir), content_col="text")
@@ -1236,6 +1249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,
         "decontaminate": q_decontaminate,
+        "crossdup_grams": q_crossdup_grams,
         "doc_sha256": q_doc_sha256,
         "doc_md5": q_doc_md5,
         "filter_semijoin": q_filter_semijoin,
@@ -1377,6 +1391,25 @@ def oracle_sql() -> dict[str, str]:
             "       COALESCE(2 * sc.n_hit >= sc.n_grams, false) AS flagged "
             "FROM (SELECT doc_id FROM documents WHERE doc_id % 13 <> 0) d "
             "LEFT JOIN sc ON d.doc_id = sc.doc_id",
+        "crossdup_grams":
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w "
+            "           FROM documents), "
+            "g AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram "
+            "      FROM t, UNNEST(generate_series(1, len(w) - 7)) AS s(i)), "
+            "dg AS (SELECT DISTINCT doc_id, gram FROM g), "
+            "dup AS (SELECT gram FROM dg GROUP BY gram "
+            "        HAVING count(*) >= 2), "
+            "sc AS (SELECT doc_id, count(*) AS n_grams, "
+            "              count(*) FILTER (gram IN (SELECT gram FROM dup)) "
+            "                  AS n_dup "
+            "       FROM dg GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(sc.n_grams, 0) AS n_grams, "
+            "       COALESCE(sc.n_dup, 0) AS n_dup, "
+            "       COALESCE(sc.n_dup, 0)::DOUBLE "
+            "           / greatest(COALESCE(sc.n_grams, 0), 1) "
+            "           AS dup_gram_frac "
+            "FROM (SELECT doc_id FROM documents) d "
+            "LEFT JOIN sc USING (doc_id)",
         "doc_sha256":
             "SELECT doc_id, sha256(text) AS sha_hex FROM documents",
         "doc_md5":

@@ -224,3 +224,130 @@ def decontaminate(docs_ds, bench_hashes: np.ndarray, *, k: int = 8,
                                    fn_kwargs=kwargs)
     return docs_ds.map_batches(contamination_score_fn,
                                batch_format="pyarrow", fn_kwargs=kwargs)
+
+
+# --- cross-document duplicated grams (ExactSubstr-style dedup signal) -------
+
+def duplicated_gram_stats(docs_ds, *, k: int = 8, seed: int = 4242,
+                          column: str = "text", id_col: str = "doc_id",
+                          min_docs: int = 2, broadcast_bound: int = 4_000_000,
+                          num_buckets: Optional[int] = None):
+    """Cross-document duplicated word-k-gram statistics — the corpus-vs-
+    itself form of decontamination and the detection half of ExactSubstr
+    deduplication (Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better"): a gram is *duplicated* when it occurs in at
+    least ``min_docs`` DISTINCT documents, and each document is scored by
+    how much of it is made of such shared spans.
+
+    Output: one row per document — ``(id, n_grams, n_dup, dup_gram_frac)``
+    where ``n_grams`` counts DISTINCT word k-grams of the doc, ``n_dup``
+    how many of those are duplicated corpus-wide, and ``dup_gram_frac`` =
+    ``n_dup / max(n_grams, 1)`` (the removal-policy knob: boilerplate and
+    exact/near copies score → 1.0).
+
+    Scale shape (the 100 TB story):
+
+    - phase 1 (the only shuffle): each batch emits pre-aggregated
+      ``(gram_hash, n_docs_in_batch)`` partials — 16-byte rows, grams
+      already distinct per doc — then ONE ``groupby(h).sum`` exchange
+      counts documents per gram.  Text never rides the shuffle.
+    - phase 2 is decontamination against the duplicated-gram set: when
+      the set fits ``broadcast_bound`` it broadcasts once (cuckoo-AMQ
+      prescreen + exact confirm — `contamination_score_fn`) and the
+      corpus streams shuffle-free; above the bound, per-doc gram pairs
+      hash-join the dup set instead (O(pairs) bucketed exchange, no
+      broadcast), and zero-dup docs are restored by a left-outer join.
+    Both paths return identical tables (pinned by test).
+
+    Exactness caveat: doc-gram identity is the 64-bit polynomial/mix hash
+    of `word_gram_hashes` — collisions are 2⁻⁶⁴-scale birthday events
+    (~1e-9 even at 10⁶ distinct grams); at 100 TB raise to the 128-bit
+    variant of the same scheme if exact-set semantics are contractual."""
+    import pyarrow.compute as pc
+    import ray
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        h, _doc, _nd = distinct_gram_hashes(batch.column(column), k, seed)
+        uh, nd = np.unique(h, return_counts=True)   # per-doc distinct ⇒
+        return pa.table({                           # count == #docs in batch
+            "h": pa.array(uh.view(np.int64), pa.int64()),
+            "nd": pa.array(nd.astype(np.int64), pa.int64())})
+
+    counts = docs_ds.map_batches(_partials, batch_format="pyarrow",
+                                 batch_size=None) \
+        .groupby("h").sum("nd")
+
+    def _keep_dup(t: pa.Table) -> pa.Table:
+        m = pc.greater_equal(t.column("sum(nd)"), min_docs)
+        return t.filter(m).select(["h"])
+
+    dup = counts.map_batches(_keep_dup, batch_format="pyarrow",
+                             batch_size=None).materialize()   # small result
+    n_dup_grams = dup.count()
+
+    if n_dup_grams <= broadcast_bound:
+        # --- broadcast path: decontaminate the corpus against itself ----
+        parts = [b.column("h").to_numpy().view(np.uint64) for b in
+                 dup.iter_batches(batch_format="pyarrow", batch_size=None)]
+        dup_h = np.sort(np.concatenate(parts)) if parts \
+            else np.empty(0, dtype=np.uint64)
+        scored = decontaminate(docs_ds, dup_h, k=k, seed=seed,
+                               column=column, id_col=id_col)
+
+        def _finish(t: pa.Table) -> pa.Table:
+            n_grams = t.column("n_grams")
+            n_dup = t.column("n_hit")
+            denom = pc.max_element_wise(n_grams, pa.scalar(1, pa.int64()))
+            frac = pc.divide(pc.cast(n_dup, pa.float64()),
+                             pc.cast(denom, pa.float64()))
+            return pa.table({id_col: t.column(id_col), "n_grams": n_grams,
+                             "n_dup": n_dup, "dup_gram_frac": frac})
+
+        return scored.map_batches(_finish, batch_format="pyarrow",
+                                  batch_size=None)
+
+    # --- join path: dup set too large to broadcast -----------------------
+    # Two chained hash-shuffle exchanges run here (pairs ⋈ dup, then the
+    # left-outer restore); each wants its own aggregator-actor pool, so
+    # the bucket count is capped to half the cluster's CPUs — 32-bucket
+    # pools on an 8-cpu session deadlock waiting for actor slots.
+    from .relational import hash_join
+    if num_buckets is None:
+        num_buckets = max(2, min(32,
+            int(ray.cluster_resources().get("CPU", 8)) // 2))
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        h, doc, _ = distinct_gram_hashes(batch.column(column), k, seed)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        return pa.table({"h": pa.array(h.view(np.int64), pa.int64()),
+                         id_col: pa.array(ids[doc], pa.int64())})
+
+    def _base(batch: pa.Table) -> pa.Table:
+        _h, _doc, ng = distinct_gram_hashes(batch.column(column), k, seed)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_grams": pa.array(ng, pa.int64())})
+
+    pairs = docs_ds.map_batches(_pairs, batch_format="pyarrow",
+                                batch_size=None)
+    hit = hash_join(pairs, dup, "h", "h", num_buckets=num_buckets)
+    per_doc = hit.groupby(id_col).count()            # (id, count())
+    base = docs_ds.map_batches(_base, batch_format="pyarrow",
+                               batch_size=None)
+    joined = base.join(per_doc, join_type="left_outer",
+                       num_partitions=num_buckets, on=(id_col,))
+
+    def _finish_join(t: pa.Table) -> pa.Table:
+        n_grams = t.column("n_grams")
+        n_dup = pc.coalesce(pc.cast(t.column("count()"), pa.int64()),
+                            pa.scalar(0, pa.int64()))
+        denom = pc.max_element_wise(n_grams, pa.scalar(1, pa.int64()))
+        frac = pc.divide(pc.cast(n_dup, pa.float64()),
+                         pc.cast(denom, pa.float64()))
+        return pa.table({id_col: t.column(id_col), "n_grams": n_grams,
+                         "n_dup": n_dup, "dup_gram_frac": frac})
+
+    return joined.map_batches(_finish_join, batch_format="pyarrow",
+                              batch_size=None)

@@ -140,3 +140,59 @@ def test_empty_benchmark_flags_nothing(ray_session):
     out = decontaminate(ds, np.empty(0, dtype=np.uint64), k=K,
                         seed=SEED).to_pandas()
     assert (out.n_hit == 0).all() and (~out.flagged).all()
+
+
+# --- cross-document duplicated grams (duplicated_gram_stats) ----------------
+
+def _ref_dup_stats(corpus, k, min_docs=2):
+    """Literal-string reference: per doc, distinct k-grams and how many of
+    them occur in >= min_docs distinct documents."""
+    per_doc = [set(ref_grams(t, k)) for t in corpus]
+    from collections import Counter
+    ndocs = Counter(g for s in per_doc for g in s)
+    dup = {g for g, c in ndocs.items() if c >= min_docs}
+    return [(len(s), len(s & dup)) for s in per_doc]
+
+
+@pytest.mark.parametrize("path", ["broadcast", "join"])
+def test_duplicated_gram_stats_matches_reference(ray_session, path):
+    """Both the broadcast path and the hash-join fallback reproduce the
+    literal-string reference (n_grams, n_dup, frac) on a corpus with an
+    exact dup, a partial overlap, short/empty docs, and space runs."""
+    import ray
+    from cuckoofilter_ray.stages.decontaminate import duplicated_gram_stats
+
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(CORPUS)]) \
+        .repartition(3)
+    kwargs = {"k": K, "seed": SEED}
+    if path == "join":
+        kwargs.update(broadcast_bound=0, num_buckets=2)
+    out = duplicated_gram_stats(ds, **kwargs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = _ref_dup_stats(CORPUS, K)
+    assert out["n_grams"].tolist() == [w[0] for w in want]
+    assert out["n_dup"].tolist() == [w[1] for w in want]
+    for i, (ng, nd) in enumerate(want):
+        assert out.loc[i, "dup_gram_frac"] == nd / max(ng, 1)
+    # the exact-dup pair is fully duplicated; the all-unique doc is clean
+    assert out.loc[0, "dup_gram_frac"] == 1.0
+    assert out.loc[1, "dup_gram_frac"] == 1.0
+    assert out.loc[5, "n_dup"] == 0
+
+
+def test_duplicated_gram_stats_min_docs_threshold(ray_session):
+    """min_docs=3 keeps only grams shared by >= 3 documents (the 'quick
+    brown fox' span occurs in 4 docs of CORPUS; the exact-dup-only grams
+    occur in 2 and drop out)."""
+    import ray
+    from cuckoofilter_ray.stages.decontaminate import duplicated_gram_stats
+
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(CORPUS)])
+    out = duplicated_gram_stats(ds, k=K, seed=SEED, min_docs=3) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = _ref_dup_stats(CORPUS, K, min_docs=3)
+    assert out["n_grams"].tolist() == [w[0] for w in want]
+    assert out["n_dup"].tolist() == [w[1] for w in want]
+    assert 0 < out.loc[0, "n_dup"] < out.loc[0, "n_grams"]
