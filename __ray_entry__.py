@@ -635,6 +635,28 @@ def q_crossdup_grams(sf_dir: str):
     return duplicated_gram_stats(docs, k=8, seed=SEED)
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-stratum subsample (keep-rate by lang, md5-
+    threshold decision — stages/sampling.py).  Shuffle-free, id-keyed,
+    rerun/resume/growth-stable; value-exact md5-prefix oracle."""
+    from cuckoofilter_ray.stages.sampling import stratified_sample
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang"])
+    return stratified_sample(docs, {"en": 0.8, "zh": 0.5},
+                             default_rate=0.25, salt="s42:")
+
+
+def q_hash_split(sf_dir: str):
+    """Stable train/val/test assignment by md5-threshold buckets
+    (stages/sampling.py hash_split): one streaming pass, no RNG state,
+    a document keeps its split under corpus growth."""
+    from cuckoofilter_ray.stages.sampling import hash_split
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    return hash_split(docs, [("train", 0.8), ("val", 0.9), ("test", 1.0)],
+                      salt="split1:")
+
+
 def q_doc_sha256(sf_dir: str):
     """Per-row sha256 hex — the content-equality invariant vs the reference."""
     keyed = derive_keys(_docs(sf_dir), content_col="text")
@@ -1250,6 +1272,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": q_dedup_incremental,
         "decontaminate": q_decontaminate,
         "crossdup_grams": q_crossdup_grams,
+        "stratified_sample": q_stratified_sample,
+        "hash_split": q_hash_split,
         "doc_sha256": q_doc_sha256,
         "doc_md5": q_doc_md5,
         "filter_semijoin": q_filter_semijoin,
@@ -1410,6 +1434,19 @@ def oracle_sql() -> dict[str, str]:
             "           AS dup_gram_frac "
             "FROM (SELECT doc_id FROM documents) d "
             "LEFT JOIN sc USING (doc_id)",
+        "stratified_sample":
+            "SELECT doc_id, lang, u_hex FROM "
+            "(SELECT doc_id, lang, "
+            " substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS u_hex"
+            " FROM documents) "
+            "WHERE u_hex < CASE lang WHEN 'en' THEN 'cccccccd' "
+            "WHEN 'zh' THEN '80000000' ELSE '40000000' END",
+        "hash_split":
+            "SELECT doc_id, CASE WHEN u < 'cccccccd' THEN 'train' "
+            "WHEN u < 'e6666666' THEN 'val' ELSE 'test' END AS split "
+            "FROM (SELECT doc_id, "
+            "substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 8) AS u "
+            "FROM documents)",
         "doc_sha256":
             "SELECT doc_id, sha256(text) AS sha_hex FROM documents",
         "doc_md5":

@@ -1717,3 +1717,73 @@ def test_repetition_stats_matches_duckdb_oracle_edges():
     for c in ["n_words", "n_distinct_words", "top_word_n", "top_2gram_n"]:
         assert out[c].astype("int64").tolist() == \
             want[c].astype("int64").tolist(), c
+
+
+# --- deterministic hash sampling / splits (stages/sampling.py) --------------
+
+def test_stratified_sample_matches_md5_reference(ray_session):
+    """Kept set == the literal hashlib reference per stratum rate, and is
+    id-keyed: rerun and grown-corpus runs keep the same rows."""
+    import hashlib
+    import ray
+    from cuckoofilter_ray.stages.sampling import (stratified_sample,
+                                                  threshold_hex)
+
+    rows = [{"doc_id": i, "lang": ["en", "zh", "fr"][i % 3]}
+            for i in range(300)]
+    ds = ray.data.from_items(rows).repartition(4)
+    rates = {"en": 0.7, "zh": 0.3}
+    out = stratified_sample(ds, rates, default_rate=0.1, salt="t:") \
+        .to_pandas().sort_values("doc_id")
+    thr = {k: threshold_hex(v) for k, v in rates.items()}
+    dthr = threshold_hex(0.1)
+    want = [r["doc_id"] for r in rows
+            if hashlib.md5(f"t:{r['doc_id']}".encode()).hexdigest()[:8]
+            < thr.get(r["lang"], dthr)]
+    assert out["doc_id"].tolist() == want
+    # growth stability: the 300-row corpus' fate is a subset decision —
+    # running on the first half keeps exactly the kept ids below 150
+    half = stratified_sample(ray.data.from_items(rows[:150]), rates,
+                             default_rate=0.1, salt="t:") \
+        .to_pandas()["doc_id"].tolist()
+    assert sorted(half) == [i for i in want if i < 150]
+
+
+def test_stratified_sample_splitmix_mode(ray_session):
+    """Fast mode: deterministic, salt-sensitive, approximately on-rate."""
+    import ray
+    from cuckoofilter_ray.stages.sampling import stratified_sample
+
+    rows = [{"doc_id": i, "lang": "en"} for i in range(4000)]
+    ds = ray.data.from_items(rows)
+    a = stratified_sample(ds, {"en": 0.5}, salt="a:", mode="splitmix") \
+        .to_pandas()["doc_id"].tolist()
+    b = stratified_sample(ds, {"en": 0.5}, salt="a:", mode="splitmix") \
+        .to_pandas()["doc_id"].tolist()
+    c = stratified_sample(ds, {"en": 0.5}, salt="b:", mode="splitmix") \
+        .to_pandas()["doc_id"].tolist()
+    assert a == b and a != c
+    assert 0.44 < len(a) / 4000 < 0.56
+
+
+def test_hash_split_partitions_every_row_once(ray_session):
+    """Every row gets exactly one split; proportions track the bounds;
+    rate-1.0 tail catches the full hex range; malformed bounds raise."""
+    import pytest as _pytest
+    import ray
+    from cuckoofilter_ray.stages.sampling import hash_split
+
+    ds = ray.data.from_items([{"doc_id": i} for i in range(3000)])
+    out = hash_split(ds, [("train", 0.8), ("val", 0.9), ("test", 1.0)],
+                     salt="sp:").to_pandas()
+    assert len(out) == 3000 and out["split"].notna().all()
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.05
+    assert abs(frac["val"] - 0.1) < 0.03
+    assert abs(frac["test"] - 0.1) < 0.03
+    # same salt, same assignment on a rerun
+    again = hash_split(ds, [("train", 0.8), ("val", 0.9), ("test", 1.0)],
+                       salt="sp:").to_pandas()
+    assert out["split"].tolist() == again["split"].tolist()
+    with _pytest.raises(ValueError):
+        hash_split(ds, [("train", 0.8)])
