@@ -657,6 +657,17 @@ def q_hash_split(sf_dir: str):
                       salt="split1:")
 
 
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing: next-fit document binning into 128-token training
+    sequences within doc_id//100 shards (stages/packing.py).  Only 16-byte
+    (id, shard, n_tokens) rows ride the groupby; every bin assignment is
+    value-exact vs the recursive-CTE oracle."""
+    from cuckoofilter_ray.stages.packing import pack_sequences
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return pack_sequences(docs, budget=128, shard_size=100)
+
+
 def q_doc_sha256(sf_dir: str):
     """Per-row sha256 hex — the content-equality invariant vs the reference."""
     keyed = derive_keys(_docs(sf_dir), content_col="text")
@@ -1274,6 +1285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crossdup_grams": q_crossdup_grams,
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
+        "pack_sequences": q_pack_sequences,
         "doc_sha256": q_doc_sha256,
         "doc_md5": q_doc_md5,
         "filter_semijoin": q_filter_semijoin,
@@ -1447,6 +1459,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id, "
             "substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 8) AS u "
             "FROM documents)",
+        "pack_sequences":
+            r"WITH RECURSIVE d AS ("
+            r" SELECT doc_id, doc_id // 100 AS shard,"
+            r" length(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,"
+            r" row_number() OVER (PARTITION BY doc_id // 100"
+            r"                    ORDER BY doc_id) AS rn"
+            r" FROM documents), "
+            r"walk AS ("
+            r" SELECT shard, rn, doc_id, n_tokens,"
+            r"        1::BIGINT AS seq_bin, n_tokens AS fill"
+            r" FROM d WHERE rn = 1"
+            r" UNION ALL"
+            r" SELECT d.shard, d.rn, d.doc_id, d.n_tokens,"
+            r"  CASE WHEN w.fill + d.n_tokens <= 128 THEN w.seq_bin"
+            r"       ELSE w.seq_bin + 1 END,"
+            r"  CASE WHEN w.fill + d.n_tokens <= 128 THEN w.fill + d.n_tokens"
+            r"       ELSE d.n_tokens END"
+            r" FROM walk w JOIN d ON d.shard = w.shard AND d.rn = w.rn + 1) "
+            r"SELECT doc_id, shard, n_tokens, seq_bin FROM walk",
         "doc_sha256":
             "SELECT doc_id, sha256(text) AS sha_hex FROM documents",
         "doc_md5":

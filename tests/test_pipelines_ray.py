@@ -1787,3 +1787,56 @@ def test_hash_split_partitions_every_row_once(ray_session):
     assert out["split"].tolist() == again["split"].tolist()
     with _pytest.raises(ValueError):
         hash_split(ds, [("train", 0.8)])
+
+
+# --- sequence packing (stages/packing.py) -----------------------------------
+
+def test_pack_tokens_next_fit_kernel():
+    """Next-fit invariants: bins are contiguous 1..B, every bin respects
+    the budget unless it holds a single oversized doc, and a doc starts a
+    new bin exactly when it would overflow the running one."""
+    import numpy as np
+    from cuckoofilter_ray.stages.packing import _pack_tokens_next_fit
+
+    tok = np.array([50, 60, 30, 200, 10, 10, 128, 1], dtype=np.int64)
+    bins = _pack_tokens_next_fit(tok, 128)
+    # [50,60]=110 | [30] (140>128) | [200] oversize-alone | [10,10]
+    # | [128] exactly fills | [1] (128+1 overflows)
+    assert bins.tolist() == [1, 1, 2, 3, 4, 4, 5, 6]
+    for b in np.unique(bins):
+        members = tok[bins == b]
+        assert members.sum() <= 128 or len(members) == 1
+    assert np.all(np.diff(bins) >= 0) and bins[0] == 1
+    assert _pack_tokens_next_fit(np.empty(0, np.int64), 128).size == 0
+    # all-oversize: one per bin
+    assert _pack_tokens_next_fit(
+        np.array([300, 300], np.int64), 128).tolist() == [1, 2]
+
+
+def test_pack_sequences_partition_invariant(ray_session):
+    """The packing layout is pure id arithmetic: 1-block and 7-block runs
+    of the same corpus produce identical (shard, seq_bin) assignments, and
+    a precomputed token_col short-circuits the text scan to the same
+    answer."""
+    import ray
+    from cuckoofilter_ray.stages.packing import pack_sequences
+
+    rows = [{"doc_id": i, "text": "w " * ((i * 37) % 90) + "end"}
+            for i in range(400)]
+    one = pack_sequences(ray.data.from_items(rows).repartition(1),
+                         budget=100, shard_size=64).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    many = pack_sequences(ray.data.from_items(rows).repartition(7),
+                          budget=100, shard_size=64).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert one.equals(many)
+    assert one["shard"].tolist() == [i // 64 for i in range(400)]
+    pre = [{"doc_id": r["doc_id"], "n_tok": len(r["text"].split())}
+           for r in rows]
+    viatok = pack_sequences(ray.data.from_items(pre), budget=100,
+                            shard_size=64, token_col="n_tok").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert viatok["seq_bin"].tolist() == one["seq_bin"].tolist()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pack_sequences(ray.data.from_items(pre), budget=0)
