@@ -183,7 +183,51 @@ assert mismatch <= max(2, n_base_coll_pairs + 1), \
     f"decon flags diverge from model by {mismatch}"
 assert n_clean == n_near - len(flagged_ids)
 
-# ---- 5. resumable partitioned write + no-op resume ------------------------
+# ---- 5. train/val/test split + sequence packing ---------------------------
+t0 = time.perf_counter()
+from cuckoofilter_ray.kernels.hashing import mix_split  # noqa: E402
+from cuckoofilter_ray.stages.packing import (_pack_tokens_next_fit,  # noqa: E402
+                                             pack_sequences)
+from cuckoofilter_ray.stages.sampling import hash_split, threshold_hex  # noqa: E402
+
+BOUNDS = [("train", 0.9), ("val", 0.95), ("test", 1.0)]
+split_ds = hash_split(clean, BOUNDS, salt="split:",
+                      mode="splitmix").materialize()
+split_counts = {r["split"]: r["count()"] for r in
+                split_ds.groupby("split").count().take_all()}
+# model: the engine's splitmix decision is a pure function of (salt, id) —
+# recompute it vectorized in the driver and compare bucket-exactly
+import hashlib  # noqa: E402
+
+kept_clean = np.setdiff1d(kept_after_near, flagged_ids)
+sm = int.from_bytes(hashlib.md5(b"split:").digest()[:8], "little")
+u32 = mix_split(kept_clean.astype(np.uint64), sm) >> np.uint64(32)
+cut_train = np.uint64(int(threshold_hex(0.9), 16))
+cut_val = np.uint64(int(threshold_hex(0.95), 16))
+expect_counts = {
+    "train": int((u32 < cut_train).sum()),
+    "val": int(((u32 >= cut_train) & (u32 < cut_val)).sum()),
+    "test": int((u32 >= cut_val).sum()),
+}
+assert split_counts == expect_counts, (split_counts, expect_counts)
+
+# pack the train split into 1024-token sequences within id-range shards
+train = split_ds.filter(expr="split == 'train'")
+packed = pack_sequences(train, budget=1024, shard_size=4096,
+                        column="text").to_pandas()
+assert len(packed) == split_counts["train"], "pack must cover every doc"
+n_seqs = 0
+for _shard, g in packed.sort_values("doc_id").groupby("shard"):
+    toks = g["n_tokens"].to_numpy(np.int64)
+    want_bins = _pack_tokens_next_fit(toks, 1024)
+    assert g["seq_bin"].to_numpy(np.int64).tolist() == want_bins.tolist(),         "distributed packing diverges from the sequential kernel"
+    n_seqs += int(want_bins[-1]) if len(want_bins) else 0
+fill = float(packed["n_tokens"].sum()) / max(n_seqs * 1024, 1)
+stages["split_pack"] = {"splits": split_counts, "train_seqs": n_seqs,
+                        "mean_fill": round(fill, 4),
+                        "sec": round(time.perf_counter() - t0, 3)}
+
+# ---- 6. resumable partitioned write + no-op resume ------------------------
 t0 = time.perf_counter()
 shutil.rmtree(OUT, ignore_errors=True)
 man1 = resumable_write_partitioned(clean, OUT, "lang")
@@ -204,14 +248,16 @@ assert stamps1 == stamps2, "no-op resume must not rewrite any partition"
 
 print(json.dumps({
     "metric": "end-to-end training-data pipeline (filter->dedup->neardup->"
-              "decontaminate->partitioned write)",
+              "decontaminate->split/pack->partitioned write)",
     "value": round(time.perf_counter() - t_all, 3),
     "unit": "sec",
     "n_docs": N,
     "stages": stages,
     "verified": "every retention decision checked against the generator "
                 "model (lang draw, min-id per content_src, base-collision "
-                "bound, bench-src flags), write re-read + no-op resume",
+                "bound, bench-src flags), split buckets recomputed in the "
+                "driver, per-shard packing vs the sequential kernel, write "
+                "re-read + no-op resume",
     "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", 32)),
 }))
 ray.shutdown()
