@@ -657,6 +657,63 @@ def q_hash_split(sf_dir: str):
                       salt="split1:")
 
 
+def q_domain_cap(sf_dir: str):
+    """Per-source document quota (stages/sampling.py cap_per_group): keep
+    the 7 smallest (md5-priority, id) docs of every source — block-level
+    pre-reduce to ≤ k rows per group, then ONE group-hash-bucketed
+    shuffle whose per-bucket reducer is the same vectorized top-k.
+    Value-exact row_number() oracle."""
+    from cuckoofilter_ray.stages.sampling import cap_per_group
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+    return cap_per_group(docs, "source", 7, salt="cap:")
+
+
+def _plant_pii(t):
+    """Deterministically append synthetic PII to a doc batch — the same
+    expression the SQL oracle builds, so the redaction has real matches
+    to find on the PII-free test corpus (scaffolding, not operator)."""
+    import pyarrow as pa
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    aug = [
+        (x or "")
+        + (f" contact u{i}@ex{i % 5}.com" if i % 3 == 0 else "")
+        + (f" from 10.{i % 256}.0.{i % 100}" if i % 4 == 0 else "")
+        + (f" tel +1 555 01{i % 90 + 10}" if i % 5 == 0 else "")
+        for i, x in zip(ids, texts)]
+    return t.set_column(t.column_names.index("text"), "text",
+                        pa.array(aug, pa.string()))
+
+
+def q_pii_redact(sf_dir: str):
+    """PII scrub (stages/redact.py): RE2 email/IPv4/phone patterns applied
+    columnar-ly in order on progressively-redacted text, per-doc match
+    counts — one shuffle-free map_batches pass.  The corpus is PII-free,
+    so the query plants deterministic PII first (same expression in the
+    SQL oracle); both sides then run the identical RE2 chain (Arrow and
+    DuckDB both bind RE2), value-exact."""
+    from cuckoofilter_ray.stages.redact import pii_redact
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"]) \
+        .map_batches(_plant_pii, batch_format="pyarrow", batch_size=None)
+    return pii_redact(docs)
+
+
+def q_exactsubstr_dedup(sf_dir: str):
+    """ExactSubstr-style removal (stages/decontaminate.py
+    exactsubstr_dedup — the removal half of Lee et al. 2021, complement
+    of `crossdup_grams`): cut every word covered by a word-8-gram that
+    occurs in ≥ 2 distinct docs.  Phase 1 = one narrow bucketed shuffle
+    of 16-byte gram partials; phase 2 streams the corpus against the
+    broadcast dup set (cuckoo-AMQ prescreen + exact confirm).  Clean
+    text, word and removal counts are value-exact vs the SQL oracle."""
+    from cuckoofilter_ray.stages.decontaminate import exactsubstr_dedup
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return exactsubstr_dedup(docs, k=8, seed=SEED)
+
+
 def q_pack_sequences(sf_dir: str):
     """Sequence packing: next-fit document binning into 128-token training
     sequences within doc_id//100 shards (stages/packing.py).  Only 16-byte
@@ -1285,6 +1342,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crossdup_grams": q_crossdup_grams,
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
+        "domain_cap": q_domain_cap,
+        "pii_redact": q_pii_redact,
+        "exactsubstr_dedup": q_exactsubstr_dedup,
         "pack_sequences": q_pack_sequences,
         "doc_sha256": q_doc_sha256,
         "doc_md5": q_doc_md5,
@@ -1459,6 +1519,72 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id, "
             "substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 8) AS u "
             "FROM documents)",
+        "domain_cap":
+            "SELECT doc_id, source, \"_prio\" FROM "
+            "(SELECT doc_id, source, "
+            " substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8) "
+            "     AS \"_prio\", "
+            " row_number() OVER (PARTITION BY source ORDER BY "
+            "   substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8), "
+            "   doc_id) AS rn "
+            " FROM documents) WHERE rn <= 7",
+        "pii_redact":
+            r"WITH aug AS (SELECT doc_id, text"
+            r" || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id"
+            r"      || '@ex' || (doc_id % 5) || '.com' ELSE '' END"
+            r" || CASE WHEN doc_id % 4 = 0 THEN ' from 10.'"
+            r"      || (doc_id % 256) || '.0.' || (doc_id % 100)"
+            r"      ELSE '' END"
+            r" || CASE WHEN doc_id % 5 = 0 THEN ' tel +1 555 01'"
+            r"      || (doc_id % 90 + 10) ELSE '' END AS t0"
+            r" FROM documents), "
+            r"s1 AS (SELECT doc_id,"
+            r" len(regexp_extract_all(t0,"
+            r"  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT"
+            r"  AS n_email,"
+            r" regexp_replace(t0,"
+            r"  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',"
+            r"  '<EMAIL>', 'g') AS t1 FROM aug), "
+            r"s2 AS (SELECT doc_id, n_email,"
+            r" len(regexp_extract_all(t1,"
+            r"  '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))::BIGINT AS n_ipv4,"
+            r" regexp_replace(t1, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b',"
+            r"  '<IP>', 'g') AS t2 FROM s1) "
+            r"SELECT doc_id, n_email, n_ipv4,"
+            r" len(regexp_extract_all(t2,"
+            r"  '\+?[0-9][0-9()\- ]{6,}[0-9]'))::BIGINT AS n_phone,"
+            r" regexp_replace(t2, '\+?[0-9][0-9()\- ]{6,}[0-9]',"
+            r"  '<PHONE>', 'g') AS text FROM s2",
+        "exactsubstr_dedup":
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w "
+            "           FROM documents), "
+            "g AS (SELECT doc_id, i, array_to_string(w[i:i+7], ' ') "
+            "          AS gram "
+            "      FROM t, UNNEST(generate_series(1, len(w) - 7)) "
+            "          AS s(i)), "
+            "dup AS (SELECT gram FROM "
+            "        (SELECT DISTINCT doc_id, gram FROM g) "
+            "        GROUP BY gram HAVING count(*) >= 2), "
+            "cov AS (SELECT DISTINCT doc_id, j "
+            "        FROM g, UNNEST(generate_series(i, i + 7)) AS u(j) "
+            "        WHERE gram IN (SELECT gram FROM dup)), "
+            "words AS (SELECT doc_id, i, w[i] AS word "
+            "          FROM t, UNNEST(generate_series(1, len(w))) "
+            "              AS s(i)), "
+            "kept AS (SELECT words.doc_id, words.i, words.word "
+            "         FROM words LEFT JOIN cov "
+            "           ON words.doc_id = cov.doc_id AND words.i = cov.j "
+            "         WHERE cov.doc_id IS NULL), "
+            "agg AS (SELECT doc_id, "
+            "               string_agg(word, ' ' ORDER BY i) "
+            "                   AS text_clean, "
+            "               count(*) AS n_kept "
+            "        FROM kept GROUP BY doc_id) "
+            "SELECT t.doc_id, COALESCE(agg.text_clean, '') AS text_clean, "
+            "       len(t.w)::BIGINT AS n_words, "
+            "       (len(t.w) - COALESCE(agg.n_kept, 0))::BIGINT "
+            "           AS n_removed "
+            "FROM t LEFT JOIN agg USING (doc_id)",
         "pack_sequences":
             r"WITH RECURSIVE d AS ("
             r" SELECT doc_id, doc_id // 100 AS shard,"

@@ -228,6 +228,170 @@ def decontaminate(docs_ds, bench_hashes: np.ndarray, *, k: int = 8,
 
 # --- cross-document duplicated grams (ExactSubstr-style dedup signal) -------
 
+
+def _dup_gram_dataset(docs_ds, *, k: int, seed: int, column: str,
+                      min_docs: int, count_buckets: int):
+    """Phase 1 of the ExactSubstr pair (detection AND removal): the
+    materialized Dataset of gram hashes occurring in ≥ ``min_docs``
+    DISTINCT documents.  The only shuffle of either operator: 16-byte
+    pre-aggregated ``(gram_hash, n_docs_in_batch)`` partials, bucketed
+    into ``count_buckets`` hash partitions, each reduced by one
+    vectorized sort + ``reduceat`` pass (a per-gram ``groupby(h).sum``
+    walks rows in Python map-side in ray 2.49 — see NOTES)."""
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        h, _doc, _nd = distinct_gram_hashes(batch.column(column), k, seed)
+        uh, nd = np.unique(h, return_counts=True)   # per-doc distinct ⇒
+        b = (uh % np.uint64(count_buckets)).astype(np.int32)
+        return pa.table({                           # count == #docs in batch
+            "h": pa.array(uh.view(np.int64), pa.int64()),
+            "nd": pa.array(nd.astype(np.int64), pa.int64()),
+            "_b": pa.array(b, pa.int32())})
+
+    def _reduce_bucket(t: pa.Table) -> pa.Table:
+        # one group == one hash bucket: sort once, segment-sum, threshold
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        nd = t.column("nd").to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h, nd = h[order], nd[order]
+        uh, idx = np.unique(h, return_index=True)
+        sums = np.add.reduceat(nd, idx) if len(nd) else nd
+        return pa.table({"h": pa.array(uh[sums >= min_docs], pa.int64())})
+
+    return docs_ds.map_batches(_partials, batch_format="pyarrow",
+                               batch_size=None) \
+        .groupby("_b").map_groups(_reduce_bucket, batch_format="pyarrow") \
+        .materialize()                              # small result
+
+
+def remove_duplicated_spans_fn(batch: pa.Table, *, filter_ref=None,
+                               exact_ref=None, k: int = 8,
+                               seed: int = 4242, column: str = "text",
+                               id_col: str = "doc_id") -> pa.Table:
+    """Stateless batch stage: cut every word covered by a duplicated gram.
+
+    A word is removed iff SOME occurrence of a duplicated k-gram covers
+    it; survivors re-join with single spaces in original order.  Pure
+    numpy/Arrow: one zero-copy gram-hash pass (with multiplicity — every
+    occurrence covers, unlike the distinct counting pass), AMQ prescreen
+    + exact confirm of candidates, then interval stabbing via a ±1 diff
+    array + cumsum over the batch's flattened word sequence, and one
+    ``ListArray``/``binary_join`` rebuild.  No shuffle, no Python loop."""
+    import pyarrow.compute as pc
+    import ray
+
+    filt = cache_get(_CACHE, ("filt", filter_ref.hex()),
+                     lambda: row_to_filter(ray.get(filter_ref)))
+    exact = cache_get(_CACHE, ("exact", exact_ref.hex()),
+                      lambda: ray.get(exact_ref))
+    texts = batch.column(column)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if texts.null_count:
+        texts = texts.fill_null("")
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+        .astype(np.int64, copy=False)
+    ndocs = len(texts)
+
+    words = pc.split_pattern(texts, pattern=" ")    # DuckDB string_split
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offs = np.asarray(words.offsets)                # already logical-range
+    offs = (offs - offs[0]).astype(np.int64)
+    flat = words.flatten()
+    nw = np.diff(offs)
+    total_w = int(offs[-1])
+
+    h, counts = word_gram_hashes(texts, k, seed)    # multiplicity, doc order
+    covered = np.zeros(total_w, dtype=bool)
+    if len(h):
+        maybe = filt.contain_batch(h)
+        hit = np.zeros(len(h), dtype=bool)
+        if maybe.any():                             # confirm AMQ positives
+            cand = np.flatnonzero(maybe)
+            pos = np.searchsorted(exact, h[cand])
+            pos[pos == len(exact)] = 0
+            hit[cand] = exact[pos] == h[cand]
+        if hit.any():
+            go = np.zeros(ndocs, dtype=np.int64)
+            np.cumsum(counts[:-1], out=go[1:])
+            # global word index of gram (d, j) = offs[d] + j
+            gws = np.arange(len(h), dtype=np.int64) \
+                - np.repeat(go, counts) + np.repeat(offs[:-1], counts)
+            s = gws[hit]
+            diff = np.zeros(total_w + 1, dtype=np.int64)
+            np.add.at(diff, s, 1)
+            np.add.at(diff, s + k, -1)              # s + k ≤ offs[d+1]
+            covered = np.cumsum(diff[:-1]) > 0
+
+    word_doc = np.repeat(np.arange(ndocs, dtype=np.int64), nw)
+    n_removed = np.bincount(word_doc[covered],
+                            minlength=ndocs).astype(np.int64)
+    kept_idx = np.flatnonzero(~covered)
+    new_offs = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(nw - n_removed, out=new_offs[1:])
+    kept_words = flat.take(pa.array(kept_idx, pa.int64()))
+    clean = pc.binary_join(
+        pa.LargeListArray.from_arrays(pa.array(new_offs, pa.int64()),
+                                      kept_words.cast(pa.large_string())),
+        pa.scalar(" ", pa.large_string()))
+    return pa.table({
+        id_col: pa.array(ids, pa.int64()),
+        "text_clean": clean.cast(pa.string()),
+        "n_words": pa.array(nw, pa.int64()),
+        "n_removed": pa.array(n_removed, pa.int64()),
+    })
+
+
+def exactsubstr_dedup(docs_ds, *, k: int = 8, seed: int = 4242,
+                      column: str = "text", id_col: str = "doc_id",
+                      min_docs: int = 2, count_buckets: int = 64,
+                      bits_per_tag: int = 12,
+                      broadcast_bound: int = 64_000_000):
+    """ExactSubstr-style *removal* (Lee et al. 2021 §3, the complement of
+    :func:`duplicated_gram_stats`'s detection): delete from every
+    document the words covered by any word-k-gram that occurs in
+    ≥ ``min_docs`` distinct documents, keeping the remaining words in
+    order.  Emits ``(id, text_clean, n_words, n_removed)`` — one row per
+    input document (fully-duplicated docs come back with empty
+    ``text_clean``, the caller's drop policy).
+
+    Scale: phase 1 is `_dup_gram_dataset`'s narrow bucketed shuffle; the
+    dup set then rides as the same two ``ray.put`` blobs as
+    :func:`decontaminate` (12-bit cuckoo AMQ prescreen + exact sorted
+    array — zero false negatives, candidates confirmed exactly) and the
+    corpus streams through ONE shuffle-free ``map_batches``.  The dup
+    set is duplicated *content*, not the corpus: at 100 TB it stays
+    orders of magnitude smaller than the input; if it ever outgrew
+    ``broadcast_bound`` the removal pass would switch to hash-joining
+    ``(gram, doc, position)`` hits — the AMQ keeps that join
+    O(duplicated positions)."""
+    import ray
+
+    dup = _dup_gram_dataset(docs_ds, k=k, seed=seed, column=column,
+                            min_docs=min_docs, count_buckets=count_buckets)
+    parts = [b.column("h").to_numpy().view(np.uint64) for b in
+             dup.iter_batches(batch_format="pyarrow", batch_size=None)]
+    dup_h = np.sort(np.concatenate(parts)) if parts \
+        else np.empty(0, dtype=np.uint64)
+    if len(dup_h) > broadcast_bound:
+        raise NotImplementedError(
+            "duplicated-gram set exceeds the broadcast bound — raise "
+            "broadcast_bound (the blob is ~10 B/gram) or add the "
+            "(gram, doc, position) hash-join path")
+    filt = make_filter("cuckoo", max(16, len(dup_h)), seed ^ 0xE55D,
+                       bits_per_tag)
+    if len(dup_h):
+        filt.add_batch(dup_h)
+    filter_ref = ray.put(filter_to_row(filt))
+    exact_ref = ray.put(dup_h)
+    return docs_ds.map_batches(
+        remove_duplicated_spans_fn, batch_format="pyarrow",
+        batch_size=None,
+        fn_kwargs={"filter_ref": filter_ref, "exact_ref": exact_ref,
+                   "k": k, "seed": seed, "column": column,
+                   "id_col": id_col})
+
 def duplicated_gram_stats(docs_ds, *, k: int = 8, seed: int = 4242,
                           column: str = "text", id_col: str = "doc_id",
                           min_docs: int = 2, broadcast_bound: int = 4_000_000,
@@ -272,29 +436,8 @@ def duplicated_gram_stats(docs_ds, *, k: int = 8, seed: int = 4242,
     import pyarrow.compute as pc
     import ray
 
-    def _partials(batch: pa.Table) -> pa.Table:
-        h, _doc, _nd = distinct_gram_hashes(batch.column(column), k, seed)
-        uh, nd = np.unique(h, return_counts=True)   # per-doc distinct ⇒
-        b = (uh % np.uint64(count_buckets)).astype(np.int32)
-        return pa.table({                           # count == #docs in batch
-            "h": pa.array(uh.view(np.int64), pa.int64()),
-            "nd": pa.array(nd.astype(np.int64), pa.int64()),
-            "_b": pa.array(b, pa.int32())})
-
-    def _reduce_bucket(t: pa.Table) -> pa.Table:
-        # one group == one hash bucket: sort once, segment-sum, threshold
-        h = t.column("h").to_numpy(zero_copy_only=False)
-        nd = t.column("nd").to_numpy(zero_copy_only=False)
-        order = np.argsort(h, kind="stable")
-        h, nd = h[order], nd[order]
-        uh, idx = np.unique(h, return_index=True)
-        sums = np.add.reduceat(nd, idx) if len(nd) else nd
-        return pa.table({"h": pa.array(uh[sums >= min_docs], pa.int64())})
-
-    dup = docs_ds.map_batches(_partials, batch_format="pyarrow",
-                              batch_size=None) \
-        .groupby("_b").map_groups(_reduce_bucket, batch_format="pyarrow") \
-        .materialize()                              # small result
+    dup = _dup_gram_dataset(docs_ds, k=k, seed=seed, column=column,
+                            min_docs=min_docs, count_buckets=count_buckets)
     n_dup_grams = dup.count()
 
     if n_dup_grams <= broadcast_bound:

@@ -38,6 +38,7 @@ import hashlib
 from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -100,6 +101,56 @@ def stratified_sample(ds, rates: Dict[str, float], *,
         return kept if keep_decision else kept.drop_columns(["u_hex"])
 
     return ds.map_batches(_filter, batch_format="pyarrow", batch_size=None)
+
+
+def cap_per_group(ds, group_col: str, k: int, *,
+                  id_col: str = "doc_id", salt: str = "",
+                  mode: str = "md5", priority_col: Optional[str] = None,
+                  num_buckets: int = 64, keep_priority: bool = True):
+    """Keep at most ``k`` rows per distinct ``group_col`` value — the
+    per-domain / per-source quota step of a crawl pipeline (cap how much
+    any one site contributes to the training mix).
+
+    Winners are the ``k`` smallest ``(priority, id)`` rows of each group.
+    ``priority`` defaults to the row's salted 8-hex decision value (same
+    md5/splitmix contract as :func:`stratified_sample` — an unbiased,
+    rerun-stable draw, NOT "first k by id"), or pass ``priority_col`` to
+    rank by an existing column (e.g. a quality score, ascending).
+
+    Scale shape (the ``exact_dedup`` discipline, stages/dedup.py): every
+    block first pre-reduces to ≤ k rows per group it contains — a sort +
+    ``groupby().head`` inside ``map_batches``, no exchange — so at most
+    ``k × n_groups`` rows per block ride the ONE group-hash-bucketed
+    shuffle, and the per-bucket reducer is the same vectorized top-k over
+    thousands of groups at once.  Output size is bounded by
+    ``k × n_groups`` regardless of corpus size."""
+    prio = priority_col or "_prio"
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        if priority_col is None:
+            t = add_decision_hex(pa.Table.from_pandas(
+                df[[id_col]], preserve_index=False),
+                id_col=id_col, salt=salt, mode=mode, out_col=prio)
+            df = df.assign(**{prio: t.column(prio).to_pylist()})
+        return df.sort_values([prio, id_col], kind="stable") \
+            .groupby(group_col, sort=False).head(k)
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df[group_col].to_numpy())
+        return df.assign(_bucket=(h % np.uint64(num_buckets))
+                         .astype(np.int32))
+
+    def _topk(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.sort_values([prio, id_col], kind="stable") \
+            .groupby(group_col, sort=False).head(k) \
+            .drop(columns=["_bucket"])
+        if priority_col is None and not keep_priority:
+            out = out.drop(columns=[prio])
+        return out
+
+    pre = ds.map_batches(_pre, batch_format="pandas", batch_size=None) \
+        .map_batches(_bucket, batch_format="pandas", batch_size=None)
+    return pre.groupby("_bucket").map_groups(_topk, batch_format="pandas")
 
 
 def hash_split(ds, boundaries: Sequence[Tuple[str, float]] = (

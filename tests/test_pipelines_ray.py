@@ -1840,3 +1840,122 @@ def test_pack_sequences_partition_invariant(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         pack_sequences(ray.data.from_items(pre), budget=0)
+
+
+# --- per-group caps (stages/sampling.py cap_per_group) -----------------------
+
+def test_cap_per_group_matches_md5_reference(ray_session):
+    """Winners == the k smallest (md5-priority, id) rows per group, full
+    rows, regardless of block layout; an existing column can rank too."""
+    import hashlib
+    import pandas as pd
+    import ray
+    from cuckoofilter_ray.stages.sampling import cap_per_group
+
+    rows = [{"doc_id": i, "grp": f"g{i % 13}", "payload": i * 7 % 101}
+            for i in range(500)]
+    ds = ray.data.from_items(rows).repartition(7)
+    out = cap_per_group(ds, "grp", 5, salt="c:").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    df = pd.DataFrame(rows)
+    df["_prio"] = [hashlib.md5(f"c:{i}".encode()).hexdigest()[:8]
+                   for i in df.doc_id]
+    want = df.sort_values(["_prio", "doc_id"], kind="stable") \
+        .groupby("grp", sort=False).head(5) \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == want["doc_id"].tolist()
+    assert out["payload"].tolist() == want["payload"].tolist()
+    assert out.groupby("grp").size().max() <= 5
+    # rank by an existing column instead (ascending payload, id tiebreak)
+    out2 = cap_per_group(ds, "grp", 3, priority_col="payload") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want2 = df.drop(columns=["_prio"]) \
+        .sort_values(["payload", "doc_id"], kind="stable") \
+        .groupby("grp", sort=False).head(3) \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out2["doc_id"].tolist() == want2["doc_id"].tolist()
+
+
+# --- PII redaction (stages/redact.py) ----------------------------------------
+
+def test_pii_redact_patterns_and_order(ray_session):
+    """Default patterns hit emails/IPv4s/phones, placeholders replace the
+    full span, counts are per-state (an email's digits can't later fire
+    the phone pattern), and clean text passes through untouched."""
+    import pyarrow as pa
+    from cuckoofilter_ray.stages.redact import redact_batch
+
+    t = pa.table({"doc_id": [0, 1, 2, 3], "text": [
+        "write bob.smith+x@ex-a.co.uk today",
+        "hosts 10.2.255.7 192.168.0.1 end",
+        "call +1 (555) 010-2233 now",
+        "no pii here",
+    ]})
+    out = redact_batch(t).to_pandas()
+    assert out["text"].tolist() == [
+        "write <EMAIL> today",
+        "hosts <IP> <IP> end",
+        "call <PHONE> now",
+        "no pii here",
+    ]
+    assert out["n_email"].tolist() == [1, 0, 0, 0]
+    assert out["n_ipv4"].tolist() == [0, 2, 0, 0]
+    assert out["n_phone"].tolist() == [0, 0, 1, 0]
+    # order contract: digits consumed by an earlier pattern are invisible
+    # to later ones — the email's +123456789 local part is NOT a phone
+    t2 = pa.table({"doc_id": [0], "text": ["+123456789@ex.com"]})
+    o2 = redact_batch(t2).to_pandas()
+    assert o2["text"][0] == "<EMAIL>" and o2["n_phone"][0] == 0
+
+
+def test_pii_redact_streaming_counts(ray_session):
+    """Dataset form: one pass, every row present, counts int64."""
+    import ray
+    from cuckoofilter_ray.stages.redact import pii_redact
+
+    rows = [{"doc_id": i,
+             "text": f"u{i}@ex.com says hi" if i % 2 == 0 else "plain"}
+            for i in range(200)]
+    out = pii_redact(ray.data.from_items(rows).repartition(4)).to_pandas()
+    assert len(out) == 200
+    assert int(out["n_email"].sum()) == 100
+    assert (out.loc[out.doc_id % 2 == 0, "text"]
+            .str.startswith("<EMAIL>")).all()
+
+
+# --- ExactSubstr removal (stages/decontaminate.py exactsubstr_dedup) --------
+
+def test_exactsubstr_removes_shared_spans(ray_session):
+    """Words covered by a cross-document duplicated 8-gram are cut, the
+    rest survive in order; a fully-duplicated doc empties; zero-removal
+    docs agree with duplicated_gram_stats' n_dup == 0; block layout
+    doesn't change the answer."""
+    import ray
+    from cuckoofilter_ray.stages.decontaminate import (
+        duplicated_gram_stats, exactsubstr_dedup)
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"   # 8 words
+    rows = [
+        {"doc_id": 0, "text": f"one two {shared} three four"},
+        {"doc_id": 1, "text": f"{shared} tail words here"},
+        {"doc_id": 2, "text": "totally unrelated text with enough words"},
+        {"doc_id": 3, "text": shared},                 # fully duplicated
+        {"doc_id": 4, "text": "short doc"},            # < k words
+    ]
+    ds = ray.data.from_items(rows).repartition(3)
+    out = exactsubstr_dedup(ds, k=8, seed=7).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[0, "text_clean"] == "one two three four"
+    assert out.loc[0, "n_removed"] == 8 and out.loc[0, "n_words"] == 12
+    assert out.loc[1, "text_clean"] == "tail words here"
+    assert out.loc[2, "n_removed"] == 0
+    assert out.loc[3, "text_clean"] == "" and out.loc[3, "n_removed"] == 8
+    assert out.loc[4, "text_clean"] == "short doc"
+    stats = duplicated_gram_stats(ds, k=8, seed=7).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert ((stats["n_dup"] == 0) == (out["n_removed"] == 0)).all()
+    # partition invariance
+    out2 = exactsubstr_dedup(ray.data.from_items(rows).repartition(1),
+                             k=8, seed=7).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out2["text_clean"].tolist() == out["text_clean"].tolist()
