@@ -221,6 +221,38 @@ def bench_full(ray, results: dict, extras: dict) -> None:
     ts.count()
     results["token_stats"] = round(time.perf_counter() - t0, 4)
 
+    # PII redaction: one shuffle-free columnar RE2 pass; every doc gets one
+    # planted email/IP/phone so the match path (not just the scan) is timed
+    from cuckoofilter_ray.stages.redact import pii_redact
+
+    def _plant(t: pa.Table) -> pa.Table:
+        pids = t.column("doc_id").to_pylist()
+        ptexts = t.column("text").to_pylist()
+        aug = [f"{x} u{i}@ex{i % 5}.com 10.{i % 256}.0.{i % 100} "
+               f"+1 555 01{i % 90 + 10}" for i, x in zip(pids, ptexts)]
+        return t.set_column(t.column_names.index("text"), "text",
+                            pa.array(aug, pa.string()))
+
+    t0 = time.perf_counter()
+    red = pii_redact(docs.map_batches(_plant, batch_format="pyarrow",
+                                      batch_size=None))
+    tot = red.sum(["n_email", "n_ipv4", "n_phone"])
+    results["pii_redact"] = round(time.perf_counter() - t0, 4)
+    n_docs_sf = docs.count()
+    assert tot["sum(n_email)"] == n_docs_sf and \
+        tot["sum(n_ipv4)"] == n_docs_sf and tot["sum(n_phone)"] == n_docs_sf
+
+    # ExactSubstr removal over the sf corpus: narrow gram-partial shuffle
+    # + broadcast-probe removal pass (stages/decontaminate.py)
+    from cuckoofilter_ray.stages.decontaminate import exactsubstr_dedup
+    t0 = time.perf_counter()
+    es = exactsubstr_dedup(docs, k=8, seed=SEED).to_pandas()
+    results["exactsubstr_dedup"] = round(time.perf_counter() - t0, 4)
+    assert len(es) == n_docs_sf
+    extras["exactsubstr"] = {"words_removed": int(es["n_removed"].sum()),
+                             "docs_emptied": int((es["text_clean"] == "")
+                                                 .sum())}
+
     t0 = time.perf_counter()
     from cuckoofilter_ray.stages.similarity import knn_bruteforce
     import pyarrow.parquet as pq

@@ -152,6 +152,32 @@ def benchmark_gram_set(texts, k: int = 8, seed: int = 4242) -> np.ndarray:
 
 _CACHE: dict = {}
 
+# auto-prescreen bound: below this benchmark-set size the per-worker AMQ
+# decode (O(set), ~0.3-1.5 s at 2M entries — measured, NOTES r5s6) costs
+# more than it ever saves vs direct binary search of the broadcast exact
+# array; above it the exact array outgrows caches (27 random touches per
+# probe) and the 2-touch 12-bit AMQ prescreen pays for its decode
+_PRESCREEN_MIN = 8_000_000
+
+
+def _member_mask(h: np.ndarray, filt, exact: np.ndarray) -> np.ndarray:
+    """Exact membership of ``h`` in sorted ``exact``; ``filt`` (optional
+    AMQ) only prunes the binary-search candidate set — zero FN either way."""
+    hit = np.zeros(len(h), dtype=bool)
+    if len(h) == 0 or len(exact) == 0:
+        return hit
+    if filt is None:
+        pos = np.searchsorted(exact, h)
+        pos[pos == len(exact)] = 0
+        return exact[pos] == h
+    maybe = filt.contain_batch(h)
+    if maybe.any():                         # confirm AMQ positives exactly
+        cand = np.flatnonzero(maybe)
+        pos = np.searchsorted(exact, h[cand])
+        pos[pos == len(exact)] = 0
+        hit[cand] = exact[pos] == h[cand]
+    return hit
+
 
 def contamination_score_fn(batch: pa.Table, *, filter_ref=None,
                            exact_ref=None, k: int = 8, seed: int = 4242,
@@ -160,30 +186,26 @@ def contamination_score_fn(batch: pa.Table, *, filter_ref=None,
     """Stateless batch stage: per document, DISTINCT word-k-gram count and
     how many of those grams appear in the benchmark set.
 
-    Runs as plain tasks on the warm worker pool — the two broadcasts
-    resolve once per worker PROCESS (bounded ``cache_get`` memo keyed by
-    ref), so the stateful-setup-once property of an actor pool is kept
-    without paying actor spawn/ramp latency per pipeline.  The body is
-    pure numpy: zero-copy gram hashing, per-doc distinct, one vectorized
-    ``contain_batch`` prescreen, exact ``searchsorted`` confirmation of
-    the AMQ positives only."""
+    Runs as plain tasks on the warm worker pool — the broadcasts resolve
+    once per worker PROCESS (bounded ``cache_get`` memo keyed by ref), so
+    the stateful-setup-once property of an actor pool is kept without
+    paying actor spawn/ramp latency per pipeline.  The body is pure
+    numpy: zero-copy gram hashing, per-doc distinct, then exact
+    membership — direct ``searchsorted`` when ``filter_ref`` is None, or
+    a vectorized ``contain_batch`` AMQ prescreen with exact confirmation
+    of the positives only (large benchmark sets, see `_PRESCREEN_MIN`)."""
     import ray
 
-    filt = cache_get(_CACHE, ("filt", filter_ref.hex()),
-                     lambda: row_to_filter(ray.get(filter_ref)))
+    filt = None if filter_ref is None else \
+        cache_get(_CACHE, ("filt", filter_ref.hex()),
+                  lambda: row_to_filter(ray.get(filter_ref)))
     exact = cache_get(_CACHE, ("exact", exact_ref.hex()),
                       lambda: ray.get(exact_ref))
     texts = batch.column(column)            # Arrow column: zero-copy path
     ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
         .astype(np.int64, copy=False)
     h, doc, n_grams = distinct_gram_hashes(texts, k, seed)
-    maybe = filt.contain_batch(h) if len(h) else np.zeros(0, dtype=bool)
-    hit = np.zeros(len(h), dtype=bool)
-    if maybe.any():                         # confirm AMQ positives exactly
-        cand = np.flatnonzero(maybe)
-        pos = np.searchsorted(exact, h[cand])
-        pos[pos == len(exact)] = 0
-        hit[cand] = exact[pos] == h[cand]
+    hit = _member_mask(h, filt, exact)
     n_hit = np.bincount(doc[hit], minlength=len(texts)).astype(np.int64)
     return pa.table({
         id_col: pa.array(ids, pa.int64()),
@@ -196,24 +218,31 @@ def contamination_score_fn(batch: pa.Table, *, filter_ref=None,
 def decontaminate(docs_ds, bench_hashes: np.ndarray, *, k: int = 8,
                   seed: int = 4242, column: str = "text",
                   id_col: str = "doc_id", bits_per_tag: int = 12,
-                  concurrency: Optional[int] = None):
+                  concurrency: Optional[int] = None,
+                  prescreen: Optional[bool] = None):
     """Score every document of ``docs_ds`` against a benchmark gram set.
 
     Output: one row per input document — ``(id, n_grams, n_hit, flagged)``
     where ``n_grams`` counts DISTINCT word k-grams, ``n_hit`` how many of
     them occur in the benchmark, and ``flagged`` = overlap ≥ 1/2 (integer
     form ``2·n_hit ≥ n_grams``, exact in SQL too).  Streaming, shuffle-free:
-    the benchmark rides as two ``ray.put`` broadcasts (AMQ + exact sorted
-    array); documents never leave their blocks, and the stage runs as
-    stateless tasks (per-worker broadcast cache — no actor spawn latency)."""
+    the benchmark rides as ``ray.put`` broadcasts (exact sorted array,
+    plus a cuckoo AMQ when prescreening pays — ``prescreen=None`` decides
+    by `_PRESCREEN_MIN`; either way the result is exact, zero FN);
+    documents never leave their blocks, and the stage runs as stateless
+    tasks (per-worker broadcast cache — no actor spawn latency)."""
     import ray
 
     bench_hashes = np.asarray(bench_hashes, dtype=np.uint64)
-    filt = make_filter("cuckoo", max(16, len(bench_hashes)), seed ^ 0xBEC4,
-                       bits_per_tag)
-    if len(bench_hashes):
-        filt.add_batch(bench_hashes)
-    filter_ref = ray.put(filter_to_row(filt))
+    if prescreen is None:
+        prescreen = len(bench_hashes) >= _PRESCREEN_MIN
+    filter_ref = None
+    if prescreen:
+        filt = make_filter("cuckoo", max(16, len(bench_hashes)),
+                           seed ^ 0xBEC4, bits_per_tag)
+        if len(bench_hashes):
+            filt.add_batch(bench_hashes)
+        filter_ref = ray.put(filter_to_row(filt))
     exact_ref = ray.put(bench_hashes)        # np.unique output => sorted
     kwargs = {"filter_ref": filter_ref, "exact_ref": exact_ref, "k": k,
               "seed": seed, "column": column, "id_col": id_col}
@@ -273,15 +302,17 @@ def remove_duplicated_spans_fn(batch: pa.Table, *, filter_ref=None,
     A word is removed iff SOME occurrence of a duplicated k-gram covers
     it; survivors re-join with single spaces in original order.  Pure
     numpy/Arrow: one zero-copy gram-hash pass (with multiplicity — every
-    occurrence covers, unlike the distinct counting pass), AMQ prescreen
-    + exact confirm of candidates, then interval stabbing via a ±1 diff
+    occurrence covers, unlike the distinct counting pass), exact
+    membership via `_member_mask` (direct binary search, or AMQ prescreen
+    + confirm for large dup sets), then interval stabbing via a ±1 diff
     array + cumsum over the batch's flattened word sequence, and one
     ``ListArray``/``binary_join`` rebuild.  No shuffle, no Python loop."""
     import pyarrow.compute as pc
     import ray
 
-    filt = cache_get(_CACHE, ("filt", filter_ref.hex()),
-                     lambda: row_to_filter(ray.get(filter_ref)))
+    filt = None if filter_ref is None else \
+        cache_get(_CACHE, ("filt", filter_ref.hex()),
+                  lambda: row_to_filter(ray.get(filter_ref)))
     exact = cache_get(_CACHE, ("exact", exact_ref.hex()),
                       lambda: ray.get(exact_ref))
     texts = batch.column(column)
@@ -305,13 +336,7 @@ def remove_duplicated_spans_fn(batch: pa.Table, *, filter_ref=None,
     h, counts = word_gram_hashes(texts, k, seed)    # multiplicity, doc order
     covered = np.zeros(total_w, dtype=bool)
     if len(h):
-        maybe = filt.contain_batch(h)
-        hit = np.zeros(len(h), dtype=bool)
-        if maybe.any():                             # confirm AMQ positives
-            cand = np.flatnonzero(maybe)
-            pos = np.searchsorted(exact, h[cand])
-            pos[pos == len(exact)] = 0
-            hit[cand] = exact[pos] == h[cand]
+        hit = _member_mask(h, filt, exact)
         if hit.any():
             go = np.zeros(ndocs, dtype=np.int64)
             np.cumsum(counts[:-1], out=go[1:])
@@ -347,7 +372,8 @@ def exactsubstr_dedup(docs_ds, *, k: int = 8, seed: int = 4242,
                       column: str = "text", id_col: str = "doc_id",
                       min_docs: int = 2, count_buckets: int = 64,
                       bits_per_tag: int = 12,
-                      broadcast_bound: int = 64_000_000):
+                      broadcast_bound: int = 64_000_000,
+                      prescreen: Optional[bool] = None):
     """ExactSubstr-style *removal* (Lee et al. 2021 §3, the complement of
     :func:`duplicated_gram_stats`'s detection): delete from every
     document the words covered by any word-k-gram that occurs in
@@ -379,11 +405,15 @@ def exactsubstr_dedup(docs_ds, *, k: int = 8, seed: int = 4242,
             "duplicated-gram set exceeds the broadcast bound — raise "
             "broadcast_bound (the blob is ~10 B/gram) or add the "
             "(gram, doc, position) hash-join path")
-    filt = make_filter("cuckoo", max(16, len(dup_h)), seed ^ 0xE55D,
-                       bits_per_tag)
-    if len(dup_h):
-        filt.add_batch(dup_h)
-    filter_ref = ray.put(filter_to_row(filt))
+    if prescreen is None:
+        prescreen = len(dup_h) >= _PRESCREEN_MIN
+    filter_ref = None
+    if prescreen:
+        filt = make_filter("cuckoo", max(16, len(dup_h)), seed ^ 0xE55D,
+                           bits_per_tag)
+        if len(dup_h):
+            filt.add_batch(dup_h)
+        filter_ref = ray.put(filter_to_row(filt))
     exact_ref = ray.put(dup_h)
     return docs_ds.map_batches(
         remove_duplicated_spans_fn, batch_format="pyarrow",
@@ -422,8 +452,9 @@ def duplicated_gram_stats(docs_ds, *, k: int = 8, seed: int = 4242,
       shuffle; set ``count_buckets`` ∝ corpus so a bucket's gram rows
       fit a worker heap.
     - phase 2 is decontamination against the duplicated-gram set: when
-      the set fits ``broadcast_bound`` it broadcasts once (cuckoo-AMQ
-      prescreen + exact confirm — `contamination_score_fn`) and the
+      the set fits ``broadcast_bound`` it broadcasts once (exact sorted
+      array, AMQ-prescreened above `_PRESCREEN_MIN` —
+      `contamination_score_fn`) and the
       corpus streams shuffle-free; above the bound, per-doc gram pairs
       hash-join the dup set instead (O(pairs) bucketed exchange, no
       broadcast), and zero-dup docs are restored by a left-outer join.

@@ -69,7 +69,10 @@ def test_scores_match_string_reference(ray_session, use_amq):
 
     ds = ray.data.from_items(
         [{"doc_id": i, "text": t} for i, t in enumerate(docs)])
-    kw = {} if use_amq else {"bits_per_tag": 16}
+    # use_amq=True forces the prescreen path (the auto rule would skip the
+    # AMQ below _PRESCREEN_MIN); False is the direct-searchsorted path
+    kw = {"prescreen": True} if use_amq \
+        else {"bits_per_tag": 16, "prescreen": False}
     out = decontaminate(ds, bh, k=K, seed=SEED, **kw).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     for _, row in out.iterrows():
@@ -93,7 +96,8 @@ def test_amq_prescreen_is_exact_under_forced_fps(ray_session):
     bh = benchmark_gram_set(bench, k=3, seed=SEED)
     ds = ray.data.from_items(
         [{"doc_id": i, "text": t} for i, t in enumerate(docs)])
-    out = decontaminate(ds, bh, k=3, seed=SEED, bits_per_tag=4) \
+    out = decontaminate(ds, bh, k=3, seed=SEED, bits_per_tag=4,
+                        prescreen=True) \
         .to_pandas().sort_values("doc_id")
     for _, row in out.iterrows():
         grams = set(ref_grams(docs[int(row.doc_id)], 3))

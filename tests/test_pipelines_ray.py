@@ -1959,3 +1959,25 @@ def test_exactsubstr_removes_shared_spans(ray_session):
                              k=8, seed=7).to_pandas() \
         .set_index("doc_id").sort_index()
     assert out2["text_clean"].tolist() == out["text_clean"].tolist()
+
+
+def test_exactsubstr_prescreen_paths_identical(ray_session):
+    """The AMQ-prescreened and direct-searchsorted membership paths of the
+    removal pass return identical tables (the auto rule only picks the
+    cheaper one)."""
+    import numpy as np
+    import ray
+    from cuckoofilter_ray.stages.decontaminate import exactsubstr_dedup
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{z}" for z in range(40)]
+    rows = [{"doc_id": i, "text": " ".join(rng.choice(vocab, size=25))}
+            for i in range(80)]
+    rows += [{"doc_id": 100 + i, "text": rows[i]["text"]} for i in range(6)]
+    ds = ray.data.from_items(rows).repartition(4)
+    a = exactsubstr_dedup(ds, k=5, seed=3, prescreen=False).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = exactsubstr_dedup(ds, k=5, seed=3, prescreen=True).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert (a["n_removed"] > 0).any()
