@@ -200,3 +200,48 @@ def test_duplicated_gram_stats_min_docs_threshold(ray_session):
     assert out["n_grams"].tolist() == [w[0] for w in want]
     assert out["n_dup"].tolist() == [w[1] for w in want]
     assert 0 < out.loc[0, "n_dup"] < out.loc[0, "n_grams"]
+
+
+# --- ExactSubstr removal: property form vs a brute-force reference ----------
+
+def _ref_removal(texts, k):
+    """Literal string-set reference: dup gram = in >= 2 docs' distinct
+    sets; every occurrence covers its k words."""
+    grams = [[" ".join(t.split(" ")[i:i + k])
+              for i in range(len(t.split(" ")) - k + 1)] for t in texts]
+    from collections import Counter
+    c = Counter(g for gs in grams for g in set(gs))
+    dup = {g for g, n in c.items() if n >= 2}
+    out = []
+    for t, gs in zip(texts, grams):
+        w = t.split(" ")
+        cov = [False] * len(w)
+        for i, g in enumerate(gs):
+            if g in dup:
+                for j in range(i, i + k):
+                    cov[j] = True
+        kept = [x for x, cv in zip(w, cov) if not cv]
+        out.append((" ".join(kept), len(w), sum(cov)))
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["a", "b", "c", "dd", ""]),
+                         min_size=0, max_size=12),
+                min_size=1, max_size=14),
+       st.integers(1, 4))
+def test_exactsubstr_matches_bruteforce_reference(word_lists, k):
+    """Small-vocab random corpora (forced gram collisions, empty words,
+    docs shorter than k) — engine removal == the literal reference."""
+    import ray
+    from cuckoofilter_ray.stages.decontaminate import exactsubstr_dedup
+
+    texts = [" ".join(ws) for ws in word_lists]
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    out = exactsubstr_dedup(ds, k=k, seed=99).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    ref = _ref_removal(texts, k)
+    assert out["text_clean"].tolist() == [r[0] for r in ref]
+    assert out["n_words"].tolist() == [r[1] for r in ref]
+    assert out["n_removed"].tolist() == [r[2] for r in ref]
