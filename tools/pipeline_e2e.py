@@ -3,7 +3,9 @@ repo" flow, every stage exact-verified.
 
     synthesize corpus → language filter → sha256 exact dedup (winners join)
     → MinHash-LSH near-dup removal → benchmark decontamination
-    → resumable partitioned Parquet write (+ no-op resume check)
+    → PII redaction (planted, string-exact) → train/val/test split
+    → sequence packing → resumable partitioned Parquet write
+    (+ no-op resume check)
 
 Each retention decision has a driver-computable ground truth because the
 corpus is a pure function of row ids (sources/corpus.py):
@@ -183,6 +185,43 @@ assert mismatch <= max(2, n_base_coll_pairs + 1), \
     f"decon flags diverge from model by {mismatch}"
 assert n_clean == n_near - len(flagged_ids)
 
+# ---- 4b. PII redaction (planted, string-exact verified) -------------------
+t0 = time.perf_counter()
+from cuckoofilter_ray.stages.redact import pii_redact  # noqa: E402
+
+PII_MOD = 17
+
+
+def plant_pii(t: pa.Table) -> pa.Table:
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    if not (ids % PII_MOD == 0).any():
+        return t
+    texts = t.column("text").to_pylist()
+    aug = [x + (f" contact u{i}@ex{i % 5}.com" if i % PII_MOD == 0 else "")
+           for i, x in zip(ids.tolist(), texts)]
+    return t.set_column(t.column_names.index("text"), "text",
+                        pa.array(aug, pa.string()))
+
+
+red = pii_redact(clean.map_batches(plant_pii, batch_format="pyarrow",
+                                   batch_size=None)).materialize()
+redact_s = time.perf_counter() - t0
+rdf = red.to_pandas().sort_values("doc_id").reset_index(drop=True)
+rids = rdf["doc_id"].to_numpy()
+planted = rids % PII_MOD == 0
+assert (rdf["n_email"].to_numpy() == planted.astype(np.int64)).all()
+assert (rdf["n_ipv4"].to_numpy() == 0).all()
+assert (rdf["n_phone"].to_numpy() == 0).all()
+base_texts = _make_contents_vec(content_src_of(rids.astype(np.uint64),
+                                               SEED), SEED).to_pylist()
+for x, b, p in zip(rdf["text"].tolist(), base_texts, planted.tolist()):
+    assert x == (b + " contact <EMAIL>" if p else b), \
+        "redacted text diverges from the string model"
+stages["pii_redact"] = {"rows_out": int(len(rdf)),
+                        "planted": int(planted.sum()),
+                        "sec": round(redact_s, 3)}
+final = red.drop_columns(["n_email", "n_ipv4", "n_phone"]).materialize()
+
 # ---- 5. train/val/test split + sequence packing ---------------------------
 t0 = time.perf_counter()
 from cuckoofilter_ray.kernels.hashing import mix_split  # noqa: E402
@@ -191,7 +230,7 @@ from cuckoofilter_ray.stages.packing import (_pack_tokens_next_fit,  # noqa: E40
 from cuckoofilter_ray.stages.sampling import hash_split, threshold_hex  # noqa: E402
 
 BOUNDS = [("train", 0.9), ("val", 0.95), ("test", 1.0)]
-split_ds = hash_split(clean, BOUNDS, salt="split:",
+split_ds = hash_split(final, BOUNDS, salt="split:",
                       mode="splitmix").materialize()
 split_counts = {r["split"]: r["count()"] for r in
                 split_ds.groupby("split").count().take_all()}
@@ -230,11 +269,11 @@ stages["split_pack"] = {"splits": split_counts, "train_seqs": n_seqs,
 # ---- 6. resumable partitioned write + no-op resume ------------------------
 t0 = time.perf_counter()
 shutil.rmtree(OUT, ignore_errors=True)
-man1 = resumable_write_partitioned(clean, OUT, "lang")
+man1 = resumable_write_partitioned(final, OUT, "lang")
 wrote = time.perf_counter() - t0
 stamps1 = {k: v["written_at"] for k, v in man1["partitions"].items()}
 t0 = time.perf_counter()
-man2 = resumable_write_partitioned(clean, OUT, "lang")
+man2 = resumable_write_partitioned(final, OUT, "lang")
 resume = time.perf_counter() - t0
 stamps2 = {k: v["written_at"] for k, v in man2["partitions"].items()}
 from cuckoofilter_ray.state.checkpoint import read_filter_shards  # noqa: E402
@@ -248,14 +287,15 @@ assert stamps1 == stamps2, "no-op resume must not rewrite any partition"
 
 print(json.dumps({
     "metric": "end-to-end training-data pipeline (filter->dedup->neardup->"
-              "decontaminate->split/pack->partitioned write)",
+              "decontaminate->redact->split/pack->partitioned write)",
     "value": round(time.perf_counter() - t_all, 3),
     "unit": "sec",
     "n_docs": N,
     "stages": stages,
     "verified": "every retention decision checked against the generator "
                 "model (lang draw, min-id per content_src, base-collision "
-                "bound, bench-src flags), split buckets recomputed in the "
+                "bound, bench-src flags), redacted text string-exact per "
+                "row, split buckets recomputed in the "
                 "driver, per-shard packing vs the sequential kernel, write "
                 "re-read + no-op resume",
     "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", 32)),
