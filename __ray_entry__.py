@@ -725,6 +725,19 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(docs, budget=128, shard_size=100)
 
 
+def q_chunk_contexts(sf_dir: str):
+    """Sliding context-window chunking (stages/packing.py
+    chunk_documents — the complement of pack_sequences): every doc splits
+    into ≤24-token windows with 4 tokens of left-context overlap, one
+    vectorized flat-map pass, zero shuffle.  Chunk boundaries, token
+    counts and re-joined chunk text are value-exact vs SQL list slicing
+    over regexp_extract_all."""
+    from cuckoofilter_ray.stages.packing import chunk_documents
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return chunk_documents(docs, 24, overlap=4)
+
+
 def q_doc_sha256(sf_dir: str):
     """Per-row sha256 hex — the content-equality invariant vs the reference."""
     keyed = derive_keys(_docs(sf_dir), content_col="text")
@@ -1345,6 +1358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_cap": q_domain_cap,
         "pii_redact": q_pii_redact,
         "exactsubstr_dedup": q_exactsubstr_dedup,
+        "chunk_contexts": q_chunk_contexts,
         "pack_sequences": q_pack_sequences,
         "doc_sha256": q_doc_sha256,
         "doc_md5": q_doc_md5,
@@ -1585,6 +1599,18 @@ def oracle_sql() -> dict[str, str]:
             "       (len(t.w) - COALESCE(agg.n_kept, 0))::BIGINT "
             "           AS n_removed "
             "FROM t LEFT JOIN agg USING (doc_id)",
+        "chunk_contexts":
+            r"WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+')"
+            r"             AS w FROM documents), "
+            r"n AS (SELECT doc_id, w, len(w) AS nt FROM t), "
+            r"c AS (SELECT doc_id, w, nt, CASE WHEN nt <= 24 THEN 1"
+            r"        ELSE 1 + CAST(ceil((nt - 24)::DOUBLE / 20)"
+            r"                      AS BIGINT) END AS nc FROM n) "
+            r"SELECT doc_id, i AS chunk_id,"
+            r"       least(i*20 + 24, nt) - i*20 AS n_tokens,"
+            r"       array_to_string(w[i*20 + 1 : least(i*20 + 24, nt)],"
+            r"                       ' ') AS text_chunk "
+            r"FROM c, UNNEST(generate_series(0, nc - 1)) AS s(i)",
         "pack_sequences":
             r"WITH RECURSIVE d AS ("
             r" SELECT doc_id, doc_id // 100 AS shard,"

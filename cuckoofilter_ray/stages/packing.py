@@ -90,3 +90,92 @@ def pack_sequences(docs_ds, budget: int, *, shard_size: int = 256,
     return docs_ds.map_batches(_stats, batch_format="pyarrow",
                                batch_size=None) \
         .groupby("shard").map_groups(_pack, batch_format="pandas")
+
+
+def chunk_documents(docs_ds, max_tokens: int, *, overlap: int = 0,
+                    id_col: str = "doc_id", column: str = "text",
+                    chunk_col: str = "chunk_id"):
+    """Split every document into sliding context windows of at most
+    ``max_tokens`` tokens with ``overlap`` tokens of left context — the
+    complement of :func:`pack_sequences` (packing bins SHORT docs
+    together; chunking cuts LONG docs down to the model's window).
+
+    Chunk ``i`` (0-based) covers token positions
+    ``[i·stride, min(i·stride + max_tokens, n))`` with
+    ``stride = max_tokens − overlap``; a document emits
+    ``1 + ceil((n − max_tokens)/stride)`` chunks (one when ``n ≤
+    max_tokens``, including empty docs — every input row appears).
+    Tokens are ``\\S+`` runs (the engine's pinned ``n_tokens``
+    semantics); chunk text re-joins them with single spaces, so the
+    operator is value-exactly expressible as SQL list slicing over
+    ``regexp_extract_all(text, '\\S+')``.
+
+    Output: ``(id, chunk_id, n_tokens, text_chunk)`` rows, one per chunk.
+    Scale shape: ONE streaming ``map_batches`` (a vectorized flat-map) —
+    zero shuffle, zero broadcast; chunk rows never exceed
+    ``len(text)/stride`` times the input and leave the stage ready for
+    `pack_sequences` or a partitioned write."""
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be positive")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+
+    def _chunk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        texts = batch.column(column)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        if texts.null_count:
+            texts = texts.fill_null("")
+        # \S+ runs == split on \s+ minus empty edge tokens
+        words = pc.split_pattern_regex(texts, pattern=r"\s+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offs = np.asarray(words.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        flat = words.flatten()
+        keep = np.asarray(pc.not_equal(
+            flat.cast(pa.large_string()),
+            pa.scalar("", pa.large_string())))
+        flat = flat.take(pa.array(np.flatnonzero(keep), pa.int64()))
+        nw_raw = np.diff(offs)
+        drop_per_doc = np.bincount(
+            np.repeat(np.arange(len(ids)), nw_raw)[~keep],
+            minlength=len(ids)).astype(np.int64)
+        nw = nw_raw - drop_per_doc                 # true \S+ token counts
+        wo = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(nw, out=wo[1:])
+
+        n_chunks = np.where(nw <= max_tokens, 1,
+                            1 + -(-(nw - max_tokens) // stride))
+        total_c = int(n_chunks.sum())
+        co = np.zeros(len(ids), dtype=np.int64)
+        np.cumsum(n_chunks[:-1], out=co[1:])
+        cdoc = np.repeat(np.arange(len(ids), dtype=np.int64), n_chunks)
+        cidx = np.arange(total_c, dtype=np.int64) - co[cdoc]
+        s = cidx * stride                          # token start within doc
+        e = np.minimum(s + max_tokens, nw[cdoc])
+        clen = e - s
+        # ragged gather: word indices of every chunk, concatenated
+        oo = np.zeros(total_c + 1, dtype=np.int64)
+        np.cumsum(clen, out=oo[1:])
+        total_w = int(oo[-1])
+        widx = np.arange(total_w, dtype=np.int64) \
+            - np.repeat(oo[:-1], clen) + np.repeat(wo[cdoc] + s, clen)
+        chunk_words = flat.take(pa.array(widx, pa.int64()))
+        text_chunk = pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(oo, pa.int64()),
+                                          chunk_words
+                                          .cast(pa.large_string())),
+            pa.scalar(" ", pa.large_string()))
+        return pa.table({
+            id_col: pa.array(ids[cdoc], pa.int64()),
+            chunk_col: pa.array(cidx, pa.int64()),
+            "n_tokens": pa.array(clen, pa.int64()),
+            "text_chunk": text_chunk.cast(pa.string()),
+        })
+
+    return docs_ds.map_batches(_chunk, batch_format="pyarrow",
+                               batch_size=None)

@@ -1981,3 +1981,48 @@ def test_exactsubstr_prescreen_paths_identical(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
     assert (a["n_removed"] > 0).any()
+
+
+# --- context-window chunking (stages/packing.py chunk_documents) ------------
+
+def test_chunk_documents_windows_and_edges(ray_session):
+    """Window boundaries, overlap stitching, whitespace-run tokens, empty
+    and short docs, and partition invariance."""
+    import pytest as _pytest
+    import ray
+    from cuckoofilter_ray.stages.packing import chunk_documents
+
+    w = [f"t{i}" for i in range(10)]
+    rows = [
+        {"doc_id": 0, "text": " ".join(w)},         # 10 tokens
+        {"doc_id": 1, "text": "a  b\t c \n d"},     # whitespace runs: 4
+        {"doc_id": 2, "text": ""},                   # empty: 1 empty chunk
+        {"doc_id": 3, "text": "only three words"},   # < window
+    ]
+    ds = ray.data.from_items(rows).repartition(3)
+    out = chunk_documents(ds, 4, overlap=1).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    d0 = out[out.doc_id == 0]
+    # stride 3: starts 0,3,6 cover to 10 -> 1+ceil((10-4)/3)=3 chunks
+    assert d0["text_chunk"].tolist() == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"]
+    assert d0["n_tokens"].tolist() == [4, 4, 4]
+    d1 = out[out.doc_id == 1]
+    assert d1["text_chunk"].tolist() == ["a b c d"]   # runs collapse
+    d2 = out[out.doc_id == 2]
+    assert d2["text_chunk"].tolist() == [""] and d2["n_tokens"].tolist() == [0]
+    d3 = out[out.doc_id == 3]
+    assert d3["text_chunk"].tolist() == ["only three words"]
+    # overlap stitching: consecutive chunks share exactly `overlap` tokens
+    assert d0["text_chunk"].iloc[0].split()[-1] == \
+        d0["text_chunk"].iloc[1].split()[0]
+    # partition invariance
+    out1 = chunk_documents(ray.data.from_items(rows).repartition(1),
+                           4, overlap=1).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    assert out.equals(out1)
+    with _pytest.raises(ValueError):
+        chunk_documents(ds, 4, overlap=4)
+    # uneven tail: 10 tokens, window 4, no overlap -> 4,4,2
+    out2 = chunk_documents(ds, 4).to_pandas()
+    assert out2[out2.doc_id == 0]["n_tokens"].tolist() == [4, 4, 2]
