@@ -2026,3 +2026,37 @@ def test_chunk_documents_windows_and_edges(ray_session):
     # uneven tail: 10 tokens, window 4, no overlap -> 4,4,2
     out2 = chunk_documents(ds, 4).to_pandas()
     assert out2[out2.doc_id == 0]["n_tokens"].tolist() == [4, 4, 2]
+
+
+def test_chunk_documents_matches_reference_property(ray_session):
+    """Random word lists / window / overlap — engine chunks == the literal
+    sliding-window reference."""
+    import numpy as np
+    import ray
+    from cuckoofilter_ray.stages.packing import chunk_documents
+
+    rng = np.random.default_rng(21)
+    for trial in range(6):
+        mx = int(rng.integers(1, 9))
+        ov = int(rng.integers(0, mx))
+        stride = mx - ov
+        texts = [" ".join(f"w{int(x)}" for x in
+                          rng.integers(0, 9, size=rng.integers(0, 30)))
+                 for _ in range(40)]
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts)]) \
+            .repartition(4)
+        out = chunk_documents(ds, mx, overlap=ov).to_pandas() \
+            .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+        ref = []
+        for i, t in enumerate(texts):
+            w = t.split() if t else []
+            n = len(w)
+            nc = 1 if n <= mx else 1 + -(-(n - mx) // stride)
+            for c in range(nc):
+                s = c * stride
+                e = min(s + mx, n)
+                ref.append((i, c, e - s, " ".join(w[s:e])))
+        assert list(map(tuple, out[["doc_id", "chunk_id", "n_tokens",
+                                    "text_chunk"]].itertuples(index=False))) \
+            == ref, (mx, ov)
