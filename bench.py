@@ -695,9 +695,12 @@ def run(headline_only: bool) -> dict:
     # after the deadline the run proceeds anyway and self-labels via
     # effective_cores/solo_ms, so unattended driver runs never hang.
     # Set BENCH_MIN_EFF_CORES=0 and BENCH_MAX_SOLO_MS=0 to disable.
+    # r5s6: raised 0.75→0.9 and 150→110 per VERDICT r4 #1's "done =
+    # effective_cores ≥ 30" bar (still bounded-wait + self-label, so an
+    # unattended run can never hang on a persistently degraded host)
     min_eff = float(os.environ.get("BENCH_MIN_EFF_CORES",
-                                   0.75 * NUM_CPUS))
-    max_solo = float(os.environ.get("BENCH_MAX_SOLO_MS", 150))
+                                   0.9 * NUM_CPUS))
+    max_solo = float(os.environ.get("BENCH_MAX_SOLO_MS", 110))
     if min_eff > 0 or max_solo > 0:
         deadline = time.time() + float(os.environ.get("BENCH_GATE_WAIT_S",
                                                       600))
