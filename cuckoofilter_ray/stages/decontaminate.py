@@ -160,6 +160,26 @@ _CACHE: dict = {}
 _PRESCREEN_MIN = 8_000_000
 
 
+def _broadcast_membership(hashes: np.ndarray, *, seed: int,
+                          bits_per_tag: int, prescreen: Optional[bool]):
+    """Broadcast a sorted hash set for worker-side exact membership:
+    returns ``(filter_ref, exact_ref)`` where ``filter_ref`` is a cuckoo
+    AMQ row (or None when prescreening doesn't pay — see
+    `_PRESCREEN_MIN`; ``bits_per_tag`` only matters when it does)."""
+    import ray
+
+    if prescreen is None:
+        prescreen = len(hashes) >= _PRESCREEN_MIN
+    filter_ref = None
+    if prescreen:
+        filt = make_filter("cuckoo", max(16, len(hashes)), seed,
+                           bits_per_tag)
+        if len(hashes):
+            filt.add_batch(hashes)
+        filter_ref = ray.put(filter_to_row(filt))
+    return filter_ref, ray.put(hashes)
+
+
 def _member_mask(h: np.ndarray, filt, exact: np.ndarray) -> np.ndarray:
     """Exact membership of ``h`` in sorted ``exact``; ``filt`` (optional
     AMQ) only prunes the binary-search candidate set — zero FN either way."""
@@ -231,19 +251,12 @@ def decontaminate(docs_ds, bench_hashes: np.ndarray, *, k: int = 8,
     by `_PRESCREEN_MIN`; either way the result is exact, zero FN);
     documents never leave their blocks, and the stage runs as stateless
     tasks (per-worker broadcast cache — no actor spawn latency)."""
-    import ray
-
     bench_hashes = np.asarray(bench_hashes, dtype=np.uint64)
-    if prescreen is None:
-        prescreen = len(bench_hashes) >= _PRESCREEN_MIN
-    filter_ref = None
-    if prescreen:
-        filt = make_filter("cuckoo", max(16, len(bench_hashes)),
-                           seed ^ 0xBEC4, bits_per_tag)
-        if len(bench_hashes):
-            filt.add_batch(bench_hashes)
-        filter_ref = ray.put(filter_to_row(filt))
-    exact_ref = ray.put(bench_hashes)        # np.unique output => sorted
+    # note: bits_per_tag only takes effect when a prescreen filter is
+    # actually built (prescreen=True, or auto above _PRESCREEN_MIN)
+    filter_ref, exact_ref = _broadcast_membership(
+        bench_hashes, seed=seed ^ 0xBEC4, bits_per_tag=bits_per_tag,
+        prescreen=prescreen)               # np.unique output => sorted
     kwargs = {"filter_ref": filter_ref, "exact_ref": exact_ref, "k": k,
               "seed": seed, "column": column, "id_col": id_col}
     if concurrency:
@@ -392,29 +405,20 @@ def exactsubstr_dedup(docs_ds, *, k: int = 8, seed: int = 4242,
     ``broadcast_bound`` the removal pass would switch to hash-joining
     ``(gram, doc, position)`` hits — the AMQ keeps that join
     O(duplicated positions)."""
-    import ray
-
     dup = _dup_gram_dataset(docs_ds, k=k, seed=seed, column=column,
                             min_docs=min_docs, count_buckets=count_buckets)
-    parts = [b.column("h").to_numpy().view(np.uint64) for b in
-             dup.iter_batches(batch_format="pyarrow", batch_size=None)]
-    dup_h = np.sort(np.concatenate(parts)) if parts \
-        else np.empty(0, dtype=np.uint64)
-    if len(dup_h) > broadcast_bound:
+    if dup.count() > broadcast_bound:      # guard BEFORE the collect
         raise NotImplementedError(
             "duplicated-gram set exceeds the broadcast bound — raise "
             "broadcast_bound (the blob is ~10 B/gram) or add the "
             "(gram, doc, position) hash-join path")
-    if prescreen is None:
-        prescreen = len(dup_h) >= _PRESCREEN_MIN
-    filter_ref = None
-    if prescreen:
-        filt = make_filter("cuckoo", max(16, len(dup_h)), seed ^ 0xE55D,
-                           bits_per_tag)
-        if len(dup_h):
-            filt.add_batch(dup_h)
-        filter_ref = ray.put(filter_to_row(filt))
-    exact_ref = ray.put(dup_h)
+    parts = [b.column("h").to_numpy().view(np.uint64) for b in
+             dup.iter_batches(batch_format="pyarrow", batch_size=None)]
+    dup_h = np.sort(np.concatenate(parts)) if parts \
+        else np.empty(0, dtype=np.uint64)
+    filter_ref, exact_ref = _broadcast_membership(
+        dup_h, seed=seed ^ 0xE55D, bits_per_tag=bits_per_tag,
+        prescreen=prescreen)
     return docs_ds.map_batches(
         remove_duplicated_spans_fn, batch_format="pyarrow",
         batch_size=None,

@@ -46,6 +46,9 @@ def redact_batch(batch: pa.Table, *, column: str = "text",
     text = batch.column(column)
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
+    if text.null_count:
+        text = text.fill_null("")   # null text scrubs to "" with 0 counts,
+        # not null-propagation — same contract as the gram/chunk stages
     out = batch
     for name, pat, repl in patterns:
         if counts:

@@ -123,7 +123,12 @@ def cap_per_group(ds, group_col: str, k: int, *,
     ``k × n_groups`` rows per block ride the ONE group-hash-bucketed
     shuffle, and the per-bucket reducer is the same vectorized top-k over
     thousands of groups at once.  Output size is bounded by
-    ``k × n_groups`` regardless of corpus size."""
+    ``k × n_groups`` regardless of corpus size.  A null group value is a
+    group like any other (capped at k, not dropped — crawl data has
+    missing domains; `stratified_sample` keeps null strata the same
+    way)."""
+    if k < 1:
+        raise ValueError("k must be positive")
     prio = priority_col or "_prio"
 
     def _pre(df: pd.DataFrame) -> pd.DataFrame:
@@ -133,7 +138,7 @@ def cap_per_group(ds, group_col: str, k: int, *,
                 id_col=id_col, salt=salt, mode=mode, out_col=prio)
             df = df.assign(**{prio: t.column(prio).to_pylist()})
         return df.sort_values([prio, id_col], kind="stable") \
-            .groupby(group_col, sort=False).head(k)
+            .groupby(group_col, sort=False, dropna=False).head(k)
 
     def _bucket(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_array(df[group_col].to_numpy())
@@ -142,7 +147,7 @@ def cap_per_group(ds, group_col: str, k: int, *,
 
     def _topk(group: pd.DataFrame) -> pd.DataFrame:
         out = group.sort_values([prio, id_col], kind="stable") \
-            .groupby(group_col, sort=False).head(k) \
+            .groupby(group_col, sort=False, dropna=False).head(k) \
             .drop(columns=["_bucket"])
         if priority_col is None and not keep_priority:
             out = out.drop(columns=[prio])

@@ -2060,3 +2060,33 @@ def test_chunk_documents_matches_reference_property(ray_session):
         assert list(map(tuple, out[["doc_id", "chunk_id", "n_tokens",
                                     "text_chunk"]].itertuples(index=False))) \
             == ref, (mx, ov)
+
+
+def test_cap_per_group_null_groups_and_bad_k(ray_session):
+    """Null group values form a capped group of their own (not dropped);
+    k <= 0 raises."""
+    import pytest as _pytest
+    import ray
+    from cuckoofilter_ray.stages.sampling import cap_per_group
+
+    rows = [{"doc_id": i, "grp": (None if i % 3 == 0 else f"g{i % 2}")}
+            for i in range(60)]
+    ds = ray.data.from_items(rows).repartition(3)
+    out = cap_per_group(ds, "grp", 4, salt="n:").to_pandas()
+    sizes = out.groupby("grp", dropna=False).size()
+    assert sizes.max() <= 4
+    assert out["grp"].isna().sum() == 4          # null group capped, kept
+    with _pytest.raises(ValueError):
+        cap_per_group(ds, "grp", 0)
+
+
+def test_pii_redact_null_text(ray_session):
+    """Null text scrubs to '' with zero counts (no null propagation)."""
+    import pyarrow as pa
+    from cuckoofilter_ray.stages.redact import redact_batch
+
+    t = pa.table({"doc_id": [0, 1], "text": pa.array([None, "a@b.io"],
+                                                     pa.string())})
+    out = redact_batch(t).to_pandas()
+    assert out["text"].tolist() == ["", "<EMAIL>"]
+    assert out["n_email"].tolist() == [0, 1]
