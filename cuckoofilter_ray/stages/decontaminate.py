@@ -381,12 +381,30 @@ def remove_duplicated_spans_fn(batch: pa.Table, *, filter_ref=None,
     })
 
 
+def duplicated_gram_hashes(docs_ds, *, k: int = 8, seed: int = 4242,
+                           column: str = "text", min_docs: int = 2,
+                           count_buckets: int = 64) -> np.ndarray:
+    """Sorted uint64 hashes of every word-k-gram occurring in
+    ≥ ``min_docs`` distinct documents (the ExactSubstr dup set) —
+    public form of phase 1, for callers composing
+    :func:`duplicated_gram_stats` and :func:`exactsubstr_dedup` over
+    the same corpus (pass the result as ``dup_hashes`` to skip the
+    second shuffle)."""
+    dup = _dup_gram_dataset(docs_ds, k=k, seed=seed, column=column,
+                            min_docs=min_docs, count_buckets=count_buckets)
+    parts = [b.column("h").to_numpy().view(np.uint64) for b in
+             dup.iter_batches(batch_format="pyarrow", batch_size=None)]
+    return np.sort(np.concatenate(parts)) if parts \
+        else np.empty(0, dtype=np.uint64)
+
+
 def exactsubstr_dedup(docs_ds, *, k: int = 8, seed: int = 4242,
                       column: str = "text", id_col: str = "doc_id",
                       min_docs: int = 2, count_buckets: int = 64,
                       bits_per_tag: int = 12,
                       broadcast_bound: int = 64_000_000,
-                      prescreen: Optional[bool] = None):
+                      prescreen: Optional[bool] = None,
+                      dup_hashes: Optional[np.ndarray] = None):
     """ExactSubstr-style *removal* (Lee et al. 2021 §3, the complement of
     :func:`duplicated_gram_stats`'s detection): delete from every
     document the words covered by any word-k-gram that occurs in
@@ -404,18 +422,27 @@ def exactsubstr_dedup(docs_ds, *, k: int = 8, seed: int = 4242,
     orders of magnitude smaller than the input; if it ever outgrew
     ``broadcast_bound`` the removal pass would switch to hash-joining
     ``(gram, doc, position)`` hits — the AMQ keeps that join
-    O(duplicated positions)."""
-    dup = _dup_gram_dataset(docs_ds, k=k, seed=seed, column=column,
-                            min_docs=min_docs, count_buckets=count_buckets)
-    if dup.count() > broadcast_bound:      # guard BEFORE the collect
-        raise NotImplementedError(
-            "duplicated-gram set exceeds the broadcast bound — raise "
-            "broadcast_bound (the blob is ~10 B/gram) or add the "
-            "(gram, doc, position) hash-join path")
-    parts = [b.column("h").to_numpy().view(np.uint64) for b in
-             dup.iter_batches(batch_format="pyarrow", batch_size=None)]
-    dup_h = np.sort(np.concatenate(parts)) if parts \
-        else np.empty(0, dtype=np.uint64)
+    O(duplicated positions).  Pass a precomputed ``dup_hashes`` (from
+    :func:`duplicated_gram_hashes`, same k/seed/min_docs) to skip
+    phase 1 entirely."""
+    if dup_hashes is not None:
+        dup_h = np.asarray(dup_hashes, dtype=np.uint64)
+        if len(dup_h) > broadcast_bound:
+            raise NotImplementedError(
+                "duplicated-gram set exceeds the broadcast bound")
+    else:
+        dup = _dup_gram_dataset(docs_ds, k=k, seed=seed, column=column,
+                                min_docs=min_docs,
+                                count_buckets=count_buckets)
+        if dup.count() > broadcast_bound:  # guard BEFORE the collect
+            raise NotImplementedError(
+                "duplicated-gram set exceeds the broadcast bound — raise "
+                "broadcast_bound (the blob is ~10 B/gram) or add the "
+                "(gram, doc, position) hash-join path")
+        parts = [b.column("h").to_numpy().view(np.uint64) for b in
+                 dup.iter_batches(batch_format="pyarrow", batch_size=None)]
+        dup_h = np.sort(np.concatenate(parts)) if parts \
+            else np.empty(0, dtype=np.uint64)
     filter_ref, exact_ref = _broadcast_membership(
         dup_h, seed=seed ^ 0xE55D, bits_per_tag=bits_per_tag,
         prescreen=prescreen)

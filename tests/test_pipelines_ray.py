@@ -2090,3 +2090,25 @@ def test_pii_redact_null_text(ray_session):
     out = redact_batch(t).to_pandas()
     assert out["text"].tolist() == ["", "<EMAIL>"]
     assert out["n_email"].tolist() == [0, 1]
+
+
+def test_exactsubstr_precomputed_dup_set(ray_session):
+    """duplicated_gram_hashes + dup_hashes= skips phase 1 and returns the
+    identical table."""
+    import numpy as np
+    import ray
+    from cuckoofilter_ray.stages.decontaminate import (
+        duplicated_gram_hashes, exactsubstr_dedup)
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{z}" for z in range(30)]
+    rows = [{"doc_id": i, "text": " ".join(rng.choice(vocab, size=20))}
+            for i in range(50)]
+    rows += [{"doc_id": 100 + i, "text": rows[i]["text"]} for i in range(5)]
+    ds = ray.data.from_items(rows).repartition(3)
+    dh = duplicated_gram_hashes(ds, k=6, seed=4)
+    a = exactsubstr_dedup(ds, k=6, seed=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = exactsubstr_dedup(ds, k=6, seed=4, dup_hashes=dh).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b) and (a["n_removed"] > 0).any()
