@@ -306,61 +306,38 @@ def _dup_gram_dataset(docs_ds, *, k: int, seed: int, column: str,
         .materialize()                              # small result
 
 
-def remove_duplicated_spans_fn(batch: pa.Table, *, filter_ref=None,
-                               exact_ref=None, k: int = 8,
-                               seed: int = 4242, column: str = "text",
-                               id_col: str = "doc_id") -> pa.Table:
-    """Stateless batch stage: cut every word covered by a duplicated gram.
-
-    A word is removed iff SOME occurrence of a duplicated k-gram covers
-    it; survivors re-join with single spaces in original order.  Pure
-    numpy/Arrow: one zero-copy gram-hash pass (with multiplicity — every
-    occurrence covers, unlike the distinct counting pass), exact
-    membership via `_member_mask` (direct binary search, or AMQ prescreen
-    + confirm for large dup sets), then interval stabbing via a ±1 diff
-    array + cumsum over the batch's flattened word sequence, and one
-    ``ListArray``/``binary_join`` rebuild.  No shuffle, no Python loop."""
+def _split_words(texts: pa.Array):
+    """Split an Arrow string column on single spaces (DuckDB
+    ``string_split`` semantics): returns ``(offs, flat, nw, total_w)`` —
+    normalized word offsets per doc, the flat word array, per-doc word
+    counts, and the batch word total."""
     import pyarrow.compute as pc
-    import ray
 
-    filt = None if filter_ref is None else \
-        cache_get(_CACHE, ("filt", filter_ref.hex()),
-                  lambda: row_to_filter(ray.get(filter_ref)))
-    exact = cache_get(_CACHE, ("exact", exact_ref.hex()),
-                      lambda: ray.get(exact_ref))
-    texts = batch.column(column)
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    if texts.null_count:
-        texts = texts.fill_null("")
-    ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
-        .astype(np.int64, copy=False)
-    ndocs = len(texts)
-
-    words = pc.split_pattern(texts, pattern=" ")    # DuckDB string_split
+    words = pc.split_pattern(texts, pattern=" ")
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
     offs = np.asarray(words.offsets)                # already logical-range
     offs = (offs - offs[0]).astype(np.int64)
     flat = words.flatten()
-    nw = np.diff(offs)
-    total_w = int(offs[-1])
+    return offs, flat, np.diff(offs), int(offs[-1])
 
-    h, counts = word_gram_hashes(texts, k, seed)    # multiplicity, doc order
+
+def _cut_rebuild(ids: np.ndarray, id_col: str, offs: np.ndarray,
+                 flat: pa.Array, nw: np.ndarray, total_w: int,
+                 hit_starts: np.ndarray, k: int) -> pa.Table:
+    """Shared removal core: given global word-start indices of every
+    duplicated-gram occurrence, interval-stab the coverage (±1 diff array
+    + cumsum over the batch's flattened word sequence) and rebuild the
+    surviving text with one ``ListArray``/``binary_join`` pass."""
+    import pyarrow.compute as pc
+
+    ndocs = len(ids)
     covered = np.zeros(total_w, dtype=bool)
-    if len(h):
-        hit = _member_mask(h, filt, exact)
-        if hit.any():
-            go = np.zeros(ndocs, dtype=np.int64)
-            np.cumsum(counts[:-1], out=go[1:])
-            # global word index of gram (d, j) = offs[d] + j
-            gws = np.arange(len(h), dtype=np.int64) \
-                - np.repeat(go, counts) + np.repeat(offs[:-1], counts)
-            s = gws[hit]
-            diff = np.zeros(total_w + 1, dtype=np.int64)
-            np.add.at(diff, s, 1)
-            np.add.at(diff, s + k, -1)              # s + k ≤ offs[d+1]
-            covered = np.cumsum(diff[:-1]) > 0
+    if len(hit_starts):
+        diff = np.zeros(total_w + 1, dtype=np.int64)
+        np.add.at(diff, hit_starts, 1)
+        np.add.at(diff, hit_starts + k, -1)         # s + k ≤ offs[d+1]
+        covered = np.cumsum(diff[:-1]) > 0
 
     word_doc = np.repeat(np.arange(ndocs, dtype=np.int64), nw)
     n_removed = np.bincount(word_doc[covered],
@@ -379,6 +356,150 @@ def remove_duplicated_spans_fn(batch: pa.Table, *, filter_ref=None,
         "n_words": pa.array(nw, pa.int64()),
         "n_removed": pa.array(n_removed, pa.int64()),
     })
+
+
+def remove_duplicated_spans_fn(batch: pa.Table, *, filter_ref=None,
+                               exact_ref=None, k: int = 8,
+                               seed: int = 4242, column: str = "text",
+                               id_col: str = "doc_id") -> pa.Table:
+    """Stateless batch stage: cut every word covered by a duplicated gram.
+
+    A word is removed iff SOME occurrence of a duplicated k-gram covers
+    it; survivors re-join with single spaces in original order.  Pure
+    numpy/Arrow: one zero-copy gram-hash pass (with multiplicity — every
+    occurrence covers, unlike the distinct counting pass), exact
+    membership via `_member_mask` (direct binary search, or AMQ prescreen
+    + confirm for large dup sets), then the shared `_cut_rebuild` core.
+    No shuffle, no Python loop."""
+    import ray
+
+    filt = None if filter_ref is None else \
+        cache_get(_CACHE, ("filt", filter_ref.hex()),
+                  lambda: row_to_filter(ray.get(filter_ref)))
+    exact = cache_get(_CACHE, ("exact", exact_ref.hex()),
+                      lambda: ray.get(exact_ref))
+    texts = batch.column(column)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if texts.null_count:
+        texts = texts.fill_null("")
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+        .astype(np.int64, copy=False)
+    ndocs = len(texts)
+    offs, flat, nw, total_w = _split_words(texts)
+
+    h, counts = word_gram_hashes(texts, k, seed)    # multiplicity, doc order
+    hit_starts = np.empty(0, dtype=np.int64)
+    if len(h):
+        hit = _member_mask(h, filt, exact)
+        if hit.any():
+            go = np.zeros(ndocs, dtype=np.int64)
+            np.cumsum(counts[:-1], out=go[1:])
+            # global word index of gram (d, j) = offs[d] + j
+            gws = np.arange(len(h), dtype=np.int64) \
+                - np.repeat(go, counts) + np.repeat(offs[:-1], counts)
+            hit_starts = gws[hit]
+    return _cut_rebuild(ids, id_col, offs, flat, nw, total_w,
+                        hit_starts, k)
+
+
+def _removal_join_path(docs_ds, dup, *, k: int, seed: int, column: str,
+                       id_col: str, num_buckets: Optional[int]):
+    """Removal without broadcasting the dup set (the > broadcast_bound
+    regime): per-gram ``(hash, id, pos)`` rows hash-join the dup Dataset
+    (O(gram occurrences) narrow rows, text never rides this exchange),
+    hit positions pack into ONE list row per document, and a left-outer
+    join carries each document's text exactly once to the vectorized
+    `_cut_rebuild`.  Output identical to the broadcast path (pinned by
+    test)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .relational import hash_join
+    if num_buckets is None:
+        num_buckets = max(2, min(32,
+            int(ray.cluster_resources().get("CPU", 8)) // 2))
+
+    def _gram_pos(batch: pa.Table) -> pa.Table:
+        texts = batch.column(column)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        if texts.null_count:
+            texts = texts.fill_null("")
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        h, counts = word_gram_hashes(texts, k, seed)
+        doc = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        go = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=go[1:])
+        pos = np.arange(len(h), dtype=np.int64) - go[doc]
+        return pa.table({"h": pa.array(h.view(np.int64), pa.int64()),
+                         id_col: pa.array(ids[doc], pa.int64()),
+                         "pos": pa.array(pos, pa.int64())})
+
+    pairs = docs_ds.map_batches(_gram_pos, batch_format="pyarrow",
+                                batch_size=None)
+    hits = hash_join(pairs, dup, "h", "h", num_buckets=num_buckets) \
+        .select_columns([id_col, "pos"])
+
+    def _add_bucket(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        b = (ids.view(np.uint64) % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("_b", pa.array(b, pa.int32()))
+
+    def _pack(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        pos = t.column("pos").to_numpy(zero_copy_only=False) \
+            .astype("<i8", copy=False)
+        order = np.lexsort((pos, ids))
+        ids, pos = ids[order], pos[order]
+        uids, idx = np.unique(ids, return_index=True)
+        loffs = (np.append(idx, len(pos)) * 8).astype(np.int64)
+        # positions ride as an 8-byte-LE blob per doc: Acero (Dataset.join)
+        # rejects list<> payload columns but passes binary through fine
+        blob = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), len(uids),
+            [None, pa.py_buffer(loffs.tobytes()),
+             pa.py_buffer(pos.tobytes())])
+        return pa.table({id_col: pa.array(uids, pa.int64()),
+                         "_hits": blob})
+
+    hitlists = hits.map_batches(_add_bucket, batch_format="pyarrow",
+                                batch_size=None) \
+        .groupby("_b").map_groups(_pack, batch_format="pyarrow")
+    joined = docs_ds.join(hitlists, join_type="left_outer",
+                          num_partitions=num_buckets, on=(id_col,))
+
+    def _rebuild(batch: pa.Table) -> pa.Table:
+        texts = batch.column(column)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        if texts.null_count:
+            texts = texts.fill_null("")
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        offs, flat, nw, total_w = _split_words(texts)
+        hl = batch.column("_hits")
+        if isinstance(hl, pa.ChunkedArray):
+            hl = hl.combine_chunks()
+        hl = hl.cast(pa.large_binary())
+        if hl.null_count:
+            hl = hl.fill_null(b"")
+        bufs = hl.buffers()                  # [validity, offsets, data]
+        boffs = np.frombuffer(bufs[1], np.int64)[
+            hl.offset:hl.offset + len(hl) + 1]
+        data = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None \
+            else np.empty(0, dtype=np.uint8)
+        seg = data[boffs[0]:boffs[-1]]
+        pos_flat = np.frombuffer(seg.tobytes(), "<i8")  # copy => aligned
+        lens = np.diff(boffs - boffs[0]) // 8
+        doc_of_pos = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        hit_starts = offs[doc_of_pos] + pos_flat
+        return _cut_rebuild(ids, id_col, offs, flat, nw, total_w,
+                            hit_starts, k)
+
+    return joined.map_batches(_rebuild, batch_format="pyarrow",
+                              batch_size=None)
 
 
 def duplicated_gram_hashes(docs_ds, *, k: int = 8, seed: int = 4242,
@@ -419,26 +540,31 @@ def exactsubstr_dedup(docs_ds, *, k: int = 8, seed: int = 4242,
     array — zero false negatives, candidates confirmed exactly) and the
     corpus streams through ONE shuffle-free ``map_batches``.  The dup
     set is duplicated *content*, not the corpus: at 100 TB it stays
-    orders of magnitude smaller than the input; if it ever outgrew
-    ``broadcast_bound`` the removal pass would switch to hash-joining
-    ``(gram, doc, position)`` hits — the AMQ keeps that join
-    O(duplicated positions).  Pass a precomputed ``dup_hashes`` (from
+    orders of magnitude smaller than the input; above ``broadcast_bound``
+    the removal switches to `_removal_join_path` — ``(gram, id, pos)``
+    rows hash-join the dup Dataset and hit positions pack into one list
+    row per doc, so no worker ever holds the whole set (both paths
+    pinned identical by test).  Pass a precomputed ``dup_hashes`` (from
     :func:`duplicated_gram_hashes`, same k/seed/min_docs) to skip
     phase 1 entirely."""
+    import ray
+
     if dup_hashes is not None:
         dup_h = np.asarray(dup_hashes, dtype=np.uint64)
         if len(dup_h) > broadcast_bound:
-            raise NotImplementedError(
-                "duplicated-gram set exceeds the broadcast bound")
+            dup = ray.data.from_arrow(pa.table(
+                {"h": pa.array(dup_h.view(np.int64), pa.int64())}))
+            return _removal_join_path(docs_ds, dup, k=k, seed=seed,
+                                      column=column, id_col=id_col,
+                                      num_buckets=None)
     else:
         dup = _dup_gram_dataset(docs_ds, k=k, seed=seed, column=column,
                                 min_docs=min_docs,
                                 count_buckets=count_buckets)
         if dup.count() > broadcast_bound:  # guard BEFORE the collect
-            raise NotImplementedError(
-                "duplicated-gram set exceeds the broadcast bound — raise "
-                "broadcast_bound (the blob is ~10 B/gram) or add the "
-                "(gram, doc, position) hash-join path")
+            return _removal_join_path(docs_ds, dup, k=k, seed=seed,
+                                      column=column, id_col=id_col,
+                                      num_buckets=None)
         parts = [b.column("h").to_numpy().view(np.uint64) for b in
                  dup.iter_batches(batch_format="pyarrow", batch_size=None)]
         dup_h = np.sort(np.concatenate(parts)) if parts \
@@ -452,6 +578,7 @@ def exactsubstr_dedup(docs_ds, *, k: int = 8, seed: int = 4242,
         fn_kwargs={"filter_ref": filter_ref, "exact_ref": exact_ref,
                    "k": k, "seed": seed, "column": column,
                    "id_col": id_col})
+
 
 def duplicated_gram_stats(docs_ds, *, k: int = 8, seed: int = 4242,
                           column: str = "text", id_col: str = "doc_id",

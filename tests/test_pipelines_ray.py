@@ -2112,3 +2112,32 @@ def test_exactsubstr_precomputed_dup_set(ray_session):
     b = exactsubstr_dedup(ds, k=6, seed=4, dup_hashes=dh).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b) and (a["n_removed"] > 0).any()
+
+
+def test_exactsubstr_join_path_matches_broadcast(ray_session):
+    """Above broadcast_bound the removal runs as the (gram,id,pos) join
+    path — identical output to the broadcast path on a corpus with
+    duplicates, no-hit docs, empty docs, and docs shorter than k."""
+    import numpy as np
+    import ray
+    from cuckoofilter_ray.stages.decontaminate import (
+        duplicated_gram_hashes, exactsubstr_dedup)
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{z}" for z in range(35)]
+    rows = [{"doc_id": i, "text": " ".join(rng.choice(vocab, size=22))}
+            for i in range(70)]
+    rows += [{"doc_id": 100 + i, "text": rows[i]["text"]} for i in range(5)]
+    rows += [{"doc_id": 200, "text": ""}, {"doc_id": 201, "text": "a b"}]
+    ds = ray.data.from_items(rows).repartition(5)
+    a = exactsubstr_dedup(ds, k=5, seed=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = exactsubstr_dedup(ds, k=5, seed=3, broadcast_bound=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b) and (a["n_removed"] > 0).any()
+    # precomputed dup set + forced join path
+    dh = duplicated_gram_hashes(ds, k=5, seed=3)
+    c = exactsubstr_dedup(ds, k=5, seed=3, dup_hashes=dh,
+                          broadcast_bound=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(c)
