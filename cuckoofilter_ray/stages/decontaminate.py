@@ -408,10 +408,12 @@ def _removal_join_path(docs_ds, dup, *, k: int, seed: int, column: str,
     """Removal without broadcasting the dup set (the > broadcast_bound
     regime): per-gram ``(hash, id, pos)`` rows hash-join the dup Dataset
     (O(gram occurrences) narrow rows, text never rides this exchange),
-    hit positions pack into ONE list row per document, and a left-outer
-    join carries each document's text exactly once to the vectorized
-    `_cut_rebuild`.  Output identical to the broadcast path (pinned by
-    test)."""
+    hit positions pack into ONE binary row per document, and a bucketed
+    UNION + per-bucket merge carries each document's text exactly once
+    to the vectorized `_cut_rebuild` (not ``Dataset.join`` — see the
+    inline note on empty-partition schemaless tables).  Output identical
+    to the broadcast path (pinned by test, incl. a single-hit-doc
+    corpus)."""
     import pyarrow.compute as pc
     import ray
 
@@ -467,39 +469,78 @@ def _removal_join_path(docs_ds, dup, *, k: int, seed: int, column: str,
     hitlists = hits.map_batches(_add_bucket, batch_format="pyarrow",
                                 batch_size=None) \
         .groupby("_b").map_groups(_pack, batch_format="pyarrow")
-    joined = docs_ds.join(hitlists, join_type="left_outer",
-                          num_partitions=num_buckets, on=(id_col,))
 
-    def _rebuild(batch: pa.Table) -> pa.Table:
-        texts = batch.column(column)
+    # attach via bucketed UNION + per-bucket merge, not Dataset.join:
+    # the join operator builds SCHEMALESS tables for hash partitions the
+    # sparse hits side leaves empty and Acero then can't resolve the key
+    # (ray 2.49; NOTES) — the union shuffle has no empty-side notion.
+    # Text rides the one union exchange exactly once per document.
+    def _docs_side(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        texts = t.column(column)
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         if texts.null_count:
             texts = texts.fill_null("")
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+        b = (ids.view(np.uint64) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "_txt": texts.cast(pa.large_string()),
+            "_hits": pa.nulls(len(ids), pa.large_binary()),
+            "_b": pa.array(b, pa.int32())})
+
+    def _hits_side(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        b = (ids.view(np.uint64) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({
+            id_col: t.column(id_col),
+            "_txt": pa.nulls(len(ids), pa.large_string()),
+            "_hits": t.column("_hits"),
+            "_b": pa.array(b, pa.int32())})
+
+    unioned = docs_ds.map_batches(_docs_side, batch_format="pyarrow",
+                                  batch_size=None) \
+        .union(hitlists.map_batches(_hits_side, batch_format="pyarrow",
+                                    batch_size=None))
+
+    def _merge(g: pa.Table) -> pa.Table:
+        txt = g.column("_txt")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        ids = g.column(id_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64, copy=False)
+        is_doc = ~np.asarray(txt.is_null())
+        d_idx = np.flatnonzero(is_doc)
+        h_idx = np.flatnonzero(~is_doc)
+        ids_d = ids[d_idx]
+        texts = txt.take(pa.array(d_idx, pa.int64()))
         offs, flat, nw, total_w = _split_words(texts)
-        hl = batch.column("_hits")
-        if isinstance(hl, pa.ChunkedArray):
-            hl = hl.combine_chunks()
-        hl = hl.cast(pa.large_binary())
-        if hl.null_count:
-            hl = hl.fill_null(b"")
-        bufs = hl.buffers()                  # [validity, offsets, data]
-        boffs = np.frombuffer(bufs[1], np.int64)[
-            hl.offset:hl.offset + len(hl) + 1]
-        data = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None \
-            else np.empty(0, dtype=np.uint8)
-        seg = data[boffs[0]:boffs[-1]]
-        pos_flat = np.frombuffer(seg.tobytes(), "<i8")  # copy => aligned
-        lens = np.diff(boffs - boffs[0]) // 8
-        doc_of_pos = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
-        hit_starts = offs[doc_of_pos] + pos_flat
-        return _cut_rebuild(ids, id_col, offs, flat, nw, total_w,
+        hit_starts = np.empty(0, dtype=np.int64)
+        if len(h_idx):
+            hb = g.column("_hits")
+            if isinstance(hb, pa.ChunkedArray):
+                hb = hb.combine_chunks()
+            hb = hb.take(pa.array(h_idx, pa.int64())) \
+                .cast(pa.large_binary())
+            bufs = hb.buffers()              # [validity, offsets, data]
+            boffs = np.frombuffer(bufs[1], np.int64)[
+                hb.offset:hb.offset + len(hb) + 1]
+            data = np.frombuffer(bufs[2], np.uint8) \
+                if bufs[2] is not None else np.empty(0, dtype=np.uint8)
+            seg = data[boffs[0]:boffs[-1]]
+            pos_flat = np.frombuffer(seg.tobytes(), "<i8")  # copy aligns
+            lens = np.diff(boffs - boffs[0]) // 8
+            # map each hit row (one per doc) to its doc row in this bucket
+            order_d = np.argsort(ids_d, kind="stable")
+            where = np.searchsorted(ids_d[order_d], ids[h_idx])
+            doc_row = order_d[where]
+            doc_of_pos = np.repeat(doc_row, lens)
+            hit_starts = offs[doc_of_pos] + pos_flat
+        return _cut_rebuild(ids_d, id_col, offs, flat, nw, total_w,
                             hit_starts, k)
 
-    return joined.map_batches(_rebuild, batch_format="pyarrow",
-                              batch_size=None)
+    return unioned.groupby("_b").map_groups(_merge, batch_format="pyarrow")
 
 
 def duplicated_gram_hashes(docs_ds, *, k: int = 8, seed: int = 4242,

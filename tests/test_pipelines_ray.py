@@ -2141,3 +2141,14 @@ def test_exactsubstr_join_path_matches_broadcast(ray_session):
                           broadcast_bound=0).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert a.equals(c)
+    # ultra-sparse hits side (ONE duplicated pair): the regime where
+    # Dataset.join's empty hash partitions went schemaless (ray 2.49)
+    rows2 = [{"doc_id": i, "text": " ".join(f"u{i}w{j}" for j in range(12))}
+             for i in range(40)]
+    rows2.append({"doc_id": 100, "text": rows2[0]["text"]})
+    ds2 = ray.data.from_items(rows2).repartition(3)
+    s1 = exactsubstr_dedup(ds2, k=5, seed=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    s2 = exactsubstr_dedup(ds2, k=5, seed=3, broadcast_bound=0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert s1.equals(s2) and int((s1["n_removed"] > 0).sum()) == 2
