@@ -721,18 +721,58 @@ def duplicated_gram_stats(docs_ds, *, k: int = 8, seed: int = 4242,
     per_doc = hit.groupby(id_col).count()            # (id, count())
     base = docs_ds.map_batches(_base, batch_format="pyarrow",
                                batch_size=None)
-    joined = base.join(per_doc, join_type="left_outer",
-                       num_partitions=num_buckets, on=(id_col,))
 
-    def _finish_join(t: pa.Table) -> pa.Table:
-        n_grams = t.column("n_grams")
-        n_dup = pc.coalesce(pc.cast(t.column("count()"), pa.int64()),
-                            pa.scalar(0, pa.int64()))
-        denom = pc.max_element_wise(n_grams, pa.scalar(1, pa.int64()))
-        frac = pc.divide(pc.cast(n_dup, pa.float64()),
-                         pc.cast(denom, pa.float64()))
-        return pa.table({id_col: t.column(id_col), "n_grams": n_grams,
-                         "n_dup": n_dup, "dup_gram_frac": frac})
+    # attach via bucketed UNION + per-bucket merge, not Dataset.join —
+    # the join builds SCHEMALESS tables for hash partitions the sparse
+    # per-doc side leaves empty and Acero can't resolve the key
+    # (ray 2.49; same fix as `_removal_join_path`)
+    def _base_side(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        b = (ids.view(np.uint64) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({id_col: t.column(id_col),
+                         "n_grams": t.column("n_grams"),
+                         "_cnt": pa.nulls(len(ids), pa.int64()),
+                         "_b": pa.array(b, pa.int32())})
 
-    return joined.map_batches(_finish_join, batch_format="pyarrow",
-                              batch_size=None)
+    def _cnt_side(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        b = (ids.view(np.uint64) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({id_col: t.column(id_col),
+                         "n_grams": pa.nulls(len(ids), pa.int64()),
+                         "_cnt": pc.cast(t.column("count()"), pa.int64()),
+                         "_b": pa.array(b, pa.int32())})
+
+    unioned = base.map_batches(_base_side, batch_format="pyarrow",
+                               batch_size=None) \
+        .union(per_doc.map_batches(_cnt_side, batch_format="pyarrow",
+                                   batch_size=None))
+
+    def _merge(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        ngc = g.column("n_grams")
+        if isinstance(ngc, pa.ChunkedArray):
+            ngc = ngc.combine_chunks()
+        is_doc = ~np.asarray(ngc.is_null())
+        d_idx = np.flatnonzero(is_doc)
+        h_idx = np.flatnonzero(~is_doc)
+        ids_d = ids[d_idx]
+        n_grams = ngc.take(pa.array(d_idx, pa.int64())) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_dup = np.zeros(len(ids_d), dtype=np.int64)
+        if len(h_idx):
+            cnt = g.column("_cnt")
+            if isinstance(cnt, pa.ChunkedArray):
+                cnt = cnt.combine_chunks()
+            cnt = cnt.take(pa.array(h_idx, pa.int64())) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            order_d = np.argsort(ids_d, kind="stable")
+            doc_row = order_d[np.searchsorted(ids_d[order_d], ids[h_idx])]
+            n_dup[doc_row] = cnt
+        frac = n_dup / np.maximum(n_grams, 1)
+        return pa.table({id_col: pa.array(ids_d, pa.int64()),
+                         "n_grams": pa.array(n_grams, pa.int64()),
+                         "n_dup": pa.array(n_dup, pa.int64()),
+                         "dup_gram_frac": pa.array(frac, pa.float64())})
+
+    return unioned.groupby("_b").map_groups(_merge, batch_format="pyarrow")

@@ -245,3 +245,23 @@ def test_exactsubstr_matches_bruteforce_reference(word_lists, k):
     assert out["text_clean"].tolist() == [r[0] for r in ref]
     assert out["n_words"].tolist() == [r[1] for r in ref]
     assert out["n_removed"].tolist() == [r[2] for r in ref]
+
+
+def test_duplicated_gram_stats_join_path_sparse(ray_session):
+    """ONE duplicated pair through the forced join path — the regime
+    where Dataset.join's empty hash partitions went schemaless; the
+    union-merge attach must equal the broadcast path exactly."""
+    import ray
+    from cuckoofilter_ray.stages.decontaminate import duplicated_gram_stats
+
+    rows = [{"doc_id": i,
+             "text": " ".join(f"u{i}w{j}" for j in range(12))}
+            for i in range(40)]
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})
+    ds = ray.data.from_items(rows).repartition(3)
+    a = duplicated_gram_stats(ds, k=5, seed=3, broadcast_bound=0,
+                              num_buckets=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = duplicated_gram_stats(ds, k=5, seed=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b) and int((a["n_dup"] > 0).sum()) == 2
