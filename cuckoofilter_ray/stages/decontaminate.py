@@ -413,7 +413,12 @@ def _removal_join_path(docs_ds, dup, *, k: int, seed: int, column: str,
     to the vectorized `_cut_rebuild` (not ``Dataset.join`` — see the
     inline note on empty-partition schemaless tables).  Output identical
     to the broadcast path (pinned by test, incl. a single-hit-doc
-    corpus)."""
+    corpus).
+
+    Assumes ``id_col`` values are unique across the corpus: the packed
+    hit row is keyed per id and attached via searchsorted, so duplicate
+    ids would attribute all hits to one of the copies (the broadcast
+    path is position-based and has no such constraint)."""
     import pyarrow.compute as pc
     import ray
 
