@@ -265,3 +265,56 @@ def test_duplicated_gram_stats_join_path_sparse(ray_session):
     b = duplicated_gram_stats(ds, k=5, seed=3).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b) and int((a["n_dup"] > 0).sum()) == 2
+
+
+def test_exactsubstr_all_paths_randomized_parity(ray_session):
+    """Seeded-random corpora (empty docs, sub-k docs, full dups, partial
+    splice overlaps) through ALL FOUR removal paths — broadcast,
+    forced join, precomputed dup set, precomputed + forced join — plus
+    both duplicated_gram_stats paths; every output table must be
+    identical (the permanent form of the session-7 fuzz campaign)."""
+    import numpy as np
+    import ray
+    from cuckoofilter_ray.stages.decontaminate import (
+        duplicated_gram_hashes, duplicated_gram_stats, exactsubstr_dedup)
+
+    rng = np.random.default_rng(77)
+
+    def srt(ds):
+        return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    for trial in range(3):
+        vocab = [f"w{z}" for z in range(int(rng.integers(8, 40)))]
+        rows = []
+        for i in range(int(rng.integers(25, 90))):
+            r = rng.random()
+            n = 0 if r < 0.1 else int(rng.integers(1, 4)) if r < 0.2 \
+                else int(rng.integers(4, 50))
+            rows.append({"doc_id": i,
+                         "text": " ".join(rng.choice(vocab, size=n))})
+        for j in range(int(rng.integers(1, 8))):      # full duplicates
+            rows.append({"doc_id": 1000 + j,
+                         "text": rows[int(rng.integers(0, 20))]["text"]})
+        for j in range(int(rng.integers(1, 8))):      # spliced overlaps
+            a = rows[int(rng.integers(0, 20))]["text"].split(" ")
+            b = rows[int(rng.integers(0, 20))]["text"].split(" ")
+            rows.append({"doc_id": 2000 + j, "text": " ".join(
+                a[:int(rng.integers(0, len(a) + 1))] +
+                b[int(rng.integers(0, len(b) + 1)):])})
+        k = int(rng.integers(2, 8))
+        seed = int(rng.integers(1, 1 << 30))
+        ds = ray.data.from_items(rows) \
+            .repartition(int(rng.integers(1, 6)))
+        a = srt(exactsubstr_dedup(ds, k=k, seed=seed))
+        b = srt(exactsubstr_dedup(ds, k=k, seed=seed, broadcast_bound=0))
+        dh = duplicated_gram_hashes(ds, k=k, seed=seed)
+        c = srt(exactsubstr_dedup(ds, k=k, seed=seed, dup_hashes=dh))
+        d = srt(exactsubstr_dedup(ds, k=k, seed=seed, dup_hashes=dh,
+                                  broadcast_bound=0))
+        assert a.equals(b) and a.equals(c) and a.equals(d), \
+            f"trial {trial} k={k} seed={seed}"
+        s1 = srt(duplicated_gram_stats(ds, k=k, seed=seed))
+        s2 = srt(duplicated_gram_stats(
+            ds, k=k, seed=seed, broadcast_bound=0,
+            num_buckets=int(rng.integers(2, 9))))
+        assert s1.equals(s2), f"stats trial {trial} k={k} seed={seed}"
